@@ -1,0 +1,356 @@
+"""Distributed inverted-index build.
+
+The Spark-native analog of the reference's crawl→index write path
+(tlgs/crawler/crawler.cpp:548-558: ``UPDATE pages SET search_vector =
+to_tsvector(...)`` + GIN index, tlgs_ctl/main.cpp:41) — except the
+index is an explicit, document-sharded postings table.
+
+Design (scale-first):
+
+- **Stable doc_ids**: dense rank over ``(conv_id, turn_idx)`` via
+  range-repartition + per-partition offsets (no single-partition
+  window; the sort is distributed).
+- **Document-range sharding = skew control.** ``shard = doc_id //
+  shard_size``. A hot term ("the"-class, Zipf head) never concentrates
+  on one reducer: its postings are split across all shards by
+  construction, each bounded by shard_size docs. This is the explicit
+  salting the north rule asks for, with the bonus that shard-local
+  doc_id ranges make delta-gaps small (better varint compression) and
+  segment "merge" across shards is free concatenation in shard order
+  (the postings table itself is the merged index).
+- **One Arrow pass per shard**: ``groupBy(shard).applyInPandas`` builds
+  every term's delta+varint posting list, block maxes (BLOCK_SIZE=128)
+  and shard norms in NumPy — no per-row Python.
+- **Resumable**: per-shard checkpoint ledger with lineage + build
+  metrics (postings/sec, bytes, skew factor). Re-run = left-anti
+  against the ledger; a shard killed mid-write is simply rebuilt
+  (dynamic partition overwrite ⇒ idempotent).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import bm25
+from ..tokenizer import HYGIENE_LINE_RE, MAX_TOKEN_LEN, STOPWORDS, TOKEN_RE
+from .codec import encode_postings, encode_varints
+from .storage import IndexStorage
+
+POSTINGS_SCHEMA = (
+    "shard int, term string, df long, max_tfn double, "
+    "block_max array<float>, block_last array<long>, postings binary"
+)
+NORMS_SCHEMA = "shard int, base long, n long, dls binary"
+
+
+# ---------------------------------------------------------------------------
+# doc_id assignment — distributed dense rank over (conv_id, turn_idx)
+# ---------------------------------------------------------------------------
+
+def assign_doc_ids(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Add dense ``doc_id`` = global rank of (conv_id, turn_idx).
+
+    Scalable formulation: range-repartition on the sort key, count rows
+    per partition, broadcast the offsets, then number rows inside each
+    (sorted) partition with mapInPandas. Equivalent to
+    ``row_number().over(Window.orderBy(...)) - 1`` but without funneling
+    the corpus through one task.
+    """
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(partitions, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged.persist()
+    counts = {r._pid: r["count"] for r in ranged.groupBy("_pid").count().collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = "doc_id long, " + ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def number(batches):
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf.insert(0, "doc_id", np.arange(pos, pos + len(pdf), dtype=np.int64))
+            pos += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(number, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# tokenization — Arrow-vectorized, emits (doc_id, term, tf)
+# ---------------------------------------------------------------------------
+
+def tokenize_tokens(docs: DataFrame, hygiene: bool = False) -> DataFrame:
+    """(doc_id, text) → exploded (doc_id, term, tf) under the frozen
+    tokenizer spec. mapInPandas: pandas str-vectorized, no Spark-row
+    Python (input_hint requirement)."""
+    stop = frozenset(STOPWORDS)
+
+    def tok(batches):
+        for pdf in batches:
+            txt = pdf["text"].fillna("")
+            if hygiene:
+                txt = txt.str.replace(HYGIENE_LINE_RE, "", regex=True)
+            toks = txt.str.lower().str.findall(TOKEN_RE)
+            ex = toks.explode().dropna()
+            if len(ex) == 0:
+                yield pd.DataFrame({"doc_id": [], "term": [], "tf": []}).astype(
+                    {"doc_id": "int64", "term": "object", "tf": "int64"}
+                )
+                continue
+            keep = ~ex.isin(stop) & (ex.str.len() <= MAX_TOKEN_LEN)
+            ex = ex[keep]
+            frame = pd.DataFrame(
+                {
+                    # ex.index holds positions into the batch's RangeIndex
+                    "doc_id": pdf["doc_id"].to_numpy()[ex.index.to_numpy()],
+                    "term": ex.to_numpy(),
+                }
+            )
+            out = frame.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+            yield out
+
+    return docs.select("doc_id", "text").mapInPandas(tok, schema="doc_id long, term string, tf long")
+
+
+# ---------------------------------------------------------------------------
+# per-shard segment build (applyInPandas body)
+# ---------------------------------------------------------------------------
+
+def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFrame:
+    """All (doc_id, term, tf) rows of ONE shard → one postings row per
+    term: delta+varint postings, per-128-block max tf_norm (float32,
+    rounded up — admissible bound), block last-doc skip pointers."""
+    shard = int(pdf["doc_id"].iloc[0]) // shard_size
+    base = shard * shard_size
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+
+    # shard-local doc lengths (every posting of a doc lives in its shard)
+    dl_ser = pdf.groupby("doc_id")["tf"].sum()
+    dl_lookup = np.zeros(shard_size, dtype=np.int64)
+    dl_lookup[dl_ser.index.to_numpy(np.int64) - base] = dl_ser.to_numpy(np.int64)
+    dls = dl_lookup[doc_ids - base].astype(np.float64)
+
+    tfn = tfs * (bm25.K1 + 1.0) / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl))
+
+    terms = pdf["term"].to_numpy()
+    bound = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+    starts = np.concatenate(([0], bound))
+    ends = np.concatenate((bound, [len(terms)]))
+
+    rows = []
+    bs = bm25.BLOCK_SIZE
+    for s, e in zip(starts, ends):
+        d = doc_ids[s:e]
+        t = tfs[s:e]
+        w = tfn[s:e]
+        n = e - s
+        nb = (n + bs - 1) // bs
+        pad = np.full(nb * bs, -np.inf)
+        pad[:n] = w
+        bmax = pad.reshape(nb, bs).max(axis=1)
+        bmax32 = bmax.astype(np.float32)
+        low = bmax32.astype(np.float64) < bmax
+        bmax32[low] = np.nextafter(bmax32[low], np.float32(np.inf))
+        blast = d[np.minimum(np.arange(1, nb + 1) * bs - 1, n - 1)]
+        rows.append(
+            (
+                shard,
+                terms[s],
+                int(n),
+                float(w.max()),
+                bmax32,
+                blast,
+                encode_postings(d, t, base=base),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["shard", "term", "df", "max_tfn", "block_max", "block_last", "postings"],
+    )
+
+
+def _build_norms(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
+    shard = int(pdf["shard"].iloc[0])
+    base = shard * shard_size
+    dls = np.zeros(shard_size, dtype=np.int64)
+    dls[pdf["doc_id"].to_numpy(np.int64) - base] = pdf["dl"].to_numpy(np.int64)
+    # trim trailing zeros beyond last real doc in final shard
+    return pd.DataFrame(
+        {"shard": [shard], "base": [base], "n": [shard_size], "dls": [encode_varints(dls)]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# build driver
+# ---------------------------------------------------------------------------
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    n_shards: int | None = None,
+    hygiene: bool = False,
+    resume: bool = True,
+    shard_batch: int | None = None,
+    lineage: str = "",
+    max_shards_to_build: int | None = None,
+) -> dict:
+    """Full build: docs → tokens → stats/norms → per-shard postings.
+
+    ``resume=True`` skips shards already in the checkpoint ledger.
+    ``max_shards_to_build`` lets tests simulate a mid-build kill.
+    Returns build metrics (also persisted in the ledger).
+    """
+    st = IndexStorage(index_dir)
+    t0 = time.time()
+
+    # -- phase 1: prepare (docs, doc_lengths, term_stats, stats, norms) --
+    if not (resume and st.exists("docs") and st.exists("collection_stats")):
+        docs = assign_doc_ids(transcripts).withColumn("size", F.length("text")).withColumn(
+            "text_hash", F.xxhash64("text")
+        )
+        st.write(docs, "docs")
+
+        docs_r = st.read(spark, "docs")
+        n_docs = docs_r.count()
+        if n_shards is None:
+            n_shards = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+        shard_size = max(1, math.ceil(n_docs / n_shards))
+        n_shards = math.ceil(n_docs / shard_size)
+        st.write_meta(
+            {
+                "n_docs": n_docs,
+                "n_shards": n_shards,
+                "shard_size": shard_size,
+                "hygiene": hygiene,
+                "block_size": bm25.BLOCK_SIZE,
+                "lineage": lineage,
+                "tokenizer": "tlgs_spark.tokenizer v1",
+            }
+        )
+
+        tokens = tokenize_tokens(docs_r, hygiene=hygiene)
+        tokens.persist()
+        dl = tokens.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        # docs with zero surviving tokens still count (dl = 0)
+        dl_full = (
+            docs_r.select("doc_id").join(dl, "doc_id", "left").fillna(0, subset=["dl"])
+        )
+        st.write(dl_full, "doc_lengths")
+        # exact df / collection stats — north rule: no approx_count_distinct
+        term_stats = tokens.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        st.write(term_stats.sortWithinPartitions("term"), "term_stats")
+        stats = (
+            st.read(spark, "doc_lengths")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").alias("total_dl"),
+            )
+            .crossJoin(
+                st.read(spark, "term_stats").agg(
+                    F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
+                )
+            )
+            .withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
+        )
+        st.write(stats, "collection_stats")
+        shard_sz = shard_size
+        norms = (
+            st.read(spark, "doc_lengths")
+            .withColumn("shard", (F.col("doc_id") / F.lit(shard_sz)).cast("int"))
+            .groupBy("shard")
+            .applyInPandas(lambda p: _build_norms(p, shard_sz), schema=NORMS_SCHEMA)
+        )
+        st.write(norms, "norms")
+        tokens.unpersist()
+
+    meta = st.read_meta()
+    n_shards = meta["n_shards"]
+    shard_size = meta["shard_size"]
+    stats_row = st.read(spark, "collection_stats").collect()[0]
+    avgdl = float(stats_row.avgdl)
+    mean_postings = float(stats_row.n_postings) / max(1, n_shards)
+
+    # -- phase 2: postings, shard-batched + resumable --
+    done = st.completed_shards(spark) if resume else set()
+    pending = [s for s in range(n_shards) if s not in done]
+    if max_shards_to_build is not None:
+        pending = pending[:max_shards_to_build]
+    if shard_batch is None:
+        shard_batch = len(pending) or 1
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    docs_r = st.read(spark, "docs")
+    built = 0
+    for i in range(0, len(pending), shard_batch):
+        batch = pending[i : i + shard_batch]
+        tb0 = time.time()
+        lo = [s * shard_size for s in batch]
+        hi = [(s + 1) * shard_size for s in batch]
+        cond = F.lit(False)
+        for a, b in zip(lo, hi):
+            cond = cond | ((F.col("doc_id") >= a) & (F.col("doc_id") < b))
+        batch_docs = docs_r.filter(cond)  # doc_id min/max pushdown prunes row groups
+        toks = tokenize_tokens(batch_docs, hygiene=hygiene).withColumn(
+            "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+        )
+        seg = toks.groupBy("shard").applyInPandas(
+            lambda p: _build_shard(p, shard_size, avgdl), schema=POSTINGS_SCHEMA
+        )
+        seg.write.mode("overwrite").partitionBy("shard").parquet(st.path("postings"))
+        elapsed = time.time() - tb0
+        # per-shard checkpoint + metrics (north rule: lineage, postings/sec, skew)
+        led = (
+            spark.read.parquet(st.path("postings"))
+            .filter(F.col("shard").isin(batch))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+                F.sum(F.length("postings")).alias("bytes_postings"),
+            )
+            .withColumn("status", F.lit("built"))
+            .withColumn("elapsed_s", F.lit(elapsed))
+            .withColumn("postings_per_sec", F.col("n_postings") / F.lit(max(elapsed, 1e-9)))
+            .withColumn("skew_factor", F.col("n_postings") / F.lit(max(mean_postings, 1e-9)))
+            .withColumn("lineage", F.lit(lineage or meta.get("lineage", "")))
+            .withColumn("built_at", F.lit(time.time()))
+        )
+        led.write.mode("append").parquet(st.path("ledger"))
+        built += len(batch)
+
+    total = time.time() - t0
+    return {
+        "n_docs": meta["n_docs"],
+        "n_shards": n_shards,
+        "shards_built": built,
+        "elapsed_s": total,
+        "docs_per_sec": meta["n_docs"] / max(total, 1e-9),
+    }

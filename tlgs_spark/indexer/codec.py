@@ -1,0 +1,93 @@
+"""Delta-gap + varint (LEB128) posting-list codec, NumPy-vectorized.
+
+The explicit analog of PostgreSQL's opaque GIN posting compression
+(reference index: tlgs/tlgs_ctl/main.cpp:41). A posting list for one
+term within one doc-shard is the interleaved stream
+
+    [gap_0, tf_0, gap_1, tf_1, ...]
+
+where ``gap_0 = doc_id_0 - shard_base`` and ``gap_k = doc_id_k -
+doc_id_{k-1}`` (doc_ids strictly increasing within a shard), each value
+LEB128-encoded (7 bits/byte, MSB = continuation). All encode/decode is
+vectorized — no per-value Python in the data plane.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASKS = None
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized: compute per-value byte
+    lengths, scatter 7-bit groups into the output buffer."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length of each varint = ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    max_len = int(nbytes.max())
+    for k in range(max_len):
+        sel = nbytes > k  # values that have a k-th byte
+        pos = starts[sel] + k
+        chunk = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (k + 1) < nbytes[sel]  # more bytes follow
+        out[pos] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Decode an LEB128 stream back to uint64. Vectorized: locate value
+    boundaries from continuation bits, then accumulate ≤10 shift rounds."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.nonzero(is_end)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(ends.shape, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for k in range(max_len):
+        sel = lengths > k
+        chunk = b[starts[sel] + k].astype(np.uint64) & np.uint64(0x7F)
+        vals[sel] |= chunk << np.uint64(7 * k)
+    return vals
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, base: int = 0) -> bytes:
+    """doc_ids strictly increasing; returns interleaved (gap, tf) varints."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    t = np.asarray(tfs, dtype=np.uint64)
+    gaps = np.empty_like(d)
+    if d.size:
+        gaps[0] = d[0] - np.uint64(base)
+        gaps[1:] = d[1:] - d[:-1]
+    inter = np.empty(d.size * 2, dtype=np.uint64)
+    inter[0::2] = gaps
+    inter[1::2] = t
+    return encode_varints(inter)
+
+
+def decode_postings(buf: bytes, base: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_postings` → (doc_ids int64, tfs int64)."""
+    inter = decode_varints(buf)
+    gaps = inter[0::2].astype(np.int64)
+    tfs = inter[1::2].astype(np.int64)
+    doc_ids = np.cumsum(gaps) + base
+    return doc_ids, tfs

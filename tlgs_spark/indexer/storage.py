@@ -1,0 +1,83 @@
+"""Index table layout + checkpoint ledger.
+
+Production target is an Iceberg catalog (the reference's schema DDL
+lives in tlgs/tlgs_ctl/main.cpp:12-83; our DDL analog is below). This
+container has no Iceberg runtime, so the same tables are parquet
+directories under ``index_dir`` — every reader/writer goes through this
+module, so swapping in ``writeTo(...).append()`` / ``MERGE INTO`` on a
+real cluster touches one file.
+
+Tables (Iceberg DDL equivalent):
+
+    docs             (doc_id BIGINT, conv_id STRING, turn_idx INT, role STRING,
+                      tool STRING, ts TIMESTAMP, size BIGINT, text_hash BIGINT,
+                      text STRING)                       PARTITIONED BY (bucket(doc_id))
+    doc_lengths      (doc_id BIGINT, dl BIGINT)
+    norms            (shard INT, base BIGINT, n BIGINT, dls BINARY)
+    term_stats       (term STRING, df BIGINT, cf BIGINT)
+    collection_stats (n_docs BIGINT, total_dl BIGINT, avgdl DOUBLE,
+                      n_terms BIGINT, n_postings BIGINT)
+    postings         (shard INT, term STRING, df BIGINT, max_tfn DOUBLE,
+                      block_max ARRAY<FLOAT>, block_last ARRAY<BIGINT>,
+                      postings BINARY)                   PARTITIONED BY (shard)
+    ledger           (shard INT, status STRING, n_terms BIGINT, n_postings BIGINT,
+                      bytes_postings BIGINT, elapsed_s DOUBLE,
+                      postings_per_sec DOUBLE, skew_factor DOUBLE,
+                      lineage STRING, built_at DOUBLE)   -- per-partition checkpoint
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+TABLES = (
+    "docs",
+    "doc_lengths",
+    "norms",
+    "term_stats",
+    "collection_stats",
+    "postings",
+    "ledger",
+)
+
+
+class IndexStorage:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.index_dir, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            or any(f.endswith(".parquet") or f.startswith("shard=") for f in os.listdir(p))
+        )
+
+    def read(self, spark, table: str):
+        return spark.read.parquet(self.path(table))
+
+    def write(self, df, table: str, mode: str = "overwrite", partition_by: list[str] | None = None):
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    # --- config sidecar (shard geometry etc.) ---
+    def write_meta(self, meta: dict) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(os.path.join(self.index_dir, "index_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+
+    def read_meta(self) -> dict:
+        with open(os.path.join(self.index_dir, "index_meta.json")) as f:
+            return json.load(f)
+
+    def completed_shards(self, spark) -> set[int]:
+        """Shards with a checkpoint-ledger row (resume = skip these)."""
+        if not self.exists("ledger"):
+            return set()
+        rows = self.read(spark, "ledger").select("shard").distinct().collect()
+        return {r.shard for r in rows}

@@ -1,0 +1,265 @@
+"""Query engine: open a built index, serve top-k BM25 searches.
+
+Two execution paths over the same postings tables:
+
+- **driver path** (`SearchIndex.search`): point-lookup the query
+  terms' postings rows (parquet predicate pushdown on ``term`` within
+  ``shard=`` partitions), decode to NumPy on the driver, score with
+  the block-max scorer. This is the low-latency serving path — the
+  analog of tlgs answering a query from PG's GIN index
+  (search.cpp:438-446) — and is exact-parity with the oracle.
+
+- **distributed path** (`SearchIndex.search_df`): the same scorer run
+  per shard via ``applyInPandas`` (shards score in parallel, each
+  emits a local top-k), then a global ``orderBy(score desc, doc_id)
+  .limit(k)``. This is the 100 TB path: no posting list ever
+  concentrates on one node (doc-range sharding), and the global merge
+  moves only n_shards × k rows.
+
+Post-rank filters (OR within type / AND across, XOR negation —
+evalFilter, search.cpp:643-676) are applied after scoring and before
+pagination, preserving the reference's result-count semantics; filters
+over 10^12 docs would join the ranked candidates to ``docs`` instead
+(same predicate, expressed in Spark).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..indexer.codec import decode_postings, decode_varints
+from ..indexer.storage import IndexStorage
+from ..tokenizer import tokenize, tokenize_query
+from .parser import SearchFilter, eval_filter_row, parse_search_query
+from .scorer import TermData, search_and, search_or
+from .snippet import make_snippet
+
+
+class EmptyQueryError(ValueError):
+    """Query has no text terms (filter-only queries are rejected, like
+    the reference: doc_search.csp:28-29)."""
+
+
+class SearchIndex:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.st = IndexStorage(index_dir)
+        self.meta = self.st.read_meta()
+        row = self.st.read(spark, "collection_stats").collect()[0]
+        self.n_docs = int(row.n_docs)
+        self.avgdl = float(row.avgdl)
+        self.shard_size = int(self.meta["shard_size"])
+        self._dl: np.ndarray | None = None
+        self._docs_meta: pd.DataFrame | None = None
+        self._first_tokens: dict[str, frozenset] | None = None
+
+    # ---------------- caches ----------------
+
+    @property
+    def dl_of(self) -> np.ndarray:
+        if self._dl is None:
+            rows = self.st.read(self.spark, "norms").collect()
+            out = np.zeros(self.meta["n_shards"] * self.shard_size, dtype=np.int64)
+            for r in rows:
+                dls = decode_varints(bytes(r.dls)).astype(np.int64)
+                out[r.base : r.base + len(dls)] = dls
+            self._dl = out[: self.n_docs]
+        return self._dl
+
+    def docs_meta(self) -> pd.DataFrame:
+        if self._docs_meta is None:
+            self._docs_meta = (
+                self.st.read(self.spark, "docs")
+                .select("doc_id", "conv_id", "turn_idx", "role", "tool", "size", "text_hash")
+                .toPandas()
+                .set_index("doc_id")
+                .sort_index()
+            )
+        return self._docs_meta
+
+    def first_turn_tokens(self) -> dict[str, frozenset]:
+        """conv_id → token set of its turn-0 text (infirst:/intitle
+        analog, search.cpp:206-207)."""
+        if self._first_tokens is None:
+            rows = (
+                self.st.read(self.spark, "docs")
+                .filter(F.col("turn_idx") == 0)
+                .select("conv_id", "text")
+                .collect()
+            )
+            self._first_tokens = {
+                r.conv_id: frozenset(tokenize(r.text, hygiene=self.meta.get("hygiene", False)))
+                for r in rows
+            }
+        return self._first_tokens
+
+    # ---------------- postings access ----------------
+
+    def term_rows(self, terms: list[str]):
+        return (
+            self.st.read(self.spark, "postings")
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+
+    def term_data(self, terms: list[str]) -> list[TermData]:
+        rows = self.term_rows(terms)
+        by_term: dict[str, list] = {t: [] for t in terms}
+        for r in rows:
+            by_term[r.term].append(r)
+        out = []
+        for t in terms:
+            rs = sorted(by_term[t], key=lambda r: r.shard)
+            if not rs:
+                out.append(
+                    TermData(t, 0, np.zeros(0, np.int64), np.zeros(0, np.int64),
+                             np.zeros(0, np.float64), np.zeros(0, np.int64))
+                )
+                continue
+            docs_l, tfs_l, bm_l, bsz_l = [], [], [], []
+            df_g = 0
+            for r in rs:
+                base = r.shard * self.shard_size
+                d, tf = decode_postings(bytes(r.postings), base=base)
+                df_g += int(r.df)
+                docs_l.append(d)
+                tfs_l.append(tf)
+                bm_l.append(np.asarray(r.block_max, dtype=np.float64))
+                n = len(d)
+                nb = len(r.block_max)
+                sizes = np.full(nb, 128, dtype=np.int64)
+                if nb:
+                    sizes[-1] = n - 128 * (nb - 1)
+                bsz_l.append(sizes)
+            out.append(
+                TermData(
+                    t,
+                    df_g,
+                    np.concatenate(docs_l),
+                    np.concatenate(tfs_l),
+                    np.concatenate(bm_l),
+                    np.concatenate(bsz_l),
+                )
+            )
+        return out
+
+    # ---------------- search (driver path) ----------------
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        page: int | None = None,
+        page_size: int = 10,
+        with_preview: bool = False,
+    ) -> pd.DataFrame:
+        text_query, filt = parse_search_query(query)
+        terms = tokenize_query(text_query)
+        if not terms:
+            raise EmptyQueryError(query)
+        tds = self.term_data(terms)
+        fetch_k = k if filt.is_empty() else max(k * 10, 1000)
+        if mode == "and":
+            doc_ids, scores = search_and(tds, self.dl_of, self.n_docs, self.avgdl, fetch_k)
+        else:
+            doc_ids, scores = search_or(tds, self.dl_of, self.n_docs, self.avgdl, fetch_k)
+
+        res = pd.DataFrame({"doc_id": doc_ids, "score": scores})
+        if not filt.is_empty():
+            res = self._apply_filter(res, filt).head(k)
+        else:
+            res = res.head(k)
+        if page is not None:
+            res = res.iloc[page * page_size : (page + 1) * page_size]
+        meta = self.docs_meta()
+        res = res.join(meta[["conv_id", "turn_idx", "role", "tool", "size"]], on="doc_id")
+        if with_preview and len(res):
+            res = self._hydrate_previews(res, terms)
+        return res.reset_index(drop=True)
+
+    def _apply_filter(self, res: pd.DataFrame, filt: SearchFilter) -> pd.DataFrame:
+        meta = self.docs_meta()
+        first = self.first_turn_tokens() if filt.infirst else {}
+        keep = []
+        for doc_id in res["doc_id"]:
+            m = meta.loc[int(doc_id)]
+            keep.append(
+                eval_filter_row(
+                    filt, m["tool"], m["role"], m["conv_id"], int(m["size"]),
+                    first.get(m["conv_id"], frozenset()),
+                )
+            )
+        return res[np.asarray(keep, dtype=bool)]
+
+    def _hydrate_previews(self, res: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
+        ids = [int(x) for x in res["doc_id"]]
+        rows = (
+            self.st.read(self.spark, "docs")
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "text")
+            .collect()
+        )
+        texts = {r.doc_id: r.text for r in rows}
+        res = res.copy()
+        res["preview"] = [make_snippet(texts.get(i, ""), terms) for i in ids]
+        return res
+
+    # ---------------- search (distributed path) ----------------
+
+    def search_df(self, query: str, k: int = 10, mode: str = "and") -> DataFrame:
+        """Spark-plan search: per-shard scoring via applyInPandas, then
+        global top-k merge. Returns a DataFrame(doc_id, score)."""
+        text_query, _ = parse_search_query(query)
+        terms = tokenize_query(text_query)
+        if not terms:
+            raise EmptyQueryError(query)
+        # exact global df per term (idf must be identical on every shard)
+        rows = (
+            self.st.read(self.spark, "term_stats")
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        df_map = {r.term: int(r.df) for r in rows}
+        if mode == "and" and len(df_map) < len(terms):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        n_docs, avgdl, shard_size = self.n_docs, self.avgdl, self.shard_size
+        q_terms = list(terms)
+
+        posts = self.st.read(self.spark, "postings").filter(F.col("term").isin(terms))
+        norms = self.st.read(self.spark, "norms")
+        joined = posts.join(F.broadcast(norms), "shard")
+
+        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            base = int(pdf["base"].iloc[0])
+            dls_shard = decode_varints(bytes(pdf["dls"].iloc[0])).astype(np.int64)
+            dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
+            dl_global[base:] = dls_shard  # scorer indexes by global doc_id
+            tds = []
+            rows_by_term = {t: None for t in q_terms}
+            for _, r in pdf.iterrows():
+                rows_by_term[r["term"]] = r
+            for t in q_terms:
+                r = rows_by_term.get(t)
+                if r is None:
+                    tds.append(TermData(t, df_map.get(t, 0), np.zeros(0, np.int64),
+                                        np.zeros(0, np.int64), np.zeros(0, np.float64),
+                                        np.zeros(0, np.int64)))
+                    continue
+                d, tf = decode_postings(bytes(r["postings"]), base=base)
+                bm = np.asarray(r["block_max"], dtype=np.float64)
+                sizes = np.full(len(bm), 128, dtype=np.int64)
+                if len(bm):
+                    sizes[-1] = len(d) - 128 * (len(bm) - 1)
+                tds.append(TermData(t, df_map.get(t, 0), d, tf, bm, sizes))
+            fn = search_and if mode == "and" else search_or
+            ids, sc = fn(tds, dl_global, n_docs, avgdl, k)
+            return pd.DataFrame({"doc_id": ids, "score": sc})
+
+        local = joined.groupBy("shard").applyInPandas(
+            score_shard, schema="doc_id long, score double"
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

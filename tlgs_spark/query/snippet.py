@@ -1,0 +1,49 @@
+"""Snippet / highlight generation — the ``ts_headline`` analog.
+
+Reference: previews are computed over only the first 5,000 chars of
+the body with MinWords=23, MaxWords=37, MaxFragments=1
+(search.cpp:773-779 — "MUCH faster ... without loosing accuracy"), and
+sanitized of newlines/backticks/leading gemtext markers
+(search.cpp:62-70). Frozen spec here: whitespace words; a word matches
+if its lowercased [a-z0-9]-normalized form is a query term; the single
+fragment starts at the first matching word and extends up to MaxWords,
+padding left to reach MinWords; matches are wrapped in ``[ ]``.
+"""
+
+from __future__ import annotations
+
+import re
+
+HEAD_CHARS = 5000
+MIN_WORDS = 23
+MAX_WORDS = 37
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+_SANITIZE_RE = re.compile(r"[\n\t`]+")
+_LEAD_RE = re.compile(r"^[`*=>#\s]+")
+
+
+def sanitize(s: str) -> str:
+    s = _SANITIZE_RE.sub(" ", s)
+    s = _LEAD_RE.sub("", s)
+    return re.sub(r"\s{2,}", " ", s).strip()
+
+
+def make_snippet(text: str, terms: list[str]) -> str:
+    if not text:
+        return ""
+    head = sanitize(text[:HEAD_CHARS])
+    words = head.split(" ")
+    tset = {t.lower() for t in terms}
+    norm = [_NORM_RE.sub("", w.lower()) for w in words]
+    hits = [i for i, w in enumerate(norm) if w in tset]
+    if hits:
+        start = hits[0]
+        end = min(len(words), start + MAX_WORDS)
+        start = max(0, min(start, end - MIN_WORDS))
+    else:
+        start, end = 0, min(len(words), MIN_WORDS)
+    out = []
+    for i in range(start, end):
+        out.append(f"[{words[i]}]" if norm[i] in tset else words[i])
+    return " ".join(out)

@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode stands in for a multi-executor cluster; the same builder is
+what ``spark-submit --py-files`` would configure on a real cluster.
+Parallelism is a parameter so the scaling run (N vs 4N cores, BASELINE
+scaling-efficiency rule) uses identical config apart from core count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tlgs_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores=None → ``local[*]``. Shuffle partitions default to the core
+    count (local mode: more just adds task-launch overhead; on a real
+    cluster this is sized to corpus/partition-bytes instead).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else 0
+    master = f"local[{cores}]" if cores and cores > 0 else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cores if cores and cores > 0 else (os.cpu_count() or 8)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("TLGS_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # Kill the gateway so a new master/core-count takes effect (needed for
+    # the two-parallelism scaling run inside one Python process).
+    from pyspark import SparkContext
+
+    SparkContext._gateway = None  # type: ignore[attr-defined]
+    SparkContext._jvm = None  # type: ignore[attr-defined]

@@ -1,0 +1,99 @@
+"""The frozen text-analysis spec shared by the Spark engine, the
+pure-Python oracle, and the DuckDB oracle SQL.
+
+Reference semantics: PostgreSQL ``to_tsvector('english', ...)`` —
+lowercase, split on non-word, drop stopwords
+(tlgs/crawler/crawler.cpp:556-558); queries use the same analyzer with
+implicit AND (``plainto_tsquery``, search.cpp:441). We freeze a
+deterministic, dependency-free equivalent (no stemmer — the spec is
+ours to pin; rank-identity is proven against *this* spec's oracle):
+
+1. optional hygiene pass: drop separator / ASCII-art / box-drawing
+   lines (analog of tlgsutils/utils.cpp:25-60 isAsciiArt and
+   gemini_parser.cpp:41-89 preformatted-drop rules)
+2. lowercase
+3. tokens = maximal runs of ``[a-z0-9]+`` (ASCII)
+4. drop stopwords (fixed list below), drop tokens longer than 64 chars
+
+Everything here must stay in lock-step with :func:`token_sql_exprs`,
+which renders the same pipeline as ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+MAX_TOKEN_LEN = 64
+
+# Classic minimal English stopword list (fixed forever — part of the spec).
+STOPWORDS = frozenset(
+    "a an and are as at be by for from has in is it its of on that the to was were will with".split()
+)
+
+# Hygiene: lines dropped before tokenization when hygiene=True.
+#  - separator lines: >=3 of -=_~*#. only          (utils.cpp:34-41 analog)
+#  - any-char repeated >=4 times filling the line  (utils.cpp:30-33 analog)
+#  - lines containing box-drawing/block chars      (utils.cpp:43-52 analog)
+_SEP_LINE = r"[\-=_~*#.]{3,}"
+_REPEAT_LINE = r"(\S)\1{3,}"
+_BOX_CHARS = "─-╿▀-▟"  # box drawing + block elements
+HYGIENE_LINE_RE = re.compile(
+    rf"(?m)^[ \t]*(?:{_SEP_LINE}|{_REPEAT_LINE}|[^\n]*[{_BOX_CHARS}][^\n]*)[ \t]*$"
+)
+
+
+def clean_text(text: str) -> str:
+    """Apply the hygiene pass: junk lines become empty lines."""
+    return HYGIENE_LINE_RE.sub("", text)
+
+
+def tokenize(text: str, hygiene: bool = False) -> list[str]:
+    """Frozen analyzer. Pure Python — this *is* the spec."""
+    if text is None:
+        return []
+    if hygiene:
+        text = clean_text(text)
+    toks = TOKEN_RE.findall(text.lower())
+    return [t for t in toks if t not in STOPWORDS and len(t) <= MAX_TOKEN_LEN]
+
+
+def term_freqs(text: str, hygiene: bool = False) -> Counter:
+    return Counter(tokenize(text, hygiene=hygiene))
+
+
+def tokenize_query(query: str) -> list[str]:
+    """plainto_tsquery analog: same analyzer, duplicate terms collapsed,
+    first-occurrence order kept (search.cpp:441)."""
+    seen: dict[str, None] = {}
+    for t in tokenize(query):
+        seen.setdefault(t, None)
+    return list(seen)
+
+
+# ---------------------------------------------------------------------------
+# SQL renderings of the same spec (DuckDB oracle parity).
+# ---------------------------------------------------------------------------
+
+def stopwords_sql_list() -> str:
+    return ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+
+def tokens_cte_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """A DuckDB CTE producing (doc_id, term, tf) under the frozen spec
+    (no hygiene — hygiene-on paths are tested against the Python oracle)."""
+    return f"""
+  raw_toks AS (
+    SELECT {id_col} AS doc_id,
+           unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+    FROM {table}
+  ),
+  toks AS (
+    SELECT doc_id, term FROM raw_toks
+    WHERE length(term) <= {MAX_TOKEN_LEN}
+      AND term NOT IN ({stopwords_sql_list()})
+  ),
+  tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+  )""".strip()

@@ -1,0 +1,137 @@
+"""Index-build invariants: stable doc_ids, exact stats, resumability,
+checkpoint ledger, xxhash golden value, corpus determinism."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tlgs_spark import oracle as O
+from tlgs_spark.corpus import generate_pandas, generate_spark
+from tlgs_spark.indexer.build import build_index
+from tlgs_spark.indexer.codec import decode_varints
+from tlgs_spark.indexer.storage import IndexStorage
+
+
+def test_corpus_deterministic_and_prefix_stable():
+    a = generate_pandas(12)
+    b = generate_pandas(12)
+    pd.testing.assert_frame_equal(a, b)
+    # per-turn text equality on the common prefix (north-rule invariant)
+    small = generate_pandas(5)
+    common = a[a.conv_id.isin(small.conv_id.unique())].reset_index(drop=True)
+    pd.testing.assert_frame_equal(common, small)
+
+
+def test_spark_generator_matches_pandas(spark):
+    sdf = generate_spark(spark, 8, partitions=3)
+    got = sdf.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = generate_pandas(8).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_doc_ids_are_dense_rank_over_conv_turn(spark, index_dir, corpus_pdf):
+    docs = (
+        IndexStorage(index_dir)
+        .read(spark, "docs")
+        .select("doc_id", "conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert docs.doc_id.tolist() == list(range(len(docs)))
+    # sorted by doc_id == sorted by (conv_id, turn_idx), texts equal row-for-row
+    assert docs.conv_id.tolist() == corpus_pdf.conv_id.tolist()
+    assert docs.turn_idx.tolist() == corpus_pdf.turn_idx.tolist()
+    assert docs.text.tolist() == corpus_pdf.text.tolist()
+
+
+def test_collection_stats_exact(spark, index_dir, oracle_index):
+    row = IndexStorage(index_dir).read(spark, "collection_stats").collect()[0]
+    assert row.n_docs == oracle_index.n_docs
+    assert row.avgdl == oracle_index.avgdl  # exact float64, not approx
+    assert row.n_terms == oracle_index.total_terms
+    assert row.n_postings == sum(len(p) for p in oracle_index.postings.values())
+
+
+def test_doc_lengths_match_oracle(spark, index_dir, oracle_index):
+    dl = IndexStorage(index_dir).read(spark, "doc_lengths").toPandas()
+    got = dict(zip(dl.doc_id, dl.dl))
+    assert got == oracle_index.doc_lengths
+
+
+def test_term_stats_df_exact(spark, index_dir, oracle_index):
+    ts = IndexStorage(index_dir).read(spark, "term_stats").toPandas()
+    got = dict(zip(ts.term, ts.df))
+    exp = {t: len(p) for t, p in oracle_index.postings.items()}
+    assert got == exp
+
+
+def test_norms_decode_to_doc_lengths(spark, index_dir, oracle_index):
+    st = IndexStorage(index_dir)
+    rows = st.read(spark, "norms").collect()
+    for r in rows:
+        dls = decode_varints(bytes(r.dls)).astype(np.int64)
+        for off, dl in enumerate(dls):
+            doc = r.base + off
+            if doc in oracle_index.doc_lengths:
+                assert dl == oracle_index.doc_lengths[doc]
+
+
+def test_ledger_metrics_present(spark, index_dir):
+    led = IndexStorage(index_dir).read(spark, "ledger").toPandas()
+    meta = IndexStorage(index_dir).read_meta()
+    assert sorted(led.shard.unique()) == list(range(meta["n_shards"]))
+    assert (led.n_postings > 0).all()
+    assert (led.postings_per_sec > 0).all()
+    assert (led.skew_factor > 0).all()
+    assert led.lineage.iloc[0] == "tests:N_CONV=60"
+
+
+def test_resume_produces_identical_index(spark, tmp_path):
+    """Kill after 2 of 5 shards → resume → postings identical to an
+    uninterrupted build (BASELINE resumability target)."""
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "part")
+    sdf = generate_spark(spark, 15, partitions=3)
+    build_index(spark, sdf, full_dir, n_shards=5)
+    m1 = build_index(spark, sdf, part_dir, n_shards=5, max_shards_to_build=2, shard_batch=1)
+    assert m1["shards_built"] == 2
+    st = IndexStorage(part_dir)
+    assert len(st.completed_shards(spark)) == 2
+    m2 = build_index(spark, sdf, part_dir, n_shards=5, resume=True)
+    assert m2["shards_built"] == 3  # only the pending shards
+    a = (
+        spark.read.parquet(os.path.join(full_dir, "postings"))
+        .select("shard", "term", "df", "max_tfn", "postings")
+        .toPandas()
+        .sort_values(["shard", "term"])
+        .reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(os.path.join(part_dir, "postings"))
+        .select("shard", "term", "df", "max_tfn", "postings")
+        .toPandas()
+        .sort_values(["shard", "term"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_xxhash64_golden():
+    """Content-hash helper reproduces the reference golden value
+    (tlgsutils/tests/utils_test.cpp:146-149)."""
+    from tlgs_spark.utils import xxhash64_hex
+
+    assert xxhash64_hex("Hello, World!") == "C49AACF8080FE47F"
+
+
+def test_change_detection_hash_column(spark, index_dir):
+    """docs carries xxhash64(text) for incremental re-index change
+    detection (crawler.cpp:424-429,488-496 analog)."""
+    docs = IndexStorage(index_dir).read(spark, "docs")
+    n_bad = docs.filter(F.col("text_hash") != F.xxhash64("text")).count()
+    assert n_bad == 0

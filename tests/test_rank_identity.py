@@ -1,0 +1,116 @@
+"""End-to-end rank identity: Spark engine vs pure-Python oracle over
+the reference query set (FIXTURES.md §3).
+
+Every query must produce identical top-k doc_ids AND bit-identical
+float64 BM25 scores on both the driver path and the distributed
+per-shard path. This is the correctness contract of BASELINE.json.
+"""
+
+import numpy as np
+import pytest
+
+from tlgs_spark import oracle as O
+from tlgs_spark.query.engine import EmptyQueryError
+from tlgs_spark.query.parser import eval_filter_row, parse_search_query
+from tlgs_spark.tokenizer import tokenize
+
+# (qid, query, k, mode) — composition mirrors FIXTURES.md §3:
+# hot/mid/rare single terms, multi-term AND, filters, negation,
+# OR-within/AND-across, infirst, zero-result, pagination probes.
+QUERY_SET = [
+    (1, "tok0000", 10, "and"),  # Zipf head (hot)
+    (2, "tok0100", 10, "and"),  # torso
+    (3, "marker000", 10, "and"),  # planted rare marker
+    (4, "tok0001 tok0002", 10, "and"),  # multi-term AND
+    (5, "tok0000 tok0010 tok0050", 10, "and"),
+    (6, "tok0003 tool:bash", 10, "and"),
+    (7, "tok0003 role:assistant", 10, "and"),
+    (8, "tok0004 size:>1K", 10, "and"),
+    (9, "tok0004 size:<0.5Ki", 10, "and"),
+    (10, "tok0005 NOT tool:bash", 10, "and"),
+    (11, "tok0006 tool:bash tool:search role:tool", 10, "and"),  # OR within, AND across
+    (12, "infirst:tok0000", 10, "and"),
+    (13, "zzzznosuchterm", 10, "and"),  # zero results
+    (14, "tok0000 zzzznosuchterm", 10, "and"),  # AND with missing term
+    (15, "tok0000 tok0123 tok0456", 20, "or"),
+    (16, "marker000 tok0000", 10, "or"),
+    (17, "tok0007 tok0008 tok0009 tok0010 tok0011", 50, "or"),
+]
+
+
+def oracle_result(oracle_index, corpus_pdf, query, k, mode, first_tokens):
+    """Oracle with the same filter semantics applied post-rank."""
+    text_query, filt = parse_search_query(query)
+    full = O.search(oracle_index, text_query, k=len(corpus_pdf), mode=mode)
+    if filt.is_empty():
+        return full[:k]
+    meta = corpus_pdf
+    out = []
+    for doc_id, score in full:
+        m = meta.iloc[doc_id]
+        if eval_filter_row(
+            filt,
+            m["tool"],
+            m["role"],
+            m["conv_id"],
+            len(m["text"]),
+            first_tokens.get(m["conv_id"], frozenset()),
+        ):
+            out.append((doc_id, score))
+        if len(out) >= k:
+            break
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def first_tokens(corpus_pdf):
+    t0 = corpus_pdf[corpus_pdf.turn_idx == 0]
+    return {r.conv_id: frozenset(tokenize(r.text)) for r in t0.itertuples()}
+
+
+@pytest.mark.parametrize("qid,query,k,mode", QUERY_SET)
+def test_driver_path_rank_identity(
+    search_index, oracle_index, corpus_pdf, first_tokens, qid, query, k, mode
+):
+    expected = oracle_result(oracle_index, corpus_pdf, query, k, mode, first_tokens)
+    res = search_index.search(query, k=k, mode=mode)
+    got = list(zip(res.doc_id.tolist(), res.score.tolist()))
+    assert got == expected, f"qid={qid} driver mismatch"
+
+
+@pytest.mark.parametrize(
+    "qid,query,k,mode", [q for q in QUERY_SET if ":" not in q[1]]
+)
+def test_distributed_path_rank_identity(
+    search_index, oracle_index, corpus_pdf, first_tokens, qid, query, k, mode
+):
+    expected = oracle_result(oracle_index, corpus_pdf, query, k, mode, first_tokens)
+    rows = search_index.search_df(query, k=k, mode=mode).collect()
+    got = [(r.doc_id, r.score) for r in rows]
+    assert got == expected, f"qid={qid} distributed mismatch"
+
+
+def test_pagination_slices(search_index, oracle_index, corpus_pdf, first_tokens):
+    full = oracle_result(oracle_index, corpus_pdf, "tok0000", 30, "and", first_tokens)
+    for page in (0, 1, 2):
+        res = search_index.search("tok0000", k=10, page=page)
+        got = list(zip(res.doc_id.tolist(), res.score.tolist()))
+        assert got == full[page * 10 : (page + 1) * 10], f"page={page}"
+
+
+def test_filter_only_query_rejected(search_index):
+    # reference rejects filter-only queries (doc_search.csp:28-29)
+    with pytest.raises(EmptyQueryError):
+        search_index.search("tool:bash")
+    with pytest.raises(EmptyQueryError):
+        search_index.search("")
+
+
+def test_scores_are_float64_exact(search_index, oracle_index, corpus_pdf, first_tokens):
+    """Not approximately equal — bit-identical (north rule: idf/tf
+    pipeline must match the reference engine bit-for-bit)."""
+    exp = oracle_result(oracle_index, corpus_pdf, "tok0001 tok0002", 10, "and", first_tokens)
+    res = search_index.search("tok0001 tok0002", k=10)
+    for (ed, es), (gd, gs) in zip(exp, zip(res.doc_id, res.score)):
+        assert ed == gd
+        assert np.float64(es).view(np.int64) == np.float64(gs).view(np.int64)

@@ -1,0 +1,133 @@
+"""Scorer-level tests: block-max pruning is exact AND actually prunes;
+snippet spec; dedup keep-best semantics."""
+
+import math
+
+import numpy as np
+
+from tlgs_spark import bm25
+from tlgs_spark.query.scorer import TermData, search_and, search_or, tf_norm_vec
+from tlgs_spark.query.snippet import make_snippet
+
+
+def _mk_term(term, doc_ids, tfs, dls, avgdl, block=bm25.BLOCK_SIZE):
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    w = tf_norm_vec(tfs, np.asarray(dls, dtype=np.float64), avgdl)
+    n = len(doc_ids)
+    nb = (n + block - 1) // block
+    bmax, bsz = [], []
+    for b in range(nb):
+        s, e = b * block, min((b + 1) * block, n)
+        bmax.append(w[s:e].max())
+        bsz.append(e - s)
+    return TermData(term, n, doc_ids, tfs, np.array(bmax), np.array(bsz, dtype=np.int64))
+
+
+def _rand_index(rng, n_docs=5000, n_terms=6):
+    dl_of = rng.integers(20, 300, n_docs).astype(np.int64)
+    avgdl = float(dl_of.mean())
+    terms = []
+    for t in range(n_terms):
+        df = int(rng.integers(50, n_docs // 2))
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 12, df).astype(np.int64)
+        terms.append(_mk_term(f"t{t}", ids, tfs, dl_of[ids], avgdl))
+    return terms, dl_of, avgdl, n_docs
+
+
+def _exhaustive_or(terms, dl_of, n_docs, avgdl, k):
+    scores = {}
+    for td in terms:
+        w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+        tfn = tf_norm_vec(td.tfs, dl_of[td.doc_ids].astype(np.float64), avgdl)
+        for d, s in zip(td.doc_ids.tolist(), (w_idf * tfn).tolist()):
+            scores[d] = scores.get(d, 0.0) + s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [d for d, _ in ranked]
+
+
+def test_blockmax_or_equals_exhaustive():
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        terms, dl_of, avgdl, n_docs = _rand_index(rng)
+        ids, scores, stats = search_or(
+            terms, dl_of, n_docs, avgdl, k=25, return_stats=True
+        )
+        exp = _exhaustive_or(terms, dl_of, n_docs, avgdl, 25)
+        assert ids.tolist() == exp, f"trial {trial}"
+        assert (np.diff(scores) <= 1e-15).all()  # non-increasing
+
+
+def test_blockmax_actually_prunes():
+    """With a rare high-idf term present, most of the union must be
+    skipped (the point of block-max WAND)."""
+    rng = np.random.default_rng(3)
+    n_docs = 20000
+    dl_of = rng.integers(50, 200, n_docs).astype(np.int64)
+    avgdl = float(dl_of.mean())
+    rare_ids = np.sort(rng.choice(n_docs, 40, replace=False)).astype(np.int64)
+    hot_ids = np.sort(rng.choice(n_docs, 15000, replace=False)).astype(np.int64)
+    terms = [
+        _mk_term("rare", rare_ids, rng.integers(3, 9, 40), dl_of[rare_ids], avgdl),
+        _mk_term("hot", hot_ids, rng.integers(1, 3, 15000), dl_of[hot_ids], avgdl),
+    ]
+    ids, scores, stats = search_or(terms, dl_of, n_docs, avgdl, k=10, return_stats=True)
+    assert stats["pruned_frac"] > 0.5, stats
+    exp = _exhaustive_or(terms, dl_of, n_docs, avgdl, 10)
+    assert ids.tolist() == exp
+
+
+def test_and_is_intersection():
+    dl_of = np.full(100, 10, dtype=np.int64)
+    a = _mk_term("a", [1, 2, 3, 50], [1, 1, 1, 1], [10] * 4, 10.0)
+    b = _mk_term("b", [2, 3, 99], [1, 1, 1], [10] * 3, 10.0)
+    ids, _ = search_and([a, b], dl_of, 100, 10.0, k=10)
+    assert ids.tolist() == [2, 3]
+
+
+def test_and_empty_term_short_circuits():
+    dl_of = np.full(10, 5, dtype=np.int64)
+    a = _mk_term("a", [1], [1], [5], 5.0)
+    empty = TermData("e", 0, np.zeros(0, np.int64), np.zeros(0, np.int64),
+                     np.zeros(0, np.float64), np.zeros(0, np.int64))
+    ids, _ = search_and([a, empty], dl_of, 10, 5.0, k=5)
+    assert ids.size == 0
+
+
+def test_tie_break_by_doc_id():
+    # identical docs → identical scores → ascending doc_id order
+    dl_of = np.full(10, 3, dtype=np.int64)
+    t = _mk_term("t", [4, 7, 9], [2, 2, 2], [3, 3, 3], 3.0)
+    ids, scores = search_and([t], dl_of, 10, 3.0, k=3)
+    assert ids.tolist() == [4, 7, 9]
+    assert scores[0] == scores[1] == scores[2]
+
+
+def test_snippet_highlight_and_window():
+    words = [f"w{i}" for i in range(100)]
+    words[50] = "needle"
+    text = " ".join(words)
+    snip = make_snippet(text, ["needle"])
+    assert "[needle]" in snip
+    n_words = len(snip.split(" "))
+    assert 23 <= n_words <= 37
+
+
+def test_snippet_no_match_leads_with_head():
+    text = " ".join(f"w{i}" for i in range(100))
+    snip = make_snippet(text, ["zzz"])
+    assert snip.startswith("w0 w1")
+    assert len(snip.split(" ")) == 23
+
+
+def test_snippet_respects_5k_window():
+    # match beyond the first 5000 chars is NOT highlighted (search.cpp:773-779)
+    text = ("x " * 3000) + "needle"
+    snip = make_snippet(text, ["needle"])
+    assert "[needle]" not in snip
+
+
+def test_snippet_sanitizes():
+    snip = make_snippet("```\n# needle\tmore words here\n```", ["needle"])
+    assert "\n" not in snip and "`" not in snip and "\t" not in snip

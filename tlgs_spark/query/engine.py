@@ -154,15 +154,19 @@ class SearchIndex:
         k: int = 10,
         mode: str = "and",
         page: int | None = None,
-        page_size: int = 10,
         with_preview: bool = False,
     ) -> pd.DataFrame:
+        """Top-k search. ``page=p`` returns the p-th k-sized slice of
+        the ranked (and filtered) list — reference pagination is
+        10/page over the full cached result list (search.cpp:756-758).
+        """
         text_query, filt = parse_search_query(query)
         terms = tokenize_query(text_query)
         if not terms:
             raise EmptyQueryError(query)
         tds = self.term_data(terms)
-        fetch_k = k if filt.is_empty() else max(k * 10, 1000)
+        want = (page + 1) * k if page is not None else k
+        fetch_k = want if filt.is_empty() else max(want * 10, 1000)
         if mode == "and":
             doc_ids, scores = search_and(tds, self.dl_of, self.n_docs, self.avgdl, fetch_k)
         else:
@@ -170,11 +174,11 @@ class SearchIndex:
 
         res = pd.DataFrame({"doc_id": doc_ids, "score": scores})
         if not filt.is_empty():
-            res = self._apply_filter(res, filt).head(k)
+            res = self._apply_filter(res, filt)
+        if page is not None:
+            res = res.iloc[page * k : (page + 1) * k]
         else:
             res = res.head(k)
-        if page is not None:
-            res = res.iloc[page * page_size : (page + 1) * page_size]
         meta = self.docs_meta()
         res = res.join(meta[["conv_id", "turn_idx", "role", "tool", "size"]], on="doc_id")
         if with_preview and len(res):

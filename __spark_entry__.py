@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship conjunctive BM25 top-k over the sf0.001
+  documents corpus (the engine's P1+W1 path as one DataFrame plan).
+- ``queries()``: one entry per implemented operator family from
+  SURVEY.md §2 + the training-pipeline ops (dedup / similarity /
+  text analysis) — see tlgs_spark/entry_queries.py.
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL mirror for every entry
+  that is SQL-expressible; iterative link analysis, pandas-UDF ops
+  and recall-based ANN are rows-only by design.
 """
 
 from __future__ import annotations
@@ -13,26 +16,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tlgs_spark.entry_queries import entry_df, oracle_sql_dict, queries_dict
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return entry_df(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return queries_dict()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_sql_dict()

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Repo benchmark entrypoint.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Components:
+- index_build: distributed inverted-index build over a deterministic
+  synthetic transcript corpus (TLGS_BENCH_CONV conversations, ~21
+  turns each) — the north-rule headline (turns/sec).
+- scaling: same build, same corpus, fresh JVMs at local[2] vs local[8]
+  (the sandbox stand-in for N vs 4N executors; chosen to fit the free
+  cores of this shared box — each Spark core also runs a Python
+  worker). Best-of-TLGS_BENCH_TRIALS per level, efficiency =
+  (thr_4N / thr_N) / 4.
+- peak: one opportunistic build at $SPARK_GRAFT_CPUS cores (peak
+  turns/sec; noisy under neighbor load, reported as-is).
+- query latency: BM25 top-k over the built index (driver serving path
+  p50/p95 + distributed path).
+- entry-query suite timings at $SPARK_GRAFT_SF_DIR.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, TLGS_BENCH_CONV,
+TLGS_BENCH_TRIALS, TLGS_BENCH_SCALING=0, TLGS_BENCH_PEAK=0,
+TLGS_BENCH_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONV = int(os.environ.get("TLGS_BENCH_CONV", "60000"))
+TRIALS = int(os.environ.get("TLGS_BENCH_TRIALS", "2"))
+DO_SCALING = os.environ.get("TLGS_BENCH_SCALING", "1") != "0"
+DO_PEAK = os.environ.get("TLGS_BENCH_PEAK", "1") != "0"
+WORK = os.environ.get(
+    "TLGS_BENCH_DIR",
+    "/dev/shm/tlgs_bench" if os.path.isdir("/dev/shm") else "/tmp/tlgs_bench",
+)
+
+
+def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, trials: int) -> dict:
+    best = None
+    for _ in range(max(1, trials)):
+        out = os.path.join(WORK, f"build_{cores}.json")
+        cmd = [
+            sys.executable, "-m", "tlgs_spark.bench", "--build-worker",
+            "--cores", str(cores), "--corpus", corpus,
+            "--index-dir", index_dir, "--n-shards", str(n_shards), "--out", out,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+        with open(out) as f:
+            m = json.load(f)
+        if best is None or m["build_s"] < best["build_s"]:
+            best = m
+    return best
+
+
+def main():
+    os.makedirs(WORK, exist_ok=True)
+    t_total = time.time()
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    from tlgs_spark.corpus import write_corpus
+    from tlgs_spark.session import get_spark, stop_spark
+
+    corpus_path = os.path.join(WORK, f"transcripts_{N_CONV}")
+    spark = get_spark(app_name="bench_main", cores=CPUS)
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        write_corpus(spark, N_CONV, corpus_path, partitions=max(CPUS * 4, 64))
+    stop_spark()
+    n_shards = 256
+
+    index_dir = os.path.join(WORK, "idx_bench")
+    if DO_SCALING:
+        lo = run_build(2, corpus_path, os.path.join(WORK, "idx_n"), n_shards, 1)
+        hi = run_build(8, corpus_path, index_dir, n_shards, TRIALS)
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+        extra["scaling"] = {
+            "cores_n": 2, "cores_4n": 8,
+            "turns_per_sec_n": lo["turns_per_sec"],
+            "turns_per_sec_4n": hi["turns_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+    else:
+        hi = run_build(min(8, CPUS), corpus_path, index_dir, n_shards, 1)
+    queries["index_build"] = hi["build_s"]
+    extra["index"] = hi
+
+    if DO_PEAK and CPUS > 8:
+        peak = run_build(CPUS, corpus_path, os.path.join(WORK, "idx_peak"), n_shards, 1)
+        extra["peak"] = peak
+
+    # -- BM25 query latency over the built index --
+    spark = get_spark(app_name="bench_queries", cores=CPUS)
+    from tlgs_spark.bench import query_bench
+
+    qb = query_bench(spark, index_dir)
+    extra["query_latency"] = qb
+    queries["bm25_query_p95"] = qb["p95_ms"] / 1000.0
+
+    # -- entry-query suite at SF_DIR --
+    from tlgs_spark.entry_queries import QUERIES
+
+    for name, spec in QUERIES.items():
+        t0 = time.time()
+        spec["fn"](spark, SF_DIR).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_suite",
+                "value": total,
+                "unit": "sec",
+                "sf": SF_DIR.rstrip("/").split("/")[-1],
+                "queries": {k: round(v, 3) for k, v in queries.items()},
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

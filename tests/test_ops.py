@@ -1,0 +1,188 @@
+"""Training-pipeline operators: dedup family, similarity search, text
+stats, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a sleepy dog", "en"),  # near dup
+        (3, "completely different text about spark shuffles", "en"),
+        (4, "ein völlig anderer deutscher text über dinge", "de"),
+        (5, "short", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs_df):
+    from tlgs_spark.ops.dedup import exact_groups
+
+    groups = {r.h: r for r in exact_groups(docs_df).collect()}
+    dups = [r for r in groups.values() if r.n_dups > 1]
+    assert len(dups) == 1
+    assert dups[0].keep_id == 0 and dups[0].n_dups == 2
+
+
+def test_keep_best(docs_df):
+    from tlgs_spark.ops.dedup import keep_best
+
+    scored = docs_df.withColumn("score", F.length("text").cast("double"))
+    kept = keep_best(scored, "lang", "score")
+    en = [r for r in kept.collect() if r.lang == "en"]
+    assert len(en) == 1
+    assert en[0].doc_id == 3  # longest en text wins; ties would break by min id
+
+
+def test_shingles(docs_df):
+    from tlgs_spark.ops.dedup import shingles
+
+    sh = shingles(docs_df, k=3).collect()
+    by_id = {}
+    for r in sh:
+        by_id.setdefault(r.id, set()).add(r.shingle)
+    assert "the quick brown" in by_id[0]
+    assert by_id[0] == by_id[1]
+    assert 5 not in by_id  # <3 tokens → no shingles
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    from tlgs_spark.ops.dedup import (
+        jaccard_pairs,
+        minhash_bands,
+        minhash_candidate_pairs,
+    )
+
+    pairs_df = minhash_candidate_pairs(minhash_bands(docs_df))
+    pairs = {(r.id_a, r.id_b) for r in pairs_df.collect()}
+    assert (0, 1) in pairs  # exact dups always collide on every band
+    jac = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs_df, pairs_df).collect()}
+    assert jac[(0, 1)] == 1.0
+    if (0, 2) in jac:
+        assert 0 < jac[(0, 2)] < 1.0
+    assert (0, 3) not in jac or jac[(0, 3)] < 0.2
+
+
+def test_simhash_near_dups_close(docs_df):
+    from tlgs_spark.ops.textstats import simhash64
+
+    h = {r.doc_id: r.simhash for r in simhash64(docs_df).collect()}
+    assert h[0] == h[1]  # identical text → identical simhash
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(h[0], h[2]) < ham(h[0], h[3])  # near dup closer than unrelated
+
+
+def test_lang_id(docs_df):
+    from tlgs_spark.ops.textstats import lang_id_ngram
+
+    pred = {r.doc_id: r.lang_pred for r in lang_id_ngram(docs_df).collect()}
+    assert pred[4] == "de"
+    assert all(isinstance(v, str) and v for v in pred.values())
+
+
+def test_quality_score_monotonic(spark):
+    from tlgs_spark.ops.textstats import quality_score
+
+    rows = [
+        (0, "the cat sat on the mat and looked at the dog near the door " * 5),
+        (1, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (2, "word " * 60),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    q = {r.id: r.q for r in df.select("id", quality_score(F.col("text")).alias("q")).collect()}
+    assert q[0] > q[1]  # prose beats punctuation soup
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+
+
+def test_embedding_cosine_topk(spark):
+    from tlgs_spark.ops.similarity import cosine_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    vecs[7] = vecs[0] * 2.0  # same direction as query → cos 1.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    top = cosine_topk(df, [float(x) for x in vecs[0]], k=3, exclude_id=0).collect()
+    assert top[0].vec_id == 7 and top[0].cos == 1.0
+    # exact parity with numpy
+    v = vecs.astype(np.float64)
+    q = v[0]
+    cos = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    order = [i for i in np.lexsort((np.arange(50), -np.round(cos, 4))) if i != 0][:3]
+    assert [r.vec_id for r in top] == order
+
+
+def test_ivf_recall_reasonable(spark):
+    from tlgs_spark.ops.similarity import cosine_topk, ivf_assign, ivf_search
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[5]]
+    exact = [r.vec_id for r in cosine_topk(df, q, k=10, exclude_id=5).collect()]
+    assigned, cents = ivf_assign(df, n_centroids=8, dim=16)
+    approx = [
+        r.vec_id
+        for r in ivf_search(
+            assigned.filter(F.col("vec_id") != 5), cents, q, k=10, n_probe=4
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # half the buckets probed → decent recall
+
+
+def test_embedding_near_dup_pairs(spark):
+    from tlgs_spark.ops.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal(8).astype(np.float32)
+    rows = [
+        (0, [float(x) for x in base], 1),
+        (1, [float(x) for x in base * 3], 1),      # same direction
+        (2, [float(x) for x in -base], 1),         # opposite
+        (3, [float(x) for x in rng.standard_normal(8)], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r.id_a, r.id_b): r.cos for r in embedding_near_dup_pairs(df, 0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) not in pairs
+    assert all(a != 3 and b != 3 for a, b in pairs)  # different label → never compared
+
+
+def test_multimodal_plumbing(spark):
+    from tlgs_spark.ops.multimodal import extract_features, frame_sample_plan, synth_media
+
+    media = synth_media(spark, 20, kind="image")
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 20
+    assert all(len(r.feature) == 8 for r in feats)
+    # deterministic: same payload → same sha + feature
+    again = {r.media_id: (r.sha256, tuple(r.feature)) for r in extract_features(media, dim=8).collect()}
+    first = {r.media_id: (r.sha256, tuple(r.feature)) for r in feats}
+    assert again == first
+
+    video = synth_media(spark, 5, kind="video")
+    plan = frame_sample_plan(video, every_ms=5000)
+    rows = plan.collect()
+    assert len(rows) > 0
+    assert all(r.frame_ts_ms % 5000 == 0 for r in rows)
+
+
+def test_image_decode_is_stubbed():
+    from tlgs_spark.ops.multimodal import HAVE_PIL, decode_image
+
+    if not HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG fake")

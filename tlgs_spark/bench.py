@@ -1,0 +1,122 @@
+"""Benchmark harness (import side of bench.py).
+
+Measures, at a given core count:
+- index-build throughput (turns/sec) over a deterministic synthetic
+  transcript corpus (the north-rule headline metric)
+- top-k BM25 query latency (p50/p95 over a mixed query set, driver
+  serving path) + distributed-path latency
+- timings of the entry-query suite against $SPARK_GRAFT_SF_DIR
+
+Scaling evidence (sandbox stand-in for N vs 4N executors): the same
+build is run in two fresh JVMs at local[8] and local[32] on the same
+corpus parquet; efficiency = (thr_32 / thr_8) / 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+QUERY_SET = [
+    ("tok0000", "and"),
+    ("tok0005", "and"),
+    ("tok0050", "and"),
+    ("tok0500", "and"),
+    ("marker000", "and"),
+    ("tok0001 tok0002", "and"),
+    ("tok0000 tok0010 tok0100", "and"),
+    ("tok0003 tool:bash", "and"),
+    ("tok0004 NOT role:assistant", "and"),
+    ("tok0002 size:>1K", "and"),
+    ("tok0000 tok0123 tok0456", "or"),
+    ("tok0007 tok0008 tok0009 tok0010", "or"),
+    ("marker001 tok0000", "or"),
+    ("tok0200 tok0300", "or"),
+    ("tok0666 tok0777 tok0888", "or"),
+]
+
+
+def build_worker(cores: int, corpus_path: str, index_dir: str, n_shards: int) -> dict:
+    """Fresh-session index build; returns throughput metrics."""
+    from tlgs_spark.indexer.build import build_index
+    from tlgs_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_build_{cores}", cores=cores)
+    df = spark.read.parquet(corpus_path)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    # warm the cluster before timing (JIT/codegen compile, python-worker
+    # spawn, shuffle service) — cluster startup is not build throughput
+
+    spark.range(0, 1_000_000, 1, cores).selectExpr("sum(id)").collect()
+    spark.range(0, cores * 4, 1, cores).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+    t0 = time.time()
+    m = build_index(
+        spark, df, index_dir, n_shards=n_shards, resume=False,
+        lineage=f"bench:{corpus_path}",
+    )
+    elapsed = time.time() - t0
+    return {
+        "cores": cores,
+        "n_docs": m["n_docs"],
+        "build_s": round(elapsed, 3),
+        "turns_per_sec": round(m["n_docs"] / elapsed, 1),
+    }
+
+
+def query_bench(spark, index_dir: str, rounds: int = 3) -> dict:
+    import numpy as np
+
+    from tlgs_spark.query.engine import SearchIndex
+
+    si = SearchIndex(spark, index_dir)
+    si.dl_of  # warm caches outside the timed region
+    si.docs_meta()
+    lat = []
+    for _ in range(rounds):
+        for q, mode in QUERY_SET:
+            t0 = time.time()
+            si.search(q, k=10, mode=mode)
+            lat.append((time.time() - t0) * 1000)
+    lat = np.array(lat)
+    # distributed path on a few queries
+    dist = []
+    for q, mode in QUERY_SET[:3]:
+        t0 = time.time()
+        si.search_df(q, k=10, mode=mode).collect()
+        dist.append((time.time() - t0) * 1000)
+    return {
+        "n_queries": len(QUERY_SET) * rounds,
+        "p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "p95_ms": round(float(np.percentile(lat, 95)), 1),
+        "mean_ms": round(float(lat.mean()), 1),
+        "distributed_mean_ms": round(sum(dist) / len(dist), 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build-worker", action="store_true")
+    ap.add_argument("--cores", type=int, default=0)
+    ap.add_argument("--corpus", default="")
+    ap.add_argument("--index-dir", default="")
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+    if args.build_worker:
+        m = build_worker(args.cores, args.corpus, args.index_dir, args.n_shards)
+        payload = json.dumps(m)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(payload)
+        print(payload)
+        return
+    raise SystemExit("use repo-root bench.py as the entrypoint")
+
+
+if __name__ == "__main__":
+    main()

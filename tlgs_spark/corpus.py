@@ -56,27 +56,42 @@ def marker_term(i: int) -> str:
     return f"marker{i // MARKER_EVERY:03d}"
 
 
+_VOCAB_ARR: np.ndarray | None = None
+
+
+def _vocab_arr() -> np.ndarray:
+    global _VOCAB_ARR
+    if _VOCAB_ARR is None:
+        _VOCAB_ARR = np.array(vocab())
+    return _VOCAB_ARR
+
+
 def _conv_frame(i: int) -> pd.DataFrame:
+    """One conversation. Vectorized: a single Zipf draw for all turns,
+    sliced per turn (draw order is identical to per-turn draws only
+    because it is pinned here — this function IS the determinism spec)."""
     rng = np.random.default_rng(SEED * 1_000_003 + i)
     n_turns = int(rng.integers(2, 41))
-    v = vocab()
+    v = _vocab_arr()
     p = zipf_probs()
     role_off = i % 3
+    n_toks = rng.integers(5, 201, size=n_turns)
+    junk = rng.integers(0, 7, size=n_turns)
+    tool_pick = rng.integers(0, 3, size=n_turns)
+    all_idx = rng.choice(VOCAB_SIZE, size=int(n_toks.sum()), p=p)
+    bounds = np.concatenate(([0], np.cumsum(n_toks)))
+    words = v[all_idx]
     rows = []
     for t in range(n_turns):
-        n_tok = int(rng.integers(5, 201))
-        idx = rng.choice(VOCAB_SIZE, size=n_tok, p=p)
-        words = [v[j] for j in idx]
-        text = " ".join(words)
+        text = " ".join(words[bounds[t] : bounds[t + 1]])
         if i % MARKER_EVERY == 0 and t == 1:
             text = text + " " + marker_term(i)
-        junk_pick = int(rng.integers(0, 7))
-        if junk_pick == 0:
+        if junk[t] == 0:
             text = text + "\n" + "----"
-        elif junk_pick == 1:
+        elif junk[t] == 1:
             text = "████" + "\n" + text
         role = ROLES[(role_off + t) % 3]
-        tool = TOOLS[int(rng.integers(0, 3))] if role == "tool" else None
+        tool = TOOLS[int(tool_pick[t])] if role == "tool" else None
         ts = EPOCH + dt.timedelta(minutes=i * 3 + t)
         rows.append((f"conv{i:06d}", t, role, text, tool, ts))
     return pd.DataFrame(

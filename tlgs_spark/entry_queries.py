@@ -1,0 +1,795 @@
+"""Paired (Spark DataFrame, DuckDB oracle SQL) query registry.
+
+Each entry is one operator/capability from SURVEY.md §2 or the
+training-pipeline family, expressed twice: as an idiomatic Spark plan
+and as ANSI SQL the driver runs in DuckDB over the same parquet views.
+Column names, float rounding (4 dp), and LIMIT tie-breaks are pinned
+identically on both sides so the order-insensitive value-hash matches.
+
+The text pipeline here reuses the frozen tokenizer spec
+(tlgs_spark.tokenizer) rendered as pure JVM expressions — identical to
+the SQL CTE from tokens_cte_sql(), so no pandas UDF is needed for the
+oracle-checked paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import bm25
+from .tokenizer import MAX_TOKEN_LEN, STOPWORDS, stopwords_sql_list, tokens_cte_sql
+
+TOKEN_PATTERN = "[a-z0-9]+"
+_STOP = sorted(STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) under the frozen tokenizer — JVM-only."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
+        ).alias("term"),
+    ).filter((F.length("term") <= MAX_TOKEN_LEN) & (~F.col("term").isin(_STOP)))
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def _dl(docs: DataFrame, tf: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id")
+        .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")), "doc_id", "left")
+        .fillna(0, subset=["dl"])
+    )
+
+
+def _bm25_scored(spark, sf_dir, terms: list[str]) -> tuple[DataFrame, int]:
+    """→ (doc_id, score(double, unrounded), n_matched), plus n_terms.
+    Candidate generation = per-term postings join; idf/avgdl exact."""
+    docs = _docs(spark, sf_dir)
+    tf = _tf(docs)
+    dl = _dl(docs, tf)
+    n_docs = docs.count()
+    total_dl = dl.agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(total_dl) / n_docs
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    m = (
+        tf.filter(F.col("term").isin(terms))
+        .join(F.broadcast(dft.filter(F.col("term").isin(terms))), "term")
+        .join(dl, "doc_id")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (
+        F.col("tf")
+        * (F.lit(bm25.K1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(bm25.K1)
+            * (F.lit(1.0) - F.lit(bm25.B) + F.lit(bm25.B) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        m.withColumn("contrib", idf * tfn)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("n_matched"))
+    )
+    return scored, len(terms)
+
+
+def _bm25_sql(terms: list[str], k: int, mode: str = "and", doc_filter: str = "TRUE",
+              page: int | None = None) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    idf = f"ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+    tfn = (
+        f"(m.tf * ({bm25.K1} + 1.0) / "
+        f"(m.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * dl.dl / s.avgdl)))"
+    )
+    page_clause = (
+        f"QUALIFY row_number() OVER (ORDER BY round(score,4) DESC, doc_id) "
+        f"BETWEEN {page * k + 1} AND {(page + 1) * k}"
+        if page is not None
+        else f"ORDER BY round(score,4) DESC, doc_id LIMIT {k}"
+    )
+    return f"""
+WITH {tokens_cte_sql()},
+dlen AS (
+  SELECT d.doc_id, coalesce(t.dl, 0)::BIGINT AS dl
+  FROM documents d LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id) t
+  USING (doc_id)
+),
+s AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dlen)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT m.doc_id,
+         sum({idf} * {tfn}) AS score
+  FROM tf m
+  JOIN q USING (term)
+  JOIN dft d USING (term)
+  JOIN dlen dl ON dl.doc_id = m.doc_id
+  CROSS JOIN s
+  GROUP BY m.doc_id
+  {having}
+)
+SELECT sc.doc_id, round(sc.score, 4) AS score
+FROM scored sc JOIN documents doc USING (doc_id)
+WHERE {doc_filter}
+{page_clause}
+""".strip()
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, dict] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = {"fn": fn, "sql": sql}
+        return fn
+
+    return deco
+
+
+AND_TERMS = ["spark", "stream", "window"]
+OR_TERMS = ["vector", "dup", "customer"]
+
+
+@q("bm25_topk_and", _bm25_sql(AND_TERMS, 20, "and"))
+def bm25_topk_and(spark, sf_dir):
+    """P1+W1: conjunctive BM25 top-k (plainto_tsquery AND semantics,
+    search.cpp:441; BM25 per north rule)."""
+    scored, n = _bm25_scored(spark, sf_dir, AND_TERMS)
+    return _topk(scored.filter(F.col("n_matched") == n), 20)
+
+
+@q("bm25_topk_or", _bm25_sql(OR_TERMS, 25, "or"))
+def bm25_topk_or(spark, sf_dir):
+    """W1 disjunctive variant (block-max WAND path in the engine)."""
+    scored, _ = _bm25_scored(spark, sf_dir, OR_TERMS)
+    return _topk(scored, 25)
+
+
+@q(
+    "bm25_filtered",
+    _bm25_sql(AND_TERMS, 20, "and", doc_filter="doc.lang IN ('en','de')"),
+)
+def bm25_filtered(spark, sf_dir):
+    """P3: post-rank filter, OR within type (lang∈{en,de})."""
+    scored, n = _bm25_scored(spark, sf_dir, AND_TERMS)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return _topk(
+        scored.filter(F.col("n_matched") == n)
+        .join(docs, "doc_id")
+        .filter(F.col("lang").isin(["en", "de"])),
+        20,
+    )
+
+
+@q(
+    "bm25_negated_filter",
+    _bm25_sql(AND_TERMS, 20, "and", doc_filter="doc.lang <> 'en'"),
+)
+def bm25_negated_filter(spark, sf_dir):
+    """P3 negation (NOT lang:en) — XOR semantics, search.cpp:655-676."""
+    scored, n = _bm25_scored(spark, sf_dir, AND_TERMS)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return _topk(
+        scored.filter(F.col("n_matched") == n).join(docs, "doc_id").filter(F.col("lang") != "en"),
+        20,
+    )
+
+
+@q("bm25_page2", _bm25_sql(OR_TERMS, 10, "or", page=1))
+def bm25_page2(spark, sf_dir):
+    """W3 pagination: second 10-row page of the ranked list
+    (search.cpp:756-758)."""
+    scored, _ = _bm25_scored(spark, sf_dir, OR_TERMS)
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("doc_id"))
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") >= 11) & (F.col("_rn") <= 20))
+        .drop("_rn")
+    )
+
+
+@q(
+    "conjunctive_match",
+    f"""
+WITH {tokens_cte_sql()},
+q(term) AS (VALUES ('spark'), ('merge'))
+SELECT tf.doc_id, count(*)::BIGINT AS n_matched
+FROM tf JOIN q USING (term)
+GROUP BY tf.doc_id HAVING count(*) = 2
+""".strip(),
+)
+def conjunctive_match(spark, sf_dir):
+    """P1 candidate generation alone: docs containing ALL query terms."""
+    tf = _tf(_docs(spark, sf_dir))
+    return (
+        tf.filter(F.col("term").isin(["spark", "merge"]))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") == 2)
+    )
+
+
+@q(
+    "term_df_top50",
+    f"""
+WITH {tokens_cte_sql()}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 50
+""".strip(),
+)
+def term_df_top50(spark, sf_dir):
+    """A8: exact document frequency / collection frequency (the
+    GIN-maintained stats made explicit; no approx allowed)."""
+    tf = _tf(_docs(spark, sf_dir))
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+@q(
+    "doc_lengths",
+    f"""
+WITH {tokens_cte_sql()}
+SELECT d.doc_id, coalesce(t.dl, 0)::BIGINT AS dl
+FROM documents d
+LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id) t USING (doc_id)
+""".strip(),
+)
+def doc_lengths(spark, sf_dir):
+    """BM25 length normalization table (pages.size analog)."""
+    docs = _docs(spark, sf_dir)
+    return _dl(docs, _tf(docs))
+
+
+@q(
+    "collection_stats",
+    f"""
+WITH {tokens_cte_sql()},
+dlen AS (
+  SELECT d.doc_id, coalesce(t.dl,0)::BIGINT AS dl
+  FROM documents d LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT dl FROM tf GROUP BY doc_id) t USING (doc_id)
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT sum(dl) FROM dlen)::BIGINT AS total_dl,
+       round((SELECT sum(dl) FROM dlen)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avgdl,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS n_terms,
+       (SELECT count(*) FROM tf)::BIGINT AS n_postings
+""".strip(),
+)
+def collection_stats(spark, sf_dir):
+    """A1: exact collection statistics — countDistinct, not approx."""
+    docs = _docs(spark, sf_dir)
+    tf = _tf(docs)
+    dl = _dl(docs, tf)
+    return (
+        dl.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+            F.round(F.sum("dl") / F.count("*"), 6).alias("avgdl"),
+        )
+        .crossJoin(
+            tf.agg(
+                F.countDistinct("term").alias("n_terms"), F.count("*").alias("n_postings")
+            )
+        )
+    )
+
+
+@q(
+    "stats_by_lang",
+    "SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars "
+    "FROM documents GROUP BY lang ORDER BY n DESC, lang",
+)
+def stats_by_lang(spark, sf_dir):
+    """A2: group-by count ordered (tools.cpp:31-32 analog)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .orderBy(F.desc("n"), F.asc("lang"))
+    )
+
+
+@q(
+    "distinct_sources",
+    "SELECT count(DISTINCT source)::BIGINT AS n_sources, count(*)::BIGINT AS n_docs "
+    "FROM documents WHERE text IS NOT NULL",
+)
+def distinct_sources(spark, sf_dir):
+    """A1/A3: COUNT(DISTINCT domain)-style exact stats (tools.cpp:29-30)."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .agg(F.countDistinct("source").alias("n_sources"), F.count("*").alias("n_docs"))
+    )
+
+
+@q(
+    "dedup_exact",
+    "SELECT md5(text) AS h, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups "
+    "FROM documents GROUP BY md5(text) HAVING count(*) > 1",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups (content-hash dedup, J7/W4 analog)."""
+    from .ops.dedup import exact_groups
+
+    return exact_groups(_docs(spark, sf_dir)).filter(F.col("n_dups") > 1)
+
+
+@q(
+    "dedup_keep_best",
+    """
+SELECT lang, bucket, doc_id, n_chars FROM (
+  SELECT lang, (n_chars // 100)::BIGINT AS bucket, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, n_chars // 100
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""".strip(),
+)
+def dedup_keep_best(spark, sf_dir):
+    """W4 keep-best: one winner per (lang, size-bucket) group —
+    window rank, keep max-quality tie-broken by id
+    (search.cpp:555-625 keep-max-score analog)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "bucket", F.floor(F.col("n_chars") / 100).cast("long")
+    )
+    w = Window.partitionBy("lang", "bucket").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "bucket", "doc_id", "n_chars")
+    )
+
+
+_SHINGLE_SQL = """
+sh AS (
+  SELECT DISTINCT doc_id, s AS shingle FROM (
+    SELECT doc_id,
+           unnest([x FOR x IN list_transform(
+             list_zip(l, l[2:], l[3:]),
+             t -> t[1] || ' ' || t[2] || ' ' || t[3]) IF x IS NOT NULL]) AS s
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents)
+  )
+)
+""".strip()
+
+_BANDS_SQL = f"""
+WITH {_SHINGLE_SQL},
+b AS (SELECT unnest([0,1,2,3]) AS band),
+sigs AS (
+  SELECT sh.doc_id, b.band, min(md5(sh.shingle || '#' || b.band)) AS sig
+  FROM sh CROSS JOIN b GROUP BY sh.doc_id, b.band
+)
+""".strip()
+
+
+@q("minhash_bands", _BANDS_SQL + "\nSELECT doc_id, band::INT AS band, sig FROM sigs")
+def minhash_bands(spark, sf_dir):
+    """MinHash band signatures (LSH dedup stage 1): 3-gram shingles,
+    band hash = md5(shingle#band)."""
+    from .ops.dedup import minhash_bands as mb
+
+    return mb(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), F.col("band").cast("int").alias("band"), "sig"
+    )
+
+
+@q(
+    "minhash_pairs",
+    _BANDS_SQL
+    + """
+, sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, sig) AS bucket_n FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sized a JOIN sized b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+WHERE a.bucket_n <= 50 AND b.bucket_n <= 50
+""",
+)
+def minhash_pairs(spark, sf_dir):
+    """LSH candidate pairs (bucket join, skew-capped at 50)."""
+    from .ops.dedup import minhash_bands as mb, minhash_candidate_pairs
+
+    return minhash_candidate_pairs(mb(_docs(spark, sf_dir))).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+
+
+@q(
+    "ngram_jaccard",
+    _BANDS_SQL
+    + """
+, sized AS (SELECT *, count(*) OVER (PARTITION BY band, sig) AS bucket_n FROM sigs),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sized a JOIN sized b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE a.bucket_n <= 50 AND b.bucket_n <= 50
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*)::BIGINT AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.id_a JOIN sizes zb ON zb.doc_id = i.id_b
+""",
+)
+def ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over LSH candidate pairs only (never
+    all-pairs — the 100 TB-safe formulation)."""
+    from .ops.dedup import jaccard_pairs, minhash_bands as mb, minhash_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(mb(docs))
+    return jaccard_pairs(docs, pairs).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
+       round(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) END, 4) AS punct_ratio,
+       round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0.0
+             ELSE len([t FOR t IN regexp_extract_all(lower(text), '[a-z0-9]+')
+                       IF list_contains([{stopwords_sql_list()}], t)])::DOUBLE
+                  / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END, 4) AS stopword_ratio
+FROM documents
+""".strip(),
+)
+def text_quality(spark, sf_dir):
+    """Quality-scoring signals: length, punctuation ratio, stopword
+    ratio — all JVM expressions."""
+    from .ops.textstats import punct_ratio, stopword_ratio, ws_token_count
+
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ws_token_count(t).cast("long").alias("ws_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "token_counts",
+    """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_ish_tokens
+FROM documents
+""".strip(),
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish pre-tokenizer regex."""
+    from .ops.textstats import BPE_PATTERN, ws_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), F.lit(0))
+        ).cast("long").alias("bpe_ish_tokens"),
+    )
+
+
+@q(
+    "fingerprints",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+)
+def fingerprints(spark, sf_dir):
+    """Document fingerprinting (F9/F12 analog: normalize + hash)."""
+    from .ops.textstats import fingerprint
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "embedding_topk",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cos DESC, vec_id LIMIT 10
+""".strip(),
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (exact ANN baseline)."""
+    from .ops.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    return cosine_topk(emb, [float(x) for x in qv], k=10, exclude_id=0)
+
+
+@q(
+    "events_tumbling",
+    """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""".strip(),
+)
+def events_tumbling(spark, sf_dir):
+    """Tumbling-window aggregate (Structured-Streaming-equivalent batch
+    semantics; watermark/late-data story lives in streaming/)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+@q(
+    "events_sessions",
+    """
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch(date_trunc('second', ts))::BIGINT AS es FROM events
+),
+x AS (
+  SELECT user_id, event_id, es,
+         CASE WHEN lag(es) OVER w IS NULL
+                   OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+y AS (
+  SELECT user_id, event_id, es,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY es, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM x
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       min(es) AS start_epoch, max(es) AS end_epoch
+FROM y GROUP BY user_id, session_id
+""".strip(),
+)
+def events_sessions(spark, sf_dir):
+    """Session windows (30-min gap) via lag+cumsum — the batch
+    formulation of stateful sessionization."""
+    ev = _read(spark, sf_dir, "events").withColumn("es", F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gap = F.col("es") - F.lag("es").over(w)
+    x = ev.withColumn(
+        "new_s", F.when(F.lag("es").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    y = x.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return y.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("es").alias("start_epoch"),
+        F.max("es").alias("end_epoch"),
+    )
+
+
+@q(
+    "events_regex",
+    """
+SELECT event_type, count(*)::BIGINT AS n
+FROM events WHERE regexp_matches(props, '"k": [0-9]{2}')
+GROUP BY event_type ORDER BY event_type
+""".strip(),
+)
+def events_regex(spark, sf_dir):
+    """P5: regex predicate (security.txt scan analog, api.cpp:91-92)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").rlike('"k": [0-9]{2}'))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "orders_date_window",
+    """
+SELECT o_orderpriority, count(*)::BIGINT AS n, round(sum(o_totalprice), 4) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+  AND o_orderdate < TIMESTAMP '1995-06-01' + INTERVAL 90 DAY
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""".strip(),
+)
+def orders_date_window(spark, sf_dir):
+    """P4/F24: staleness-style interval predicate + date arithmetic."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp"))
+            & (
+                F.col("o_orderdate")
+                < F.lit("1995-06-01").cast("timestamp") + F.expr("INTERVAL 90 DAYS")
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""".strip(),
+)
+def pricing_summary(spark, sf_dir):
+    """A2/W1 relational parity: hash agg with partial+final combine."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_LINKS_SQL = """
+links AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT count(*) FROM documents) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % (SELECT count(*) FROM documents) FROM documents
+)
+""".strip()
+
+
+@q(
+    "backlinks",
+    f"""
+WITH {_LINKS_SQL}
+SELECT src, dst, (src % 10 <> dst % 10) AS is_cross
+FROM links WHERE dst = 42 AND src <> dst ORDER BY src
+""".strip(),
+)
+def backlinks(spark, sf_dir):
+    """J5: backlink lookup over a deterministic synthetic link graph
+    (links WHERE to_url = $1, search.cpp:873-884), internal/cross split."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    links = e1.unionAll(e2)
+    return (
+        links.filter((F.col("dst") == 42) & (F.col("src") != F.col("dst")))
+        .withColumn("is_cross", (F.col("src") % 10) != (F.col("dst") % 10))
+        .orderBy("src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-only entries (no SQL oracle → driver records rows-only check):
+# iterative link analysis, vectorized-UDF ops, recall-based ANN.
+# ---------------------------------------------------------------------------
+
+
+def _synth_links(spark, sf_dir):
+    """Deterministic skewed digraph: dst = src % 97 concentrates
+    in-degree on the first 97 nodes (hub/authority structure for
+    SALSA/HITS, FIXTURES.md §2 'power-law digraph' stand-in)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 97).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    return e1.unionAll(e2).filter(F.col("src") != F.col("dst"))
+
+
+@q("hits_rank", None)
+def hits_rank_entry(spark, sf_dir):
+    """A5: HITS neighbor-sum iteration (search.cpp:253-306) over the
+    synthetic link graph; capped iterations for gate latency."""
+    from .graph import hits_rank
+
+    return hits_rank(_synth_links(spark, sf_dir), max_iter=5).select(
+        "node", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+@q("salsa_rank", None)
+def salsa_rank_entry(spark, sf_dir):
+    """A6: SALSA bipartite two-hop average (search.cpp:316-412)."""
+    from .graph import salsa_rank
+
+    return salsa_rank(_synth_links(spark, sf_dir), max_iter=5).select(
+        "node", "side", F.round("score", 6).alias("score")
+    )
+
+
+@q("simhash", None)
+def simhash_entry(spark, sf_dir):
+    """SimHash fingerprints (near-dup family) — vectorized pandas UDF."""
+    from .ops.textstats import simhash64
+
+    return simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+@q("lang_id", None)
+def lang_id_entry(spark, sf_dir):
+    """Language-ID heuristic (char-bigram profiles, Arrow-vectorized)."""
+    from .ops.textstats import lang_id_ngram
+
+    return lang_id_ngram(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+@q("ann_ivf_topk", None)
+def ann_ivf_entry(spark, sf_dir):
+    """IVF-bucketed approximate NN (scale path; exactness is
+    embedding_topk's job, so rows-only here)."""
+    from .ops.similarity import ivf_assign, ivf_search
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    assigned, cents = ivf_assign(emb, n_centroids=8)
+    return ivf_search(assigned.filter(F.col("vec_id") != 0), cents, qv, k=10, n_probe=3)
+
+
+def entry_df(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: conjunctive BM25 top-20 over the documents corpus."""
+    return bm25_topk_and(spark, sf_dir)
+
+
+def queries_dict():
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
+
+
+def oracle_sql_dict():
+    return {name: spec["sql"] for name, spec in QUERIES.items() if spec["sql"] is not None}

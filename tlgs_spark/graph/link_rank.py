@@ -1,0 +1,163 @@
+"""HITS and SALSA link analysis as iterative DataFrame jobs.
+
+Reference: hitsRank (search.cpp:253-306) and salsaRank
+(search.cpp:316-412) run per-query over an in-memory adjacency list.
+Here the graph is an edges DataFrame ``(src long, dst long)`` and each
+iteration is a join+groupBy aggregate — GraphFrames-style
+aggregateMessages without the dependency. Convergence parameters match
+the reference: HITS ε=0.005, SALSA ε=0.005*2, max 300 iterations
+(search.cpp:259-260,357-358), L1 normalization, denormal flush
+(search.cpp:297-301 → floats below ~1e-38 snapped to 0).
+
+Scale notes: each iteration shuffles by src/dst. For repeated
+iterations the edges DataFrame is cached once; scores are
+localCheckpoint()ed every ``checkpoint_every`` iterations to cut the
+lineage (I7 in SURVEY §2.8). Convergence is tested driver-side on a
+1-row aggregate (sum |Δ|), not by collecting scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DENORMAL_MIN = 1.17549435e-38  # FLT_MIN flush, search.cpp:297-301
+
+
+def _flush(col):
+    return F.when(F.abs(col) < DENORMAL_MIN, F.lit(0.0)).otherwise(col)
+
+
+def hits_rank(
+    edges: DataFrame,
+    eps: float = 0.005,
+    max_iter: int = 300,
+    checkpoint_every: int = 10,
+) -> DataFrame:
+    """→ (node, auth, hub), L1-normalized, reference semantics:
+    auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v); iterate."""
+    e = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    scores = nodes.select("node", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
+    scores = _l1_normalize(scores, ["auth", "hub"])
+    for i in range(max_iter):
+        prev = scores
+        new_auth = (
+            e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("auth_raw"))
+        )
+        new_hub = (
+            e.join(new_auth.select(F.col("node").alias("dst"), "auth_raw"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_raw").alias("hub_raw"))
+        )
+        scores = (
+            nodes.join(new_auth, "node", "left")
+            .join(new_hub, "node", "left")
+            .select(
+                "node",
+                _flush(F.coalesce(F.col("auth_raw"), F.lit(0.0))).alias("auth"),
+                _flush(F.coalesce(F.col("hub_raw"), F.lit(0.0))).alias("hub"),
+            )
+        )
+        scores = _l1_normalize(scores, ["auth", "hub"])
+        if (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint()
+        delta = (
+            scores.join(prev.select("node", F.col("auth").alias("pa"), F.col("hub").alias("ph")), "node")
+            .agg(F.sum(F.abs(F.col("auth") - F.col("pa")) + F.abs(F.col("hub") - F.col("ph"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        if delta is not None and delta < eps:
+            break
+    return scores
+
+
+def salsa_rank(
+    edges: DataFrame,
+    eps: float = 0.01,
+    max_iter: int = 300,
+    checkpoint_every: int = 10,
+) -> DataFrame:
+    """SALSA (search.cpp:316-412): bipartite split — a node is an
+    authority iff in_degree > out_degree, else hub (:324-328); edges
+    whose endpoints land on the same side are dropped (:331-354);
+    scores propagate as degree-normalized two-hop averages. → (node,
+    side, score), L1-normalized per side."""
+    e0 = edges.select("src", "dst").distinct().cache()
+    deg = (
+        e0.select(F.col("src").alias("node"), F.lit(1).alias("out_"), F.lit(0).alias("in_"))
+        .union(e0.select(F.col("dst").alias("node"), F.lit(0), F.lit(1)))
+        .groupBy("node")
+        .agg(F.sum("out_").alias("outd"), F.sum("in_").alias("ind"))
+        .withColumn("side", F.when(F.col("ind") > F.col("outd"), F.lit("auth")).otherwise(F.lit("hub")))
+        .cache()
+    )
+    side = deg.select("node", "side")
+    e = (
+        e0.join(side.withColumnRenamed("node", "src").withColumnRenamed("side", "side_src"), "src")
+        .join(side.withColumnRenamed("node", "dst").withColumnRenamed("side", "side_dst"), "dst")
+        .filter((F.col("side_src") == "hub") & (F.col("side_dst") == "auth"))
+        .select("src", "dst")
+        .cache()
+    )
+    # degrees within the pruned bipartite graph
+    hub_deg = e.groupBy("src").agg(F.count("*").alias("hdeg"))
+    auth_deg = e.groupBy("dst").agg(F.count("*").alias("adeg"))
+
+    auth = e.select(F.col("dst").alias("node")).distinct().withColumn("score", F.lit(1.0))
+    hub = e.select(F.col("src").alias("node")).distinct().withColumn("score", F.lit(1.0))
+    auth = _l1_normalize(auth, ["score"])
+    hub = _l1_normalize(hub, ["score"])
+
+    for i in range(max_iter):
+        prev_auth, prev_hub = auth, hub
+        # auth ← mean over in-neighbors of (hub_score / hub_out_degree)
+        auth = (
+            e.join(hub.withColumnRenamed("node", "src").withColumnRenamed("score", "hs"), "src")
+            .join(hub_deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("hs") / F.col("hdeg")).alias("score"))
+        )
+        auth = _l1_normalize(auth.select("node", _flush(F.col("score")).alias("score")), ["score"])
+        hub = (
+            e.join(auth.withColumnRenamed("node", "dst").withColumnRenamed("score", "as_"), "dst")
+            .join(auth_deg, "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("as_") / F.col("adeg")).alias("score"))
+        )
+        hub = _l1_normalize(hub.select("node", _flush(F.col("score")).alias("score")), ["score"])
+        if (i + 1) % checkpoint_every == 0:
+            auth, hub = auth.localCheckpoint(), hub.localCheckpoint()
+        d1 = (
+            auth.join(prev_auth.withColumnRenamed("score", "p"), "node")
+            .agg(F.sum(F.abs(F.col("score") - F.col("p"))).alias("d"))
+            .collect()[0]["d"]
+        ) or 0.0
+        d2 = (
+            hub.join(prev_hub.withColumnRenamed("score", "p"), "node")
+            .agg(F.sum(F.abs(F.col("score") - F.col("p"))).alias("d"))
+            .collect()[0]["d"]
+        ) or 0.0
+        if d1 + d2 < eps:
+            break
+    return (
+        auth.withColumn("side", F.lit("auth")).unionByName(hub.withColumn("side", F.lit("hub")))
+        .select("node", "side", "score")
+    )
+
+
+def _l1_normalize(df: DataFrame, cols: list[str]) -> DataFrame:
+    totals = df.agg(*[F.sum(F.abs(F.col(c))).alias(c) for c in cols]).collect()[0]
+    out = df
+    for c in cols:
+        t = totals[c]
+        if t and t > 0:
+            out = out.withColumn(c, F.col(c) / F.lit(float(t)))
+    return out

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from .. import bm25
 from ..tokenizer import HYGIENE_LINE_RE, MAX_TOKEN_LEN, STOPWORDS, TOKEN_RE
-from .codec import encode_postings, encode_varints
+from .codec import encode_varints
 from .storage import IndexStorage
 
 POSTINGS_SCHEMA = (
@@ -106,27 +106,44 @@ def tokenize_tokens(docs: DataFrame, hygiene: bool = False) -> DataFrame:
     """(doc_id, text) → exploded (doc_id, term, tf) under the frozen
     tokenizer spec. mapInPandas: pandas str-vectorized, no Spark-row
     Python (input_hint requirement)."""
+    import re
+
     stop = frozenset(STOPWORDS)
+    # one C-level regex pass over the whole batch: docs joined with a
+    # \x00 sentinel (never inside [a-z0-9]+), sentinel matches mark
+    # document boundaries
+    batch_re = re.compile(TOKEN_RE.pattern + "|\x00")
 
     def tok(batches):
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "term": pd.Series(dtype="object"),
+             "tf": pd.Series(dtype="int64")}
+        )
         for pdf in batches:
-            txt = pdf["text"].fillna("")
+            txt = pdf["text"].fillna("").str.replace("\x00", " ", regex=False)
             if hygiene:
                 txt = txt.str.replace(HYGIENE_LINE_RE, "", regex=True)
-            toks = txt.str.lower().str.findall(TOKEN_RE)
-            ex = toks.explode().dropna()
-            if len(ex) == 0:
-                yield pd.DataFrame({"doc_id": [], "term": [], "tf": []}).astype(
-                    {"doc_id": "int64", "term": "object", "tf": "int64"}
-                )
+            blob = "\x00".join(txt.str.lower().tolist())
+            tok_list = batch_re.findall(blob)
+            if not tok_list:
+                yield empty
                 continue
-            keep = ~ex.isin(stop) & (ex.str.len() <= MAX_TOKEN_LEN)
-            ex = ex[keep]
+            toks = np.array(tok_list, dtype=object)
+            # NB: numpy object-array == silently mismatches strings with
+            # embedded NULs; pandas routes through Python __eq__
+            is_sep = (pd.Series(tok_list, dtype=object) == "\x00").to_numpy()
+            doc_idx = np.cumsum(is_sep)  # position → doc ordinal in batch
+            toks = toks[~is_sep]
+            doc_idx = doc_idx[~is_sep]
+            if toks.size == 0:
+                yield empty
+                continue
+            s = pd.Series(toks)
+            keep = (~s.isin(stop) & (s.str.len() <= MAX_TOKEN_LEN)).to_numpy()
             frame = pd.DataFrame(
                 {
-                    # ex.index holds positions into the batch's RangeIndex
-                    "doc_id": pdf["doc_id"].to_numpy()[ex.index.to_numpy()],
-                    "term": ex.to_numpy(),
+                    "doc_id": pdf["doc_id"].to_numpy()[doc_idx[keep]],
+                    "term": toks[keep],
                 }
             )
             out = frame.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
@@ -142,17 +159,23 @@ def tokenize_tokens(docs: DataFrame, hygiene: bool = False) -> DataFrame:
 def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFrame:
     """All (doc_id, term, tf) rows of ONE shard → one postings row per
     term: delta+varint postings, per-128-block max tf_norm (float32,
-    rounded up — admissible bound), block last-doc skip pointers."""
+    rounded up — admissible bound), block last-doc skip pointers.
+
+    Fully vectorized: the whole shard's interleaved (gap, tf) stream is
+    varint-encoded in ONE NumPy pass and sliced per term by byte
+    offsets; block maxes/lasts come from ufunc.reduceat over global
+    block boundaries. The only Python loop assembles output rows.
+    """
     shard = int(pdf["doc_id"].iloc[0]) // shard_size
     base = shard * shard_size
     pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
     doc_ids = pdf["doc_id"].to_numpy(np.int64)
     tfs = pdf["tf"].to_numpy(np.int64)
+    n_all = len(doc_ids)
 
     # shard-local doc lengths (every posting of a doc lives in its shard)
-    dl_ser = pdf.groupby("doc_id")["tf"].sum()
     dl_lookup = np.zeros(shard_size, dtype=np.int64)
-    dl_lookup[dl_ser.index.to_numpy(np.int64) - base] = dl_ser.to_numpy(np.int64)
+    np.add.at(dl_lookup, doc_ids - base, tfs)
     dls = dl_lookup[doc_ids - base].astype(np.float64)
 
     tfn = tfs * (bm25.K1 + 1.0) / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl))
@@ -160,32 +183,54 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFra
     terms = pdf["term"].to_numpy()
     bound = np.nonzero(terms[1:] != terms[:-1])[0] + 1
     starts = np.concatenate(([0], bound))
-    ends = np.concatenate((bound, [len(terms)]))
+    ends = np.concatenate((bound, [n_all]))
+    seg_len = ends - starts
+
+    # delta gaps with reset at each term start
+    prev = np.empty(n_all, dtype=np.int64)
+    prev[1:] = doc_ids[:-1]
+    prev[starts] = base
+    gaps = doc_ids - prev
+
+    inter = np.empty(n_all * 2, dtype=np.uint64)
+    inter[0::2] = gaps.astype(np.uint64)
+    inter[1::2] = tfs.astype(np.uint64)
+    buf, vlen = encode_varints(inter, return_lengths=True)
+    # bytes per term = sum of its 2*seg_len value lengths
+    term_bytes = np.add.reduceat(vlen, starts * 2)
+    byte_ends = np.cumsum(term_bytes)
+    byte_starts = byte_ends - term_bytes
+
+    # per-term max tfn
+    max_tfn = np.maximum.reduceat(tfn, starts)
+
+    # global block boundaries: within each term, blocks of BLOCK_SIZE
+    bs = bm25.BLOCK_SIZE
+    pos_in_seg = np.arange(n_all) - np.repeat(starts, seg_len)
+    is_block_start = (pos_in_seg % bs) == 0
+    bstarts = np.nonzero(is_block_start)[0]
+    bmax = np.maximum.reduceat(tfn, bstarts)
+    bends = np.concatenate((bstarts[1:], [n_all])) - 1
+    blast_all = doc_ids[bends]
+    # float32 upward rounding keeps the bound admissible
+    bmax32 = bmax.astype(np.float32)
+    low = bmax32.astype(np.float64) < bmax
+    bmax32[low] = np.nextafter(bmax32[low], np.float32(np.inf))
+    nb_per_term = (seg_len + bs - 1) // bs
+    nb_ends = np.cumsum(nb_per_term)
+    nb_starts = nb_ends - nb_per_term
 
     rows = []
-    bs = bm25.BLOCK_SIZE
-    for s, e in zip(starts, ends):
-        d = doc_ids[s:e]
-        t = tfs[s:e]
-        w = tfn[s:e]
-        n = e - s
-        nb = (n + bs - 1) // bs
-        pad = np.full(nb * bs, -np.inf)
-        pad[:n] = w
-        bmax = pad.reshape(nb, bs).max(axis=1)
-        bmax32 = bmax.astype(np.float32)
-        low = bmax32.astype(np.float64) < bmax
-        bmax32[low] = np.nextafter(bmax32[low], np.float32(np.inf))
-        blast = d[np.minimum(np.arange(1, nb + 1) * bs - 1, n - 1)]
+    for i in range(len(starts)):
         rows.append(
             (
                 shard,
-                terms[s],
-                int(n),
-                float(w.max()),
-                bmax32,
-                blast,
-                encode_postings(d, t, base=base),
+                terms[starts[i]],
+                int(seg_len[i]),
+                float(max_tfn[i]),
+                bmax32[nb_starts[i] : nb_ends[i]],
+                blast_all[nb_starts[i] : nb_ends[i]],
+                buf[byte_starts[i] : byte_ends[i]],
             )
         )
     return pd.DataFrame(
@@ -228,6 +273,7 @@ def build_index(
     """
     st = IndexStorage(index_dir)
     t0 = time.time()
+    tokens = None  # kept persisted across phases when prepare runs here
 
     # -- phase 1: prepare (docs, doc_lengths, term_stats, stats, norms) --
     if not (resume and st.exists("docs") and st.exists("collection_stats")):
@@ -289,7 +335,8 @@ def build_index(
             .applyInPandas(lambda p: _build_norms(p, shard_sz), schema=NORMS_SCHEMA)
         )
         st.write(norms, "norms")
-        tokens.unpersist()
+        # keep `tokens` persisted — phase 2 reuses it (one tokenize pass
+        # per build instead of two)
 
     meta = st.read_meta()
     n_shards = meta["n_shards"]
@@ -312,13 +359,26 @@ def build_index(
     for i in range(0, len(pending), shard_batch):
         batch = pending[i : i + shard_batch]
         tb0 = time.time()
-        lo = [s * shard_size for s in batch]
-        hi = [(s + 1) * shard_size for s in batch]
+        # merge consecutive shards into doc_id ranges (usually ONE
+        # range — avoids an O(n_shards)-clause predicate)
+        runs: list[list[int]] = []
+        for s in batch:
+            if runs and s == runs[-1][1]:
+                runs[-1][1] = s + 1
+            else:
+                runs.append([s, s + 1])
         cond = F.lit(False)
-        for a, b in zip(lo, hi):
-            cond = cond | ((F.col("doc_id") >= a) & (F.col("doc_id") < b))
-        batch_docs = docs_r.filter(cond)  # doc_id min/max pushdown prunes row groups
-        toks = tokenize_tokens(batch_docs, hygiene=hygiene).withColumn(
+        for a, b in runs:
+            cond = cond | (
+                (F.col("doc_id") >= a * shard_size) & (F.col("doc_id") < b * shard_size)
+            )
+        if tokens is not None:
+            toks = tokens.filter(cond)  # persisted from the prepare phase
+        else:
+            # resume path: re-tokenize only the pending doc ranges
+            # (doc_id min/max pushdown prunes parquet row groups)
+            toks = tokenize_tokens(docs_r.filter(cond), hygiene=hygiene)
+        toks = toks.withColumn(
             "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
         )
         seg = toks.groupBy("shard").applyInPandas(
@@ -346,6 +406,8 @@ def build_index(
         led.write.mode("append").parquet(st.path("ledger"))
         built += len(batch)
 
+    if tokens is not None:
+        tokens.unpersist()
     total = time.time() - t0
     return {
         "n_docs": meta["n_docs"],

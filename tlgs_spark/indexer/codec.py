@@ -19,12 +19,14 @@ import numpy as np
 _MASKS = None
 
 
-def encode_varints(values: np.ndarray) -> bytes:
+def encode_varints(values: np.ndarray, return_lengths: bool = False):
     """LEB128-encode a uint64 array. Vectorized: compute per-value byte
-    lengths, scatter 7-bit groups into the output buffer."""
+    lengths, scatter 7-bit groups into the output buffer.
+    ``return_lengths=True`` additionally returns the per-value byte
+    lengths (for splitting a batch encode into per-list slices)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return (b"", np.zeros(0, dtype=np.int64)) if return_lengths else b""
     # byte length of each varint = ceil(bitlen/7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -46,7 +48,8 @@ def encode_varints(values: np.ndarray) -> bytes:
         chunk = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (k + 1) < nbytes[sel]  # more bytes follow
         out[pos] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    buf = out.tobytes()
+    return (buf, nbytes) if return_lengths else buf
 
 
 def decode_varints(buf: bytes) -> np.ndarray:

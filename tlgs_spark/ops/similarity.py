@@ -1,0 +1,107 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline. One pass, JVM-side
+  `aggregate`/`zip_with` arithmetic, no UDF. At scale this is a full
+  scan but embarrassingly parallel (map-side top-k via sort+limit
+  with AQE; no shuffle of the corpus).
+- IVF-style bucketed ANN: assign every vector to its nearest of C
+  deterministic centroids (a broadcast join), search only the probe's
+  nearest n_probe buckets. The 100 TB path: partition pruning on the
+  centroid id column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a constant query vector.
+    → (vec_id, cos) ordered by (cos desc, vec_id). All JVM-side."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(np.dot(q, q)))
+    qcol = F.array(*[F.lit(x) for x in q])
+    v = _as_double(F.col(vec_col))
+    out = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(_dot(v, qcol) / (_norm(v) * F.lit(qn)), 4).alias("cos"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """Assign each vector to its nearest deterministic pseudo-centroid
+    (unit vectors from a seeded RNG — stand-in for a k-means fit,
+    which at scale would be a sampled driver-side fit). Returns
+    (emb + centroid_id, centroids). Broadcast-joined, no shuffle of emb.
+    """
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    v = _as_double(F.col(vec_col))
+    nrm = _norm(v)
+    scores = [
+        (_dot(v, F.array(*[F.lit(float(x)) for x in cents[c]])) / nrm).alias(f"c{c}")
+        for c in range(n_centroids)
+    ]
+    with_scores = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col), *scores)
+    arr = F.array(*[F.col(f"c{c}") for c in range(n_centroids)])
+    # argmax via posexplode + keep-best window (deterministic ties)
+    sc = with_scores.select(
+        "vec_id", vec_col, F.posexplode(arr).alias("centroid_id", "sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    assigned = (
+        sc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "sim")
+    )
+    return assigned, cents
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search only the n_probe nearest centroid buckets (partition
+    pruning at scale). Recall < 1.0 by design; exactness is the
+    brute-force baseline's job."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sims = centroids @ (q / np.linalg.norm(q))
+    probe = np.argsort(-sims)[:n_probe].tolist()
+    subset = assigned.filter(F.col("centroid_id").isin(probe))
+    return cosine_topk(subset, list(q), k=k, vec_col=vec_col)

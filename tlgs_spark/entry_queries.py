@@ -716,6 +716,277 @@ def backlinks(spark, sf_dir):
     )
 
 
+@q(
+    "source_like",
+    "SELECT source, count(*)::BIGINT AS n FROM documents "
+    "WHERE source LIKE 'src1%' GROUP BY source ORDER BY source",
+)
+def source_like(spark, sf_dir):
+    """P6: LIKE predicate (purge-by-pattern analog, tlgs_ctl/main.cpp:90-92)."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").like("src1%"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source")
+    )
+
+
+@q(
+    "corpus_hygiene",
+    """
+SELECT doc_id,
+       regexp_matches(text, '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]') AS has_ctrl,
+       (n_chars > 48000) AS too_large,
+       len(regexp_extract_all(text, '\\n[-=_~*#]{3,}'))::BIGINT AS n_sep_lines
+FROM documents
+""".strip(),
+)
+def corpus_hygiene(spark, sf_dir):
+    """P7/P9/F18 analog: corpus-hygiene flags — control chars
+    (crawler.cpp:250-251), oversize (48 kB penalty threshold,
+    search.cpp:549-551), separator-line count (isAsciiArt family)."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        t.rlike("[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]").alias("has_ctrl"),
+        (F.col("n_chars") > 48000).alias("too_large"),
+        F.size(F.regexp_extract_all(t, F.lit("\\n[-=_~*#]{3,}"), F.lit(0)))
+        .cast("long")
+        .alias("n_sep_lines"),
+    )
+
+
+_REDIRECTS_SQL = """
+redirects AS (
+  SELECT doc_id AS from_id, (doc_id * 3 + 7) % (SELECT count(*) FROM documents) AS to_id
+  FROM documents WHERE doc_id % 5 = 0
+)
+""".strip()
+
+
+@q(
+    "redirect_resolve",
+    f"""
+WITH {_REDIRECTS_SQL},
+h0 AS (SELECT doc_id, doc_id AS cur FROM documents),
+h1 AS (SELECT doc_id, coalesce(r.to_id, cur) AS cur FROM h0 LEFT JOIN redirects r ON r.from_id = cur),
+h2 AS (SELECT doc_id, coalesce(r.to_id, cur) AS cur FROM h1 LEFT JOIN redirects r ON r.from_id = cur),
+h3 AS (SELECT doc_id, coalesce(r.to_id, cur) AS cur FROM h2 LEFT JOIN redirects r ON r.from_id = cur),
+h4 AS (SELECT doc_id, coalesce(r.to_id, cur) AS cur FROM h3 LEFT JOIN redirects r ON r.from_id = cur),
+h5 AS (SELECT doc_id, coalesce(r.to_id, cur) AS cur FROM h4 LEFT JOIN redirects r ON r.from_id = cur)
+SELECT doc_id, cur AS final_id FROM h5 WHERE doc_id <> cur
+""".strip(),
+)
+def redirect_resolve(spark, sf_dir):
+    """J6: redirect-chain resolution, ≤5 hops (perma_redirects loop,
+    crawler.cpp:372-399) — iterative left joins."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    redirects = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("from_id"),
+            ((F.col("doc_id") * 3 + 7) % n).alias("to_id"),
+        )
+    )
+    cur = docs.select("doc_id", F.col("doc_id").alias("cur"))
+    for _ in range(5):
+        cur = (
+            cur.join(redirects, cur.cur == redirects.from_id, "left")
+            .select("doc_id", F.coalesce("to_id", "cur").alias("cur"))
+        )
+    return cur.filter(F.col("doc_id") != F.col("cur")).select(
+        "doc_id", F.col("cur").alias("final_id")
+    )
+
+
+@q(
+    "base_set_expansion",
+    f"""
+WITH {tokens_cte_sql()},
+{_LINKS_SQL},
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT DISTINCT l.src AS doc_id, (l.src % 10 <> l.dst % 10) AS is_cross
+FROM links l JOIN matched m ON l.dst = m.doc_id
+WHERE l.src <> l.dst
+""".strip(),
+)
+def base_set_expansion(spark, sf_dir):
+    """J1: base-set expansion — pages linking INTO matched pages
+    (pages JOIN links ON to_url, search.cpp:443-446)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    tf = _tf(docs)
+    matched = tf.filter(F.col("term") == "spark").select("doc_id").distinct()
+    e1 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    links = e1.unionAll(e2).filter(F.col("src") != F.col("dst"))
+    return (
+        links.join(F.broadcast(matched.withColumnRenamed("doc_id", "dst")), "dst")
+        .select(F.col("src").alias("doc_id"), ((F.col("src") % 10) != (F.col("dst") % 10)).alias("is_cross"))
+        .distinct()
+    )
+
+
+@q(
+    "union_with_priority",
+    f"""
+WITH {tokens_cte_sql()},
+{_LINKS_SQL},
+matched AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+roots AS (SELECT doc_id, TRUE AS is_root FROM matched),
+base AS (
+  SELECT DISTINCT l.src AS doc_id, FALSE AS is_root
+  FROM links l JOIN matched m ON l.dst = m.doc_id WHERE l.src <> l.dst
+),
+unioned AS (SELECT * FROM roots UNION ALL SELECT * FROM base)
+SELECT doc_id, is_root FROM (
+  SELECT doc_id, is_root,
+         row_number() OVER (PARTITION BY doc_id ORDER BY is_root DESC) AS rn
+  FROM unioned
+) WHERE rn = 1
+""".strip(),
+)
+def union_with_priority(spark, sf_dir):
+    """U1: root ∪ base with root priority (first-occurrence-wins dedup,
+    search.cpp:464-483)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    tf = _tf(docs)
+    matched = tf.filter(F.col("term") == "spark").select("doc_id").distinct()
+    roots = matched.withColumn("is_root", F.lit(True))
+    e1 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    links = e1.unionAll(e2).filter(F.col("src") != F.col("dst"))
+    base = (
+        links.join(matched.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("is_root", F.lit(False))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("is_root"))
+    return (
+        roots.unionByName(base)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_TITLE_EXPR_SQL = "array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:5], ' ')"
+
+
+@q(
+    "bm25f_title_weighted",
+    f"""
+WITH titles AS (
+  SELECT doc_id, {_TITLE_EXPR_SQL} AS title FROM documents
+),
+t_raw AS (
+  SELECT doc_id, unnest(regexp_extract_all(title, '[a-z0-9]+')) AS term FROM titles
+),
+t_toks AS (
+  SELECT doc_id, term FROM t_raw
+  WHERE length(term) <= 64 AND term NOT IN ({stopwords_sql_list()})
+),
+t_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t_toks GROUP BY doc_id, term),
+t_dlen AS (
+  SELECT d.doc_id, coalesce(x.dl, 0)::BIGINT AS dl
+  FROM documents d LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT dl FROM t_tf GROUP BY doc_id) x USING (doc_id)
+),
+t_s AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM t_dlen)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+t_dft AS (SELECT term, count(*)::BIGINT AS df FROM t_tf GROUP BY term),
+{tokens_cte_sql()},
+dlen AS (
+  SELECT d.doc_id, coalesce(x.dl, 0)::BIGINT AS dl
+  FROM documents d LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT dl FROM tf GROUP BY doc_id) x USING (doc_id)
+),
+s AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dlen)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q(term) AS (VALUES ('spark'), ('window')),
+body AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (m.tf * 2.2 / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))) AS score,
+         count(*) AS nm
+  FROM tf m JOIN q USING (term) JOIN dft d USING (term)
+  JOIN dlen dl ON dl.doc_id = m.doc_id CROSS JOIN s
+  GROUP BY m.doc_id HAVING count(*) = 2
+),
+title_sc AS (
+  SELECT m.doc_id,
+         sum(ln(1.0 + (t_s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (m.tf * 2.2 / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / t_s.avgdl)))) AS score
+  FROM t_tf m JOIN q USING (term) JOIN t_dft d USING (term)
+  JOIN t_dlen dl ON dl.doc_id = m.doc_id CROSS JOIN t_s
+  GROUP BY m.doc_id
+)
+SELECT b.doc_id,
+       round(50.0 * coalesce(t.score, 0.0) + b.score, 4) AS score
+FROM body b LEFT JOIN title_sc t ON t.doc_id = b.doc_id
+ORDER BY round(50.0 * coalesce(t.score, 0.0) + b.score, 4) DESC, b.doc_id
+LIMIT 20
+""".strip(),
+)
+def bm25f_title_weighted(spark, sf_dir):
+    """W1: field-weighted scoring — title×50 + body (ts_rank_cd(title)*50
+    + ts_rank_cd(body), search.cpp:438-442). 'Title' = first 5 tokens
+    (the transcript analog of the page heading)."""
+    docs = _docs(spark, sf_dir)
+    terms = ["spark", "window"]
+
+    titles = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)),
+                1,
+                5,
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+    def field_scores(field_docs, label):
+        tf = _tf(field_docs)
+        dl = _dl(field_docs, tf)
+        n_docs = field_docs.count()
+        total = dl.agg(F.sum("dl")).collect()[0][0]
+        avgdl = float(total) / n_docs
+        dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+        m = (
+            tf.filter(F.col("term").isin(terms))
+            .join(F.broadcast(dft.filter(F.col("term").isin(terms))), "term")
+            .join(dl, "doc_id")
+        )
+        idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        tfn = F.col("tf") * 2.2 / (
+            F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl))
+        )
+        return m.withColumn("contrib", idf * tfn).groupBy("doc_id").agg(
+            F.sum("contrib").alias(label), F.count("*").alias("nm")
+        )
+
+    body = field_scores(docs, "body_score").filter(F.col("nm") == len(terms))
+    title = field_scores(titles, "title_score").select("doc_id", "title_score")
+    combined = (
+        body.join(title, "doc_id", "left")
+        .withColumn(
+            "score",
+            F.round(50.0 * F.coalesce(F.col("title_score"), F.lit(0.0)) + F.col("body_score"), 4),
+        )
+        .select("doc_id", "score")
+    )
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Spark-only entries (no SQL oracle → driver records rows-only check):
 # iterative link analysis, vectorized-UDF ops, recall-based ANN.

@@ -44,7 +44,7 @@ class EmptyQueryError(ValueError):
 
 
 class SearchIndex:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, cache_ttl: float = 600.0):
         self.spark = spark
         self.st = IndexStorage(index_dir)
         self.meta = self.st.read_meta()
@@ -55,6 +55,13 @@ class SearchIndex:
         self._dl: np.ndarray | None = None
         self._docs_meta: pd.DataFrame | None = None
         self._first_tokens: dict[str, frozenset] | None = None
+        # two-tier result cache, TTL 600 s (search.cpp:681,713-751):
+        # tier 1 = raw ranked list per (terms, mode); tier 2 = the
+        # filtered list per full query
+        self.cache_ttl = cache_ttl
+        self._raw_cache: dict = {}
+        self._filtered_cache: dict = {}
+        self.cache_hits = 0
 
     # ---------------- caches ----------------
 
@@ -155,26 +162,53 @@ class SearchIndex:
         mode: str = "and",
         page: int | None = None,
         with_preview: bool = False,
+        dedup: bool = False,
     ) -> pd.DataFrame:
         """Top-k search. ``page=p`` returns the p-th k-sized slice of
         the ranked (and filtered) list — reference pagination is
         10/page over the full cached result list (search.cpp:756-758).
         """
+        import time
+
         text_query, filt = parse_search_query(query)
         terms = tokenize_query(text_query)
         if not terms:
             raise EmptyQueryError(query)
-        tds = self.term_data(terms)
         want = (page + 1) * k if page is not None else k
         fetch_k = want if filt.is_empty() else max(want * 10, 1000)
-        if mode == "and":
-            doc_ids, scores = search_and(tds, self.dl_of, self.n_docs, self.avgdl, fetch_k)
-        else:
-            doc_ids, scores = search_or(tds, self.dl_of, self.n_docs, self.avgdl, fetch_k)
+        if dedup:
+            fetch_k = max(fetch_k * 2, fetch_k + 100)
 
-        res = pd.DataFrame({"doc_id": doc_ids, "score": scores})
-        if not filt.is_empty():
-            res = self._apply_filter(res, filt)
+        now = time.monotonic()
+        raw_key = (tuple(terms), mode, fetch_k)
+        hit = self._raw_cache.get(raw_key)
+        if hit is not None and hit[0] > now:
+            self.cache_hits += 1
+            doc_ids, scores = hit[1]
+        else:
+            tds = self.term_data(terms)
+            if mode == "and":
+                doc_ids, scores = search_and(tds, self.dl_of, self.n_docs, self.avgdl, fetch_k)
+            else:
+                doc_ids, scores = search_or(tds, self.dl_of, self.n_docs, self.avgdl, fetch_k)
+            self._raw_cache[raw_key] = (now + self.cache_ttl, (doc_ids, scores))
+
+        filt_key = (query, mode, fetch_k, dedup)
+        hit = self._filtered_cache.get(filt_key)
+        if hit is not None and hit[0] > now:
+            self.cache_hits += 1
+            res = hit[1]
+        else:
+            res = pd.DataFrame({"doc_id": doc_ids, "score": scores})
+            if dedup:
+                from .rerank import dedup_results
+
+                res = res.join(self.docs_meta()[["text_hash"]], on="doc_id")
+                res = dedup_results(res).drop(columns=["text_hash"])
+            if not filt.is_empty():
+                res = self._apply_filter(res, filt)
+            self._filtered_cache[filt_key] = (now + self.cache_ttl, res)
+
         if page is not None:
             res = res.iloc[page * k : (page + 1) * k]
         else:

@@ -36,10 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONV = int(os.environ.get("TLGS_BENCH_CONV", "60000"))
+N_CONV = int(os.environ.get("TLGS_BENCH_CONV", "100000"))
 TRIALS = int(os.environ.get("TLGS_BENCH_TRIALS", "2"))
 DO_SCALING = os.environ.get("TLGS_BENCH_SCALING", "1") != "0"
-DO_PEAK = os.environ.get("TLGS_BENCH_PEAK", "1") != "0"
+# 32-thread runs on this shared box collide with neighbor load and
+# understate throughput — opt-in only
+DO_PEAK = os.environ.get("TLGS_BENCH_PEAK", "0") == "1"
 WORK = os.environ.get(
     "TLGS_BENCH_DIR",
     "/dev/shm/tlgs_bench" if os.path.isdir("/dev/shm") else "/tmp/tlgs_bench",
@@ -47,6 +49,7 @@ WORK = os.environ.get(
 
 
 def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, trials: int) -> dict:
+    os.environ.setdefault("TLGS_SPARK_LOCAL_DIR", os.path.join(WORK, "spark_local"))
     best = None
     for _ in range(max(1, trials)):
         out = os.path.join(WORK, f"build_{cores}.json")
@@ -66,9 +69,11 @@ def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, trials: in
 
 def main():
     os.makedirs(WORK, exist_ok=True)
+    if WORK.startswith("/dev/shm"):
+        os.environ.setdefault("TLGS_SPARK_LOCAL_DIR", os.path.join(WORK, "spark_local"))
     t_total = time.time()
     queries: dict[str, float] = {}
-    extra: dict = {}
+    extra: dict = {"loadavg_start": list(os.getloadavg())}
 
     from tlgs_spark.corpus import write_corpus
     from tlgs_spark.session import get_spark, stop_spark
@@ -82,7 +87,9 @@ def main():
 
     index_dir = os.path.join(WORK, "idx_bench")
     if DO_SCALING:
-        lo = run_build(2, corpus_path, os.path.join(WORK, "idx_n"), n_shards, 1)
+        # both levels measured back-to-back (same ambient neighbor
+        # load), best-of-TRIALS each — this box is shared and noisy
+        lo = run_build(2, corpus_path, os.path.join(WORK, "idx_n"), n_shards, TRIALS)
         hi = run_build(8, corpus_path, index_dir, n_shards, TRIALS)
         eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
         extra["scaling"] = {
@@ -116,6 +123,7 @@ def main():
         spec["fn"](spark, SF_DIR).collect()
         queries[name] = round(time.time() - t0, 3)
 
+    extra["loadavg_end"] = list(os.getloadavg())
     total = round(time.time() - t_total, 3)
     print(
         json.dumps(

@@ -14,28 +14,18 @@ from tlgs_spark.query.engine import EmptyQueryError
 from tlgs_spark.query.parser import eval_filter_row, parse_search_query
 from tlgs_spark.tokenizer import tokenize
 
-# (qid, query, k, mode) — composition mirrors FIXTURES.md §3:
-# hot/mid/rare single terms, multi-term AND, filters, negation,
-# OR-within/AND-across, infirst, zero-result, pagination probes.
-QUERY_SET = [
-    (1, "tok0000", 10, "and"),  # Zipf head (hot)
-    (2, "tok0100", 10, "and"),  # torso
-    (3, "marker000", 10, "and"),  # planted rare marker
-    (4, "tok0001 tok0002", 10, "and"),  # multi-term AND
-    (5, "tok0000 tok0010 tok0050", 10, "and"),
-    (6, "tok0003 tool:bash", 10, "and"),
-    (7, "tok0003 role:assistant", 10, "and"),
-    (8, "tok0004 size:>1K", 10, "and"),
-    (9, "tok0004 size:<0.5Ki", 10, "and"),
-    (10, "tok0005 NOT tool:bash", 10, "and"),
-    (11, "tok0006 tool:bash tool:search role:tool", 10, "and"),  # OR within, AND across
-    (12, "infirst:tok0000", 10, "and"),
-    (13, "zzzznosuchterm", 10, "and"),  # zero results
-    (14, "tok0000 zzzznosuchterm", 10, "and"),  # AND with missing term
-    (15, "tok0000 tok0123 tok0456", 20, "or"),
-    (16, "marker000 tok0000", 10, "or"),
-    (17, "tok0007 tok0008 tok0009 tok0010 tok0011", 50, "or"),
-]
+# The reference query set lives in tests/fixtures/queries.jsonl
+# (FIXTURES.md §3): hot/mid/rare single terms, multi-term AND, filters,
+# negation, OR-within/AND-across, infirst, zero-result + pagination.
+import json
+import os
+
+_QFILE = os.path.join(os.path.dirname(__file__), "fixtures", "queries.jsonl")
+with open(_QFILE) as _f:
+    QUERY_SET = [
+        (d["qid"], d["query"], d["k"], d["mode"])
+        for d in (json.loads(line) for line in _f if line.strip())
+    ]
 
 
 def oracle_result(oracle_index, corpus_pdf, query, k, mode, first_tokens):
@@ -78,9 +68,7 @@ def test_driver_path_rank_identity(
     assert got == expected, f"qid={qid} driver mismatch"
 
 
-@pytest.mark.parametrize(
-    "qid,query,k,mode", [q for q in QUERY_SET if ":" not in q[1]]
-)
+@pytest.mark.parametrize("qid,query,k,mode", QUERY_SET)
 def test_distributed_path_rank_identity(
     search_index, oracle_index, corpus_pdf, first_tokens, qid, query, k, mode
 ):

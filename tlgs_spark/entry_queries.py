@@ -996,8 +996,11 @@ def bm25f_title_weighted(spark, sf_dir):
 def _synth_links(spark, sf_dir):
     """Deterministic skewed digraph: dst = src % 97 concentrates
     in-degree on the first 97 nodes (hub/authority structure for
-    SALSA/HITS, FIXTURES.md §2 'power-law digraph' stand-in)."""
-    docs = _docs(spark, sf_dir)
+    SALSA/HITS, FIXTURES.md §2 'power-law digraph' stand-in).
+    Capped at 500 nodes: these feed fixed-iteration *entry* queries,
+    and iterative-join latency is O(iters), not O(nodes) — the
+    operator's scale behavior is exercised by the graph tests."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     n = docs.count()
     e1 = docs.select(F.col("doc_id").alias("src"), (F.col("doc_id") % 97).alias("dst"))
     e2 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst"))

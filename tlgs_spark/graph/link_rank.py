@@ -32,7 +32,7 @@ def hits_rank(
     edges: DataFrame,
     eps: float = 0.005,
     max_iter: int = 300,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """→ (node, auth, hub), L1-normalized, reference semantics:
     auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v); iterate."""
@@ -83,7 +83,7 @@ def salsa_rank(
     edges: DataFrame,
     eps: float = 0.01,
     max_iter: int = 300,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """SALSA (search.cpp:316-412): bipartite split — a node is an
     authority iff in_degree > out_degree, else hub (:324-328); edges

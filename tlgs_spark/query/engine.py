@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..indexer.codec import decode_postings, decode_varints
+from ..indexer.codec import decode_postings, decode_postings_batch, decode_varints
 from ..indexer.storage import IndexStorage
 from ..tokenizer import tokenize, tokenize_query
 from .parser import SearchFilter, eval_filter_row, parse_search_query
@@ -128,8 +128,11 @@ class SearchIndex:
 
     # ---------------- postings access ----------------
 
-    def term_rows(self, terms: list[str]):
-        return self._postings_df.filter(F.col("term").isin(terms)).collect()
+    def term_rows(self, terms: list[str]) -> pd.DataFrame:
+        # Arrow transfer (toPandas), not py4j collect(): postings blobs
+        # for hot terms are tens of MB and row-serialization dominates
+        # cold-query latency otherwise
+        return self._postings_df.filter(F.col("term").isin(terms)).toPandas()
 
     def term_data(self, terms: list[str]) -> list[TermData]:
         if not hasattr(self, "_term_cache"):
@@ -146,42 +149,37 @@ class SearchIndex:
         return [by[t] for t in terms]
 
     def _term_data_uncached(self, terms: list[str]) -> list[TermData]:
-        rows = self.term_rows(terms)
-        by_term: dict[str, list] = {t: [] for t in terms}
-        for r in rows:
-            by_term[r.term].append(r)
+        pdf = self.term_rows(terms).sort_values(["term", "shard"])
+        groups = dict(tuple(pdf.groupby("term", sort=False)))
         out = []
         for t in terms:
-            rs = sorted(by_term[t], key=lambda r: r.shard)
-            if not rs:
+            g = groups.get(t)
+            if g is None or len(g) == 0:
                 out.append(
                     TermData(t, 0, np.zeros(0, np.int64), np.zeros(0, np.int64),
                              np.zeros(0, np.float64), np.zeros(0, np.int64))
                 )
                 continue
-            docs_l, tfs_l, bm_l, bsz_l = [], [], [], []
-            df_g = 0
-            for r in rs:
-                base = r.shard * self.shard_size
-                d, tf = decode_postings(bytes(r.postings), base=base)
-                df_g += int(r.df)
-                docs_l.append(d)
-                tfs_l.append(tf)
-                bm_l.append(np.asarray(r.block_max, dtype=np.float64))
-                n = len(d)
-                nb = len(r.block_max)
+            dfs = g["df"].to_numpy(dtype=np.int64)
+            bases = g["shard"].to_numpy(dtype=np.int64) * self.shard_size
+            blobs = [bytes(b) for b in g["postings"]]
+            doc_ids, tfs = decode_postings_batch(blobs, dfs, bases)
+            bm_l, bsz_l = [], []
+            for df_s, bm in zip(dfs, g["block_max"]):
+                bm_l.append(np.asarray(bm, dtype=np.float64))
+                nb = len(bm)
                 sizes = np.full(nb, 128, dtype=np.int64)
                 if nb:
-                    sizes[-1] = n - 128 * (nb - 1)
+                    sizes[-1] = int(df_s) - 128 * (nb - 1)
                 bsz_l.append(sizes)
             out.append(
                 TermData(
                     t,
-                    df_g,
-                    np.concatenate(docs_l),
-                    np.concatenate(tfs_l),
-                    np.concatenate(bm_l),
-                    np.concatenate(bsz_l),
+                    int(dfs.sum()),
+                    doc_ids,
+                    tfs,
+                    np.concatenate(bm_l) if bm_l else np.zeros(0, np.float64),
+                    np.concatenate(bsz_l) if bsz_l else np.zeros(0, np.int64),
                 )
             )
         return out

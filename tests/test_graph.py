@@ -35,16 +35,32 @@ def _numpy_hits(edges, n_iter):
     return {n_: (auth[idx[n_]], hub[idx[n_]]) for n_ in nodes}
 
 
-def test_hits_matches_numpy(spark, edges_df):
+@pytest.mark.parametrize("threshold", [0, 10**6], ids=["distributed", "driver"])
+def test_hits_matches_numpy(spark, edges_df, threshold):
     from tlgs_spark.graph import hits_rank
 
     edges = [(r.src, r.dst) for r in edges_df.collect()]
     exp = _numpy_hits(edges, 3)
-    got = {r.node: (r.auth, r.hub) for r in hits_rank(edges_df, eps=0.0, max_iter=3).collect()}
+    got = {
+        r.node: (r.auth, r.hub)
+        for r in hits_rank(edges_df, eps=0.0, max_iter=3, driver_threshold=threshold).collect()
+    }
     assert set(got) == set(exp)
     for n in exp:
         assert got[n][0] == pytest.approx(exp[n][0], abs=1e-12), f"auth {n}"
         assert got[n][1] == pytest.approx(exp[n][1], abs=1e-12), f"hub {n}"
+
+
+def test_salsa_driver_matches_distributed(spark, edges_df):
+    from tlgs_spark.graph import salsa_rank
+
+    a = {(r.node, r.side): r.score
+         for r in salsa_rank(edges_df, max_iter=10, driver_threshold=0).collect()}
+    b = {(r.node, r.side): r.score
+         for r in salsa_rank(edges_df, max_iter=10).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12), k
 
 
 def test_hits_authorities_ranked_sensibly(spark, edges_df):

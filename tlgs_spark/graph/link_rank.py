@@ -9,23 +9,121 @@ the reference: HITS ε=0.005, SALSA ε=0.005*2, max 300 iterations
 (search.cpp:259-260,357-358), L1 normalization, denormal flush
 (search.cpp:297-301 → floats below ~1e-38 snapped to 0).
 
-Scale notes: each iteration shuffles by src/dst. For repeated
-iterations the edges DataFrame is cached once; scores are
-localCheckpoint()ed every ``checkpoint_every`` iterations to cut the
-lineage (I7 in SURVEY §2.8). Convergence is tested driver-side on a
-1-row aggregate (sum |Δ|), not by collecting scores.
+Scale notes: the reference runs link analysis per query over the
+candidate graph only — root set capped at 50k (search.cpp:442) — so
+the common case is a SMALL graph regardless of corpus size. Both
+entry points therefore dispatch: graphs whose edge count fits the
+driver (≤ ``driver_threshold``) run a NumPy ``bincount`` scatter-add
+loop (one Spark job to fetch the edges, zero per iteration); larger
+graphs fall back to the distributed iterative-join formulation, where
+the edges DataFrame is cached once, scores are localCheckpoint()ed
+every ``checkpoint_every`` iterations to cut lineage (I7 in SURVEY
+§2.8), and convergence is tested driver-side on a 1-row aggregate
+(sum |Δ|), never by collecting scores.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DENORMAL_MIN = 1.17549435e-38  # FLT_MIN flush, search.cpp:297-301
 
+# per-query candidate graphs are ≤50k nodes in the reference; 2M edges
+# ≈ 32 MB on the driver — far under any sane driver memory
+DRIVER_EDGE_THRESHOLD = 2_000_000
+
 
 def _flush(col):
     return F.when(F.abs(col) < DENORMAL_MIN, F.lit(0.0)).otherwise(col)
+
+
+def _flush_np(a: np.ndarray) -> np.ndarray:
+    a[np.abs(a) < DENORMAL_MIN] = 0.0
+    return a
+
+
+def _distinct_edge_index(pdf: pd.DataFrame):
+    """→ (nodes, s_idx, d_idx): compact 0..n-1 node index over the
+    DISTINCT edge set (matches the DataFrame paths' .distinct())."""
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s, d = inv[: len(src)], inv[len(src) :]
+    n = len(nodes)
+    uniq = np.unique(s * n + d)
+    return nodes, (uniq // n).astype(np.int64), (uniq % n).astype(np.int64)
+
+
+def _hits_driver(spark, pdf: pd.DataFrame, eps: float, max_iter: int) -> DataFrame:
+    nodes, s, d = _distinct_edge_index(pdf)
+    n = len(nodes)
+    schema = "node long, auth double, hub double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    auth = np.full(n, 1.0 / n)
+    hub = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        pa, ph = auth, hub
+        auth_raw = _flush_np(np.bincount(d, weights=hub[s], minlength=n))
+        hub_raw = _flush_np(np.bincount(s, weights=auth_raw[d], minlength=n))
+        ta, th = auth_raw.sum(), hub_raw.sum()
+        auth = auth_raw / ta if ta > 0 else auth_raw
+        hub = hub_raw / th if th > 0 else hub_raw
+        if np.abs(auth - pa).sum() + np.abs(hub - ph).sum() < eps:
+            break
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "auth": auth, "hub": hub}), schema
+    )
+
+
+def _salsa_driver(spark, pdf: pd.DataFrame, eps: float, max_iter: int) -> DataFrame:
+    nodes, s, d = _distinct_edge_index(pdf)
+    n = len(nodes)
+    schema = "node long, side string, score double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    outd = np.bincount(s, minlength=n)
+    ind = np.bincount(d, minlength=n)
+    is_auth = ind > outd  # side split, search.cpp:324-328
+    keep = (~is_auth[s]) & is_auth[d]  # hub→auth edges only (:331-354)
+    s, d = s[keep], d[keep]
+    if s.size == 0:
+        return spark.createDataFrame([], schema)
+    hdeg = np.bincount(s, minlength=n).astype(np.float64)
+    adeg = np.bincount(d, minlength=n).astype(np.float64)
+    hub_nodes = np.unique(s)
+    auth_nodes = np.unique(d)
+    auth = np.zeros(n)
+    hub = np.zeros(n)
+    auth[auth_nodes] = 1.0 / len(auth_nodes)
+    hub[hub_nodes] = 1.0 / len(hub_nodes)
+    safe_h = np.where(hdeg > 0, hdeg, 1.0)
+    safe_a = np.where(adeg > 0, adeg, 1.0)
+    for _ in range(max_iter):
+        pa, ph = auth, hub
+        auth = _flush_np(np.bincount(d, weights=(hub / safe_h)[s], minlength=n))
+        ta = auth.sum()
+        if ta > 0:
+            auth = auth / ta
+        hub = _flush_np(np.bincount(s, weights=(auth / safe_a)[d], minlength=n))
+        th = hub.sum()
+        if th > 0:
+            hub = hub / th
+        d1 = np.abs(auth - pa)[auth_nodes].sum()
+        d2 = np.abs(hub - ph)[hub_nodes].sum()
+        if d1 + d2 < eps:
+            break
+    out = pd.DataFrame(
+        {
+            "node": np.concatenate([nodes[auth_nodes], nodes[hub_nodes]]),
+            "side": ["auth"] * len(auth_nodes) + ["hub"] * len(hub_nodes),
+            "score": np.concatenate([auth[auth_nodes], hub[hub_nodes]]),
+        }
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def hits_rank(
@@ -33,10 +131,13 @@ def hits_rank(
     eps: float = 0.005,
     max_iter: int = 300,
     checkpoint_every: int = 3,
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """→ (node, auth, hub), L1-normalized, reference semantics:
     auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v); iterate."""
     e = edges.select("src", "dst").distinct().cache()
+    if e.count() <= driver_threshold:
+        return _hits_driver(edges.sparkSession, e.toPandas(), eps, max_iter)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -84,6 +185,7 @@ def salsa_rank(
     eps: float = 0.01,
     max_iter: int = 300,
     checkpoint_every: int = 3,
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """SALSA (search.cpp:316-412): bipartite split — a node is an
     authority iff in_degree > out_degree, else hub (:324-328); edges
@@ -91,6 +193,8 @@ def salsa_rank(
     scores propagate as degree-normalized two-hop averages. → (node,
     side, score), L1-normalized per side."""
     e0 = edges.select("src", "dst").distinct().cache()
+    if e0.count() <= driver_threshold:
+        return _salsa_driver(edges.sparkSession, e0.toPandas(), eps, max_iter)
     deg = (
         e0.select(F.col("src").alias("node"), F.lit(1).alias("out_"), F.lit(0).alias("in_"))
         .union(e0.select(F.col("dst").alias("node"), F.lit(0), F.lit(1)))

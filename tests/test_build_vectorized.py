@@ -52,3 +52,51 @@ def test_single_term_shard():
     assert len(out) == 1
     d, t = decode_postings(bytes(out["postings"].iloc[0]), base=0)
     assert d.tolist() == [10, 11, 12] and t.tolist() == [1, 2, 3]
+
+
+TRICKY_DOCS = [
+    (0, "Hello WORLD the and hello"),  # case fold + stopwords + repeats
+    (1, ""),  # empty
+    (2, None),  # null text
+    (3, "x" * 65 + " ok " + "y" * 64),  # length-64 boundary
+    (4, "naïve café ümlaut 日本語 a1b2"),  # non-ASCII separators
+    (5, "keep\n────────\nalso\nxxxx\nend"),  # hygiene: box + repeat lines
+    (6, "tab\tsep,punct.and;more!tok"),
+    (7, "İstanbul STRASSE ẞharp"),  # exotic lowercase mappings
+    (8, "line with \x00 embedded nul and more"),
+    (9, "0123 42abc"),
+]
+
+
+def _counter_frame(hygiene):
+    from tlgs_spark.tokenizer import term_freqs
+
+    rows = []
+    for doc_id, text in TRICKY_DOCS:
+        for term, tf in sorted(term_freqs(text or "", hygiene=hygiene).items()):
+            rows.append((doc_id, term, tf))
+    return sorted(rows)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("hygiene", [False, True])
+def test_jvm_pandas_oracle_tokenize_equivalence(spark, hygiene):
+    """The JVM-expression tokenizer, the Arrow/pandas tokenizer, and
+    the pure-Python oracle spec must produce identical (doc_id, term,
+    tf) on case folds, stopwords, nulls, NULs, non-ASCII, length
+    boundaries and hygiene lines."""
+    from tlgs_spark.indexer.build import tokenize_tokens, tokenize_tokens_jvm
+
+    docs = spark.createDataFrame(TRICKY_DOCS, "doc_id long, text string")
+    jvm = sorted(
+        (r.doc_id, r.term, r.tf)
+        for r in tokenize_tokens_jvm(docs, hygiene=hygiene).collect()
+    )
+    pan = sorted(
+        (r.doc_id, r.term, r.tf)
+        for r in tokenize_tokens(docs, hygiene=hygiene).collect()
+    )
+    oracle = _counter_frame(hygiene)
+    assert jvm == pan == oracle

@@ -87,16 +87,31 @@ def main():
 
     index_dir = os.path.join(WORK, "idx_bench")
     if DO_SCALING:
-        # both levels measured back-to-back (same ambient neighbor
-        # load), best-of-TRIALS each — this box is shared and noisy
-        lo = run_build(2, corpus_path, os.path.join(WORK, "idx_n"), n_shards, TRIALS)
-        hi = run_build(8, corpus_path, index_dir, n_shards, TRIALS)
+        # PAIRED trials: each trial runs N then 4N back-to-back so both
+        # levels see the same ambient neighbor-load window (this box is
+        # shared and noisy — measuring all-N then all-4N lets load
+        # drift between the windows corrupt the ratio). Report the
+        # pair from the cleanest window = highest combined throughput.
+        pairs = []
+        for t in range(max(1, TRIALS)):
+            lo_t = run_build(2, corpus_path, os.path.join(WORK, "idx_n"), n_shards, 1)
+            hi_t = run_build(8, corpus_path, index_dir, n_shards, 1)
+            pairs.append((lo_t, hi_t))
+        lo, hi = max(pairs, key=lambda p: p[0]["turns_per_sec"] * 4 + p[1]["turns_per_sec"])
         eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
         extra["scaling"] = {
             "cores_n": 2, "cores_4n": 8,
             "turns_per_sec_n": lo["turns_per_sec"],
             "turns_per_sec_4n": hi["turns_per_sec"],
             "efficiency": round(eff, 3),
+            "pairs": [
+                {
+                    "n": p[0]["turns_per_sec"],
+                    "4n": p[1]["turns_per_sec"],
+                    "eff": round(p[1]["turns_per_sec"] / p[0]["turns_per_sec"] / 4.0, 3),
+                }
+                for p in pairs
+            ],
         }
     else:
         hi = run_build(min(8, CPUS), corpus_path, index_dir, n_shards, 1)

@@ -418,22 +418,52 @@ def build_index(
         )
         seg.write.mode("overwrite").partitionBy("shard").parquet(st.path("postings"))
         elapsed = time.time() - tb0
-        # per-shard checkpoint + metrics (north rule: lineage, postings/sec, skew)
-        led = (
+        # per-shard checkpoint + metrics (north rule: lineage,
+        # postings/sec, skew). Column-pruned read: only (shard, df) —
+        # re-reading the posting blobs just to sum their lengths cost
+        # a full second pass over the index. bytes = on-disk parquet
+        # file sizes per shard partition (the operationally meaningful
+        # number anyway).
+        import os as _os
+
+        def _shard_disk_bytes(shard: int) -> int:
+            d = _os.path.join(st.path("postings"), f"shard={shard}")
+            try:
+                return sum(
+                    e.stat().st_size for e in _os.scandir(d) if e.is_file()
+                )
+            except OSError:
+                return 0
+
+        bytes_map = {s: _shard_disk_bytes(s) for s in batch}
+        agg_rows = (
             spark.read.parquet(st.path("postings"))
+            .select("shard", "df")
             .filter(F.col("shard").isin(batch))
             .groupBy("shard")
-            .agg(
-                F.count("*").alias("n_terms"),
-                F.sum("df").alias("n_postings"),
-                F.sum(F.length("postings")).alias("bytes_postings"),
-            )
-            .withColumn("status", F.lit("built"))
-            .withColumn("elapsed_s", F.lit(elapsed))
-            .withColumn("postings_per_sec", F.col("n_postings") / F.lit(max(elapsed, 1e-9)))
-            .withColumn("skew_factor", F.col("n_postings") / F.lit(max(mean_postings, 1e-9)))
-            .withColumn("lineage", F.lit(lineage or meta.get("lineage", "")))
-            .withColumn("built_at", F.lit(time.time()))
+            .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
+            .collect()
+        )
+        now = time.time()
+        led = spark.createDataFrame(
+            [
+                (
+                    int(r.shard),
+                    int(r.n_terms),
+                    int(r.n_postings),
+                    bytes_map.get(int(r.shard), 0),
+                    "built",
+                    float(elapsed),
+                    float(r.n_postings) / max(elapsed, 1e-9),
+                    float(r.n_postings) / max(mean_postings, 1e-9),
+                    lineage or meta.get("lineage", ""),
+                    now,
+                )
+                for r in agg_rows
+            ],
+            "shard int, n_terms long, n_postings long, bytes_postings long, "
+            "status string, elapsed_s double, postings_per_sec double, "
+            "skew_factor double, lineage string, built_at double",
         )
         led.write.mode("append").parquet(st.path("ledger"))
         built += len(batch)

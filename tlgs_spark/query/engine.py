@@ -176,6 +176,24 @@ class SearchIndex:
             )
         return self._arrow_ds
 
+    def _term_df_map(self, terms: list[str]) -> dict[str, int]:
+        """term → exact global df, via a direct pyarrow lookup on the
+        term-sorted term_stats files (Spark-scan fallback)."""
+        try:
+            import pyarrow.dataset as ds_mod
+
+            if not hasattr(self, "_stats_ds"):
+                self._stats_ds = ds_mod.dataset(
+                    self.st.path("term_stats"), format="parquet"
+                )
+            tbl = self._stats_ds.to_table(
+                filter=ds_mod.field("term").isin(terms), columns=["term", "df"]
+            )
+            return dict(zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist())))
+        except Exception:
+            rows = self._term_stats_df.filter(F.col("term").isin(terms)).collect()
+            return {r.term: int(r.df) for r in rows}
+
     def term_data(self, terms: list[str]) -> list[TermData]:
         if not hasattr(self, "_term_cache"):
             self._term_cache: dict[str, TermData] = {}
@@ -396,9 +414,10 @@ class SearchIndex:
         terms = tokenize_query(text_query)
         if not terms:
             raise EmptyQueryError(query)
-        # exact global df per term (idf must be identical on every shard)
-        rows = self._term_stats_df.filter(F.col("term").isin(terms)).collect()
-        df_map = {r.term: int(r.df) for r in rows}
+        # exact global df per term (idf must be identical on every
+        # shard); point lookup via pyarrow like term_rows — a Spark job
+        # here costs ~1 s of scheduling for a handful of rows
+        df_map = self._term_df_map(terms)
         if mode == "and" and len(df_map) < len(terms):
             return self.spark.createDataFrame([], "doc_id long, score double")
         n_docs, avgdl, shard_size = self.n_docs, self.avgdl, self.shard_size

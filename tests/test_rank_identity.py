@@ -102,3 +102,43 @@ def test_scores_are_float64_exact(search_index, oracle_index, corpus_pdf, first_
     for (ed, es), (gd, gs) in zip(exp, zip(res.doc_id, res.score)):
         assert ed == gd
         assert np.float64(es).view(np.int64) == np.float64(gs).view(np.int64)
+
+
+# --- property-based identity: random queries from the corpus vocab ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def vocab(corpus_pdf):
+    """A spread of real corpus terms: hot head, mid, and rare tail."""
+    from collections import Counter
+
+    c = Counter()
+    for t in corpus_pdf["text"]:
+        c.update(set(tokenize(t)))
+    ranked = [w for w, _ in c.most_common()]
+    return ranked[:5] + ranked[len(ranked) // 2 : len(ranked) // 2 + 10] + ranked[-10:]
+
+
+@given(data=st.data())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_query_rank_identity(
+    data, search_index, oracle_index, corpus_pdf, first_tokens, vocab
+):
+    """Any term combination (hot/mid/rare mix), any k, both modes:
+    driver-path results must equal the oracle exactly — ids AND
+    float64 scores."""
+    terms = data.draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=4))
+    k = data.draw(st.integers(min_value=1, max_value=30))
+    mode = data.draw(st.sampled_from(["and", "or"]))
+    query = " ".join(terms)
+    expected = oracle_result(oracle_index, corpus_pdf, query, k, mode, first_tokens)
+    res = search_index.search(query, k=k, mode=mode)
+    got = list(zip(res.doc_id.tolist(), res.score.tolist()))
+    assert got == expected, (query, k, mode)

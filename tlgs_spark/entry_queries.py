@@ -1098,6 +1098,77 @@ def url_blacklist(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@q(
+    "robots_rules",
+    f"""
+WITH {_URL_SYNTH_SQL}
+SELECT doc_id, path,
+       (path = '/cgi-bin' OR path = '/cgi-bin/'
+        OR (length(path) > length('/cgi-bin') + 1
+            AND path LIKE '/cgi-bin%'
+            AND substr(path, length('/cgi-bin') + 1, 1) = '/')
+        OR path LIKE '%.gmi'
+        OR (path LIKE '/commits/%' AND position('/diff' IN path) > 10)
+       ) AS blocked
+FROM synth
+""".strip(),
+)
+def robots_rules(spark, sf_dir):
+    """P8/F26: robots.txt disallow matching as JVM predicates
+    (wildcardPathMatch, robots_txt_parser.cpp:67-122) over the same
+    synthetic paths as url_blacklist. Rules exercise the literal
+    /-boundary case, a '*'-prefix suffix match, and a middle-star
+    pattern; the oracle states the same semantics in plain SQL."""
+    from .ops.robots import blocked_path_column
+
+    docs = _docs(spark, sf_dir)
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, "/git/repo")
+        .when(F.col("doc_id") % 7 == 1, "/orbit/next")
+        .when(F.col("doc_id") % 7 == 2, "/cgi/cgi/cgi/x")
+        .when(F.col("doc_id") % 7 == 3, "/commits/abc123/diff")
+        .when(F.col("doc_id") % 7 == 4, "/posts/2024/hello.gmi")
+        .when(F.col("doc_id") % 7 == 5, "/robots.txt")
+        .otherwise("/blog/entry")
+    )
+    rules = ["/cgi-bin", "*.gmi", "/commits/*/diff"]
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        blocked_path_column(path, rules).alias("blocked"),
+    )
+
+
+@q("extract_documents", None)
+def extract_documents_entry(spark, sf_dir):
+    """F19-F22 chain: charset decode + binary sniff + MIME dispatch +
+    feed classification (crawler.cpp:415-496) over raw bytes
+    synthesized from the documents table. Rows-only check (gemtext AST
+    extraction isn't SQL-expressible)."""
+    from .ops.extract import extract_documents
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.select(
+        F.concat(F.lit("gemini://h/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(20).alias("status"),
+        F.when(F.col("doc_id") % 3 == 0, "text/gemini")
+        .when(F.col("doc_id") % 3 == 1, "text/plain")
+        .otherwise("application/rss+xml")
+        .alias("mime"),
+        F.lit("utf-8").alias("charset"),
+        F.encode(
+            F.concat(F.lit("# Doc "), F.col("doc_id").cast("string"), F.lit("\n"),
+                     F.substring(F.col("text"), 1, 500)),
+            "utf-8",
+        ).alias("raw"),
+    )
+    return (
+        extract_documents(raw)
+        .select("url", "title", "feed_type", "size")
+        .orderBy("url")
+    )
+
+
 def _synth_links(spark, sf_dir):
     """Deterministic skewed digraph: dst = src % 97 concentrates
     in-degree on the first 97 nodes (hub/authority structure for

@@ -135,3 +135,32 @@ def test_change_detection_hash_column(spark, index_dir):
     docs = IndexStorage(index_dir).read(spark, "docs")
     n_bad = docs.filter(F.col("text_hash") != F.xxhash64("text")).count()
     assert n_bad == 0
+
+
+def test_zero_posting_shard_gets_ledger_row(spark, tmp_path):
+    """A shard whose entire doc range tokenizes to nothing must still be
+    marked built — otherwise resume re-attempts it forever."""
+    import pyspark.sql.functions as F
+
+    from tlgs_spark.indexer.build import build_index
+    from tlgs_spark.indexer.storage import IndexStorage
+
+    rows = []
+    for i in range(20):
+        # docs 10..19 (the second of two 10-doc shards) are stopword-only
+        text = f"alpha beta tok{i}" if i < 10 else "the and of a"
+        rows.append((f"c{i:04d}", 0, "user", text, None))
+    sdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    idx = str(tmp_path / "idx0")
+    build_index(spark, sdf, idx, n_shards=2)
+    st = IndexStorage(idx)
+    led = spark.read.parquet(st.path("ledger"))
+    by = {r.shard: r for r in led.collect()}
+    assert set(by) == {0, 1}
+    assert by[1].n_postings == 0 and by[1].status == "built"
+    assert st.completed_shards(spark) == {0, 1}
+    # resume is a no-op, not a rebuild loop
+    m = build_index(spark, sdf, idx, n_shards=2, resume=True)
+    assert m["shards_built"] == 0

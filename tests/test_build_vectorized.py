@@ -65,6 +65,7 @@ TRICKY_DOCS = [
     (7, "İstanbul STRASSE ẞharp"),  # exotic lowercase mappings
     (8, "line with \x00 embedded nul and more"),
     (9, "0123 42abc"),
+    (10, "keep\r\nxxxx\r\nend\r\n"),  # CRLF: junk line NOT dropped (spec: $ is \n-only)
 ]
 
 

@@ -87,12 +87,15 @@ def test_extract_documents_spark(spark):
         ("gemini://h/b", 20, "text/plain", "utf-8", b"plain"),
         ("gemini://h/c", 20, "image/png", None, bytes([0xFF] * 100)),  # binary reject
         ("gemini://h/d", 51, "text/gemini", "utf-8", b"gone"),  # bad status
+        ("gemini://h/e", None, "text/plain", "utf-8", b"null status"),  # NaN via Arrow
     ]
     df = spark.createDataFrame(
         rows, "url string, status int, mime string, charset string, raw binary"
     )
     out = {r.url: r for r in extract_documents(df).collect()}
-    assert set(out) == {"gemini://h/a", "gemini://h/b"}
+    # null status defaults to 20 (indexable) instead of crashing the stage
+    assert set(out) == {"gemini://h/a", "gemini://h/b", "gemini://h/e"}
+    assert out["gemini://h/e"].body == "null status"
     assert out["gemini://h/a"].title == "My Capsule"
     assert out["gemini://h/a"].links == ["gemini://a.example/1"]
     assert out["gemini://h/b"].body == "plain"

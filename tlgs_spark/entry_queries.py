@@ -1016,23 +1016,34 @@ def bm25f_title_weighted(spark, sf_dir):
     return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
-_URL_SYNTH_SQL = """
+# single source of truth for the synthetic URL cases — rendered once as
+# SQL (oracle side) and once as a Column (Spark side) so the two can't
+# drift apart
+_SYNTH_HOSTS = ["git.example.org", "127.0.0.9", "capsule.onion", "good.example",
+                "other.example"]
+_SYNTH_PATHS = ["/git/repo", "/orbit/next", "/cgi/cgi/cgi/x", "/commits/abc123/diff",
+                "/posts/2024/hello.gmi", "/robots.txt", "/blog/entry"]
+
+
+def _case_sql(values: list[str]) -> str:
+    whens = "\n           ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(values[:-1])
+    )
+    return f"CASE doc_id % {len(values)}\n           {whens}\n           ELSE '{values[-1]}' END"
+
+
+def _case_col(values: list[str]):
+    col = F.when(F.col("doc_id") % len(values) == 0, values[0])
+    for i, v in enumerate(values[1:-1], start=1):
+        col = col.when(F.col("doc_id") % len(values) == i, v)
+    return col.otherwise(values[-1])
+
+
+_URL_SYNTH_SQL = f"""
 synth AS (
   SELECT doc_id,
-         CASE doc_id % 5
-           WHEN 0 THEN 'git.example.org'
-           WHEN 1 THEN '127.0.0.9'
-           WHEN 2 THEN 'capsule.onion'
-           WHEN 3 THEN 'good.example'
-           ELSE 'other.example' END AS host,
-         CASE doc_id % 7
-           WHEN 0 THEN '/git/repo'
-           WHEN 1 THEN '/orbit/next'
-           WHEN 2 THEN '/cgi/cgi/cgi/x'
-           WHEN 3 THEN '/commits/abc123/diff'
-           WHEN 4 THEN '/posts/2024/hello.gmi'
-           WHEN 5 THEN '/robots.txt'
-           ELSE '/blog/entry' END AS path
+         {_case_sql(_SYNTH_HOSTS)} AS host,
+         {_case_sql(_SYNTH_PATHS)} AS path
   FROM documents
 )
 """.strip()
@@ -1068,22 +1079,8 @@ def url_blacklist(spark, sf_dir):
     from .ops.blacklist import blacklist_column
 
     docs = _docs(spark, sf_dir)
-    host = (
-        F.when(F.col("doc_id") % 5 == 0, "git.example.org")
-        .when(F.col("doc_id") % 5 == 1, "127.0.0.9")
-        .when(F.col("doc_id") % 5 == 2, "capsule.onion")
-        .when(F.col("doc_id") % 5 == 3, "good.example")
-        .otherwise("other.example")
-    )
-    path = (
-        F.when(F.col("doc_id") % 7 == 0, "/git/repo")
-        .when(F.col("doc_id") % 7 == 1, "/orbit/next")
-        .when(F.col("doc_id") % 7 == 2, "/cgi/cgi/cgi/x")
-        .when(F.col("doc_id") % 7 == 3, "/commits/abc123/diff")
-        .when(F.col("doc_id") % 7 == 4, "/posts/2024/hello.gmi")
-        .when(F.col("doc_id") % 7 == 5, "/robots.txt")
-        .otherwise("/blog/entry")
-    )
+    host = _case_col(_SYNTH_HOSTS)
+    path = _case_col(_SYNTH_PATHS)
     synth = docs.select(
         "doc_id", F.concat(F.lit("gemini://"), host, path).alias("url")
     )
@@ -1108,7 +1105,8 @@ SELECT doc_id, path,
             AND path LIKE '/cgi-bin%'
             AND substr(path, length('/cgi-bin') + 1, 1) = '/')
         OR path LIKE '%.gmi'
-        OR (path LIKE '/commits/%' AND position('/diff' IN path) > 10)
+        OR (path LIKE '/commits/%'
+            AND (position('/diff' IN path) = 0 OR position('/diff' IN path) > 10))
        ) AS blocked
 FROM synth
 """.strip(),
@@ -1118,19 +1116,13 @@ def robots_rules(spark, sf_dir):
     (wildcardPathMatch, robots_txt_parser.cpp:67-122) over the same
     synthetic paths as url_blacklist. Rules exercise the literal
     /-boundary case, a '*'-prefix suffix match, and a middle-star
-    pattern; the oracle states the same semantics in plain SQL."""
+    pattern; the oracle states the same semantics in plain SQL,
+    including the middle-star npos quirk (suffix absent ⇒ match,
+    robots_txt_parser.cpp:103 rfind)."""
     from .ops.robots import blocked_path_column
 
     docs = _docs(spark, sf_dir)
-    path = (
-        F.when(F.col("doc_id") % 7 == 0, "/git/repo")
-        .when(F.col("doc_id") % 7 == 1, "/orbit/next")
-        .when(F.col("doc_id") % 7 == 2, "/cgi/cgi/cgi/x")
-        .when(F.col("doc_id") % 7 == 3, "/commits/abc123/diff")
-        .when(F.col("doc_id") % 7 == 4, "/posts/2024/hello.gmi")
-        .when(F.col("doc_id") % 7 == 5, "/robots.txt")
-        .otherwise("/blog/entry")
-    )
+    path = _case_col(_SYNTH_PATHS)
     rules = ["/cgi-bin", "*.gmi", "/commits/*/diff"]
     return docs.select(
         "doc_id",

@@ -116,9 +116,13 @@ def tokenize_tokens_jvm(docs: DataFrame, hygiene: bool = False) -> DataFrame:
     and for clusters where Python workers are the scarce resource."""
     text = F.col("text")
     if hygiene:
-        # same HYGIENE_LINE_RE — the pattern is valid Java regex too
-        # (backreference, (?m), char-class ranges all match semantics)
-        text = F.regexp_replace(text, HYGIENE_LINE_RE.pattern, "")
+        # same HYGIENE_LINE_RE, prefixed with (?d) (UNIX_LINES): Java's
+        # MULTILINE `$` otherwise matches before \r\n while Python's
+        # only matches before \n — a CRLF junk line would be dropped by
+        # the JVM path but kept by the spec. With (?d), \r stays line
+        # content on both sides (pinned by the CRLF doc in
+        # test_build_vectorized.py).
+        text = F.regexp_replace(text, "(?d)" + HYGIENE_LINE_RE.pattern, "")
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -426,16 +430,31 @@ def build_index(
         # number anyway).
         import os as _os
 
-        def _shard_disk_bytes(shard: int) -> int:
+        def _shard_disk_bytes(shard: int) -> int | None:
+            """Data-file bytes under the shard partition dir (skips
+            hidden/_SUCCESS/.crc bookkeeping). None ⇒ not a local
+            filesystem — caller falls back to the Spark-side sum."""
             d = _os.path.join(st.path("postings"), f"shard={shard}")
             try:
                 return sum(
-                    e.stat().st_size for e in _os.scandir(d) if e.is_file()
+                    e.stat().st_size
+                    for e in _os.scandir(d)
+                    if e.is_file() and not e.name.startswith((".", "_"))
                 )
             except OSError:
-                return 0
+                return None
 
         bytes_map = {s: _shard_disk_bytes(s) for s in batch}
+        if any(v is None for v in bytes_map.values()):
+            # non-local index dir: one Spark pass that does read blobs
+            rows = (
+                spark.read.parquet(st.path("postings"))
+                .filter(F.col("shard").isin(batch))
+                .groupBy("shard")
+                .agg(F.sum(F.length("postings")).alias("b"))
+                .collect()
+            )
+            bytes_map = {int(r.shard): int(r.b) for r in rows}
         agg_rows = (
             spark.read.parquet(st.path("postings"))
             .select("shard", "df")
@@ -444,22 +463,27 @@ def build_index(
             .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
             .collect()
         )
+        # every shard in the batch gets a ledger row — a shard whose
+        # doc range produced ZERO postings (all-stopword/empty texts)
+        # would otherwise never be marked built and resume would
+        # re-attempt it forever
+        by_shard = {int(r.shard): (int(r.n_terms), int(r.n_postings)) for r in agg_rows}
         now = time.time()
         led = spark.createDataFrame(
             [
                 (
-                    int(r.shard),
-                    int(r.n_terms),
-                    int(r.n_postings),
-                    bytes_map.get(int(r.shard), 0),
+                    s,
+                    by_shard.get(s, (0, 0))[0],
+                    by_shard.get(s, (0, 0))[1],
+                    bytes_map.get(s) or 0,
                     "built",
                     float(elapsed),
-                    float(r.n_postings) / max(elapsed, 1e-9),
-                    float(r.n_postings) / max(mean_postings, 1e-9),
+                    by_shard.get(s, (0, 0))[1] / max(elapsed, 1e-9),
+                    by_shard.get(s, (0, 0))[1] / max(mean_postings, 1e-9),
                     lineage or meta.get("lineage", ""),
                     now,
                 )
-                for r in agg_rows
+                for s in batch
             ],
             "shard int, n_terms long, n_postings long, bytes_postings long, "
             "status string, elapsed_s double, postings_per_sec double, "

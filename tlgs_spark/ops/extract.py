@@ -58,7 +58,9 @@ def extract_document(
     url: str, status: int, mime: str, charset: str | None, raw: bytes
 ) -> dict | None:
     """One document through the reference chain. None ⇒ not indexable."""
-    status = 20 if status is None else int(status)
+    # NaN guard: a nullable int column reaches the pandas batch as
+    # float64 NaN; int(NaN) would kill the whole stage for one bad row
+    status = 20 if status is None or status != status else int(status)
     if status // 10 == 1:
         # input-prompt pages: index the prompt text itself
         body = decode_to_utf8(raw, charset) or ""

@@ -110,21 +110,14 @@ class SearchIndex:
             )
         return self._docs_meta
 
-    def _meta_cols(self, cols: tuple[str, ...]) -> pd.DataFrame:
-        """Cached column projections of docs_meta — slicing a 7-column
-        multi-million-row frame copies ~100 MB per call otherwise,
-        which dominated warm-path latency (~300 ms/query)."""
-        if not hasattr(self, "_meta_proj"):
-            self._meta_proj: dict[tuple[str, ...], pd.DataFrame] = {}
-        if cols not in self._meta_proj:
-            self._meta_proj[cols] = self.docs_meta()[list(cols)]
-        return self._meta_proj[cols]
-
     def _attach_meta(self, res: pd.DataFrame, cols: tuple[str, ...]) -> pd.DataFrame:
-        """Left-attach docs_meta columns by doc_id via reindex — a
-        pandas index JOIN re-factorizes the full multi-million-row
-        index on every call (~175 ms); reindex is O(k) lookups."""
-        picked = self._meta_cols(cols).reindex(res["doc_id"].to_numpy())
+        """Left-attach docs_meta columns by doc_id. reindex FIRST (O(k)
+        index lookups on the full frame), project after (copies k rows,
+        not a full-height column slice) — a pandas index JOIN here
+        re-factorized the multi-million-row index on every call
+        (~175 ms/query), and caching full-height projections would
+        roughly double resident docs_meta memory."""
+        picked = self.docs_meta().reindex(res["doc_id"].to_numpy())
         out = res.reset_index(drop=True)
         for c in cols:
             out[c] = picked[c].to_numpy()
@@ -156,43 +149,55 @@ class SearchIndex:
         scan if the index isn't on a local filesystem. The distributed
         path (search_df) keeps the Spark scan — there the 256 tasks ARE
         the parallelism."""
-        try:
-            ds = self._arrow_dataset()
-            tbl = ds.to_table(
-                filter=self._ds_mod.field("term").isin(terms),
-                columns=["term", "shard", "df", "block_max", "postings"],
-            )
+        tbl = self._arrow_lookup(
+            "postings", terms, ["term", "shard", "df", "block_max", "postings"],
+            partitioning="hive",
+        )
+        if tbl is not None:
             return tbl.to_pandas()
-        except Exception:
-            return self._postings_df.filter(F.col("term").isin(terms)).toPandas()
+        return self._postings_df.filter(F.col("term").isin(terms)).toPandas()
 
-    def _arrow_dataset(self):
-        if not hasattr(self, "_arrow_ds"):
-            import pyarrow.dataset as ds_mod
+    def _arrow_lookup(self, table: str, terms: list[str], columns: list[str],
+                      partitioning: str | None = None):
+        """Point lookup rows where term ∈ terms via a cached pyarrow
+        dataset; None ⇒ use the Spark fallback. A failed dataset open
+        (non-local index dir) is cached so later queries don't re-pay
+        directory discovery, and is logged once; read errors surface —
+        a corrupt footer should fail loudly, not silently degrade to
+        the 8×-slower Spark path forever."""
+        if not hasattr(self, "_arrow_cache"):
+            self._arrow_cache: dict = {}
+        if table not in self._arrow_cache:
+            try:
+                import pyarrow.dataset as ds_mod
 
-            self._ds_mod = ds_mod
-            self._arrow_ds = ds_mod.dataset(
-                self.st.path("postings"), format="parquet", partitioning="hive"
-            )
-        return self._arrow_ds
+                self._ds_mod = ds_mod
+                self._arrow_cache[table] = ds_mod.dataset(
+                    self.st.path(table), format="parquet", partitioning=partitioning
+                )
+            except (ImportError, OSError, ValueError) as e:
+                import warnings
+
+                warnings.warn(
+                    f"pyarrow point-lookup unavailable for {table!r} "
+                    f"({e.__class__.__name__}: {e}); using Spark scans"
+                )
+                self._arrow_cache[table] = None
+        ds = self._arrow_cache[table]
+        if ds is None:
+            return None
+        return ds.to_table(
+            filter=self._ds_mod.field("term").isin(terms), columns=columns
+        )
 
     def _term_df_map(self, terms: list[str]) -> dict[str, int]:
         """term → exact global df, via a direct pyarrow lookup on the
         term-sorted term_stats files (Spark-scan fallback)."""
-        try:
-            import pyarrow.dataset as ds_mod
-
-            if not hasattr(self, "_stats_ds"):
-                self._stats_ds = ds_mod.dataset(
-                    self.st.path("term_stats"), format="parquet"
-                )
-            tbl = self._stats_ds.to_table(
-                filter=ds_mod.field("term").isin(terms), columns=["term", "df"]
-            )
+        tbl = self._arrow_lookup("term_stats", terms, ["term", "df"])
+        if tbl is not None:
             return dict(zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist())))
-        except Exception:
-            rows = self._term_stats_df.filter(F.col("term").isin(terms)).collect()
-            return {r.term: int(r.df) for r in rows}
+        rows = self._term_stats_df.filter(F.col("term").isin(terms)).collect()
+        return {r.term: int(r.df) for r in rows}
 
     def term_data(self, terms: list[str]) -> list[TermData]:
         if not hasattr(self, "_term_cache"):

@@ -142,3 +142,21 @@ def test_random_query_rank_identity(
     res = search_index.search(query, k=k, mode=mode)
     got = list(zip(res.doc_id.tolist(), res.score.tolist()))
     assert got == expected, (query, k, mode)
+
+
+def test_distributed_path_norms_join_fallback(
+    search_index, oracle_index, corpus_pdf, first_tokens
+):
+    """Corpora too large for a dl broadcast use the per-shard norms
+    join — same results bit-for-bit."""
+    old = search_index.dl_broadcast_max_docs
+    try:
+        search_index.dl_broadcast_max_docs = 0  # force the join branch
+        for query, k, mode in [("tok0000 tok0001", 10, "and"), ("tok0002", 15, "or")]:
+            expected = oracle_result(
+                oracle_index, corpus_pdf, query, k, mode, first_tokens
+            )
+            rows = search_index.search_df(query, k=k, mode=mode).collect()
+            assert [(r.doc_id, r.score) for r in rows] == expected, query
+    finally:
+        search_index.dl_broadcast_max_docs = old

@@ -83,6 +83,9 @@ class SearchIndex:
         import threading
 
         self.max_in_flight = 64
+        # distributed scorer: broadcast the dl array once when the
+        # corpus fits (~8 B/doc); beyond this, per-shard norms join
+        self.dl_broadcast_max_docs = 16_000_000
         self._in_flight = 0
         self._admission_lock = threading.Lock()
 
@@ -98,6 +101,14 @@ class SearchIndex:
                 out[r.base : r.base + len(dls)] = dls
             self._dl = out[: self.n_docs]
         return self._dl
+
+    def _dl_broadcast(self):
+        """One-time sc.broadcast of the decoded doc-length array for
+        the distributed scorer (executors cache broadcast values across
+        queries)."""
+        if not hasattr(self, "_dl_bc"):
+            self._dl_bc = self.spark.sparkContext.broadcast(self.dl_of)
+        return self._dl_bc
 
     def docs_meta(self) -> pd.DataFrame:
         if self._docs_meta is None:
@@ -430,14 +441,31 @@ class SearchIndex:
         fetch_k = k if filt.is_empty() else max(k * 10, 1000)
 
         posts = self._postings_df.filter(F.col("term").isin(terms))
-        norms = self._norms_df
-        joined = posts.join(F.broadcast(norms), "shard")
+        # doc-length delivery: a per-query broadcast JOIN of the norms
+        # blobs re-broadcasts ~tens of MB on EVERY query (~1.7 s). For
+        # corpora whose dl array fits a broadcast variable, broadcast it
+        # ONCE per index — executors cache broadcast values, so repeat
+        # queries pay nothing. Larger corpora keep the norms join (a
+        # 10^12-doc dl array can't live in one broadcast; each shard
+        # then decodes only its own blob).
+        use_dl_bc = self.n_docs <= self.dl_broadcast_max_docs
+        if use_dl_bc:
+            b_dl = self._dl_broadcast()
+            joined = posts
+        else:
+            b_dl = None
+            joined = posts.join(F.broadcast(self._norms_df), "shard")
 
         def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            base = int(pdf["base"].iloc[0])
-            dls_shard = decode_varints(bytes(pdf["dls"].iloc[0])).astype(np.int64)
-            dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
-            dl_global[base:] = dls_shard  # scorer indexes by global doc_id
+            if b_dl is not None:
+                dl_global = b_dl.value
+            else:
+                base = int(pdf["base"].iloc[0])
+                dls_shard = decode_varints(bytes(pdf["dls"].iloc[0])).astype(np.int64)
+                dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
+                dl_global[base:] = dls_shard  # scorer indexes by global doc_id
+            shard0 = int(pdf["shard"].iloc[0])
+            base = shard0 * shard_size
             tds = []
             rows_by_term = {t: None for t in q_terms}
             for _, r in pdf.iterrows():

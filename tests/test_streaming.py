@@ -104,3 +104,24 @@ def test_streaming_landing_exactly_once(spark, tmp_path):
     _spark_df(spark, pdf2).write.mode("append").parquet(src)
     land_new_turns(spark, src, landing, ckpt)
     assert spark.read.parquet(landing).count() == n1 + len(pdf2)
+
+
+def test_incremental_reuses_zero_posting_shard(spark, tmp_path):
+    """A reused shard whose doc range produced zero postings (no
+    partition dir) must not crash the copy step."""
+    import pyspark.sql.functions as F
+
+    from tlgs_spark.indexer.build import build_index
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    rows = []
+    for i in range(20):
+        text = f"alpha tok{i}" if i < 10 else "the and of a"  # shard 1 empty
+        rows.append((f"c{i:04d}", 0, "user", text, None))
+    sdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    idx = str(tmp_path / "idx_inc0")
+    build_index(spark, sdf, idx, n_shards=2)
+    res = incremental_update(spark, sdf, idx, n_shards=2)
+    assert res["reused"] == [0, 1] and res["changed"] == []

@@ -105,7 +105,10 @@ def incremental_update(
     for s in reused:
         src = os.path.join(st_old.path("postings"), f"shard={s}")
         dst = os.path.join(st_new.path("postings"), f"shard={s}")
-        shutil.copytree(src, dst)
+        # a zero-posting shard is "built" in the ledger but has no
+        # partition dir — nothing to copy
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
     if reused:
         led = (
             st_old.read(spark, "ledger")

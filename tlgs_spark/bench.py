@@ -76,6 +76,7 @@ def query_bench(spark, index_dir: str, rounds: int = 3) -> dict:
     si = SearchIndex(spark, index_dir)
     si.dl_of  # index-open warmup outside the timed region
     si.docs_meta()
+    si.term_rows(["__warmup__"])  # pyarrow dataset discovery (once per index)
     cold, warm = [], []
     for r in range(rounds):
         for q, mode in QUERY_SET:

@@ -48,7 +48,8 @@ WORK = os.environ.get(
 )
 
 
-def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, trials: int) -> dict:
+def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, trials: int,
+              pin_cpus: bool = True) -> dict:
     os.environ.setdefault("TLGS_SPARK_LOCAL_DIR", os.path.join(WORK, "spark_local"))
     best = None
     for _ in range(max(1, trials)):
@@ -58,6 +59,12 @@ def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, trials: in
             "--cores", str(cores), "--corpus", corpus,
             "--index-dir", index_dir, "--n-shards", str(n_shards), "--out", out,
         ]
+        if pin_cpus and os.path.exists("/usr/bin/taskset"):
+            # confine the WHOLE process tree (JVM + GC + netty + Python
+            # workers) to exactly `cores` CPUs — local[N] alone still
+            # spills helper threads onto idle cores, inflating the
+            # N-core baseline and corrupting the N→4N efficiency ratio
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         subprocess.run(cmd, check=True, capture_output=True,
                        cwd=os.path.dirname(os.path.abspath(__file__)))
         with open(out) as f:

@@ -164,3 +164,20 @@ def test_zero_posting_shard_gets_ledger_row(spark, tmp_path):
     # resume is a no-op, not a rebuild loop
     m = build_index(spark, sdf, idx, n_shards=2, resume=True)
     assert m["shards_built"] == 0
+
+
+def test_build_leaves_no_persisted_rdds(spark, tmp_path):
+    """build_index must unpersist everything it caches — a leaked
+    corpus-sized cache entry per build starves long sessions."""
+    import pyspark.sql.functions as F
+
+    from tlgs_spark.indexer.build import build_index
+
+    rows = [(f"c{i:03d}", 0, "user", f"alpha tok{i}", None) for i in range(30)]
+    sdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    spark.catalog.clearCache()
+    build_index(spark, sdf, str(tmp_path / "idx_noleak"), n_shards=2)
+    leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert leaked == 0, f"{leaked} persisted RDDs left behind"

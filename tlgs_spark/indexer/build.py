@@ -53,7 +53,9 @@ NORMS_SCHEMA = "shard int, base long, n long, dls binary"
 # doc_id assignment — distributed dense rank over (conv_id, turn_idx)
 # ---------------------------------------------------------------------------
 
-def assign_doc_ids(df: DataFrame, partitions: int | None = None) -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame, partitions: int | None = None, cleanup: list | None = None
+) -> DataFrame:
     """Add dense ``doc_id`` = global rank of (conv_id, turn_idx).
 
     Scalable formulation: range-repartition on the sort key, count rows
@@ -61,6 +63,12 @@ def assign_doc_ids(df: DataFrame, partitions: int | None = None) -> DataFrame:
     (sorted) partition with mapInPandas. Equivalent to
     ``row_number().over(Window.orderBy(...)) - 1`` but without funneling
     the corpus through one task.
+
+    The ranged corpus is persisted (two jobs consume it: the count and
+    the numbering pass). Callers that materialize the result should
+    pass ``cleanup`` — the persisted handle is appended so they can
+    ``unpersist()`` it; otherwise a corpus-sized cache entry lives for
+    the rest of the session.
     """
     spark = df.sparkSession
     if partitions is None:
@@ -71,6 +79,8 @@ def assign_doc_ids(df: DataFrame, partitions: int | None = None) -> DataFrame:
         .withColumn("_pid", F.spark_partition_id())
     )
     ranged.persist()
+    if cleanup is not None:
+        cleanup.append(ranged)
     counts = {r._pid: r["count"] for r in ranged.groupBy("_pid").count().collect()}
     offsets = {}
     acc = 0
@@ -313,10 +323,13 @@ def build_index(
 
     # -- phase 1: prepare (docs, doc_lengths, term_stats, stats, norms) --
     if not (resume and st.exists("docs") and st.exists("collection_stats")):
-        docs = assign_doc_ids(transcripts).withColumn("size", F.length("text")).withColumn(
-            "text_hash", F.xxhash64("text")
-        )
+        _persisted: list = []
+        docs = assign_doc_ids(transcripts, cleanup=_persisted).withColumn(
+            "size", F.length("text")
+        ).withColumn("text_hash", F.xxhash64("text"))
         st.write(docs, "docs")
+        for h in _persisted:  # docs are on disk now; drop the ranged cache
+            h.unpersist()
 
         docs_r = st.read(spark, "docs")
         n_docs = docs_r.count()

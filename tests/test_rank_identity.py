@@ -160,3 +160,32 @@ def test_distributed_path_norms_join_fallback(
             assert [(r.doc_id, r.score) for r in rows] == expected, query
     finally:
         search_index.dl_broadcast_max_docs = old
+
+
+def test_hygiene_index_rank_identity(spark, tmp_path):
+    """Index built with hygiene=True must be rank-identical to the
+    hygiene oracle (junk lines dropped before tokenization on both
+    sides) — end-to-end, not just tokenizer-level."""
+    import pyspark.sql.functions as F
+
+    from tlgs_spark.indexer.build import build_index
+    from tlgs_spark.query.engine import SearchIndex
+
+    rows = []
+    for i in range(24):
+        text = f"alpha tok{i}\n────────\nbeta only here\nxxxx\ngamma tok{i%5}"
+        rows.append((f"c{i:03d}", 0, "user", text, None))
+    sdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    idx = str(tmp_path / "idx_hyg")
+    build_index(spark, sdf, idx, n_shards=3, hygiene=True)
+    si = SearchIndex(spark, idx)
+    docs = spark.read.parquet(f"{idx}/docs").select("doc_id", "text").orderBy("doc_id").collect()
+    oidx = O.build_index([(r.doc_id, r.text) for r in docs], hygiene=True)
+    for q in ["alpha beta", "gamma", "tok3"]:
+        exp = O.search(oidx, q, k=10)
+        res = si.search(q, k=10)
+        assert list(zip(res.doc_id.tolist(), res.score.tolist())) == exp, q
+        got_df = [(r.doc_id, r.score) for r in si.search_df(q, k=10).collect()]
+        assert got_df == exp, ("df", q)

@@ -101,3 +101,19 @@ def test_jvm_pandas_oracle_tokenize_equivalence(spark, hygiene):
     )
     oracle = _counter_frame(hygiene)
     assert jvm == pan == oracle
+
+
+def test_tokenize_with_dl_rows(spark):
+    """with_dl=True emits one term=NULL row per doc whose tf is the doc
+    length (kept tokens), including zero-token docs."""
+    from tlgs_spark.indexer.build import tokenize_tokens
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "the and of"), (2, None), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    rows = tokenize_tokens(docs, with_dl=True).collect()
+    dl = {r.doc_id: r.tf for r in rows if r.term is None}
+    terms = [(r.doc_id, r.term, r.tf) for r in rows if r.term is not None]
+    assert dl == {0: 3, 1: 0, 2: 0, 3: 1}
+    assert sorted(terms) == [(0, "alpha", 2), (0, "beta", 1), (3, "gamma", 1)]

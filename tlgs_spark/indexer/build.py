@@ -144,14 +144,19 @@ def tokenize_tokens_jvm(docs: DataFrame, hygiene: bool = False) -> DataFrame:
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
-def tokenize_tokens(docs: DataFrame, hygiene: bool = False) -> DataFrame:
+def tokenize_tokens(docs: DataFrame, hygiene: bool = False, with_dl: bool = False) -> DataFrame:
     """The build's tokenizer: Arrow-batched pandas rendering of the
     frozen spec — one C-level regex pass per batch (docs joined by a
     sentinel), then in-batch (doc_id, term) pre-aggregation so only
     ~1/3 of the raw token stream enters the Spark shuffle. Beats the
     JVM-expression rendering above by ~1.4× on the bench corpus (and
     is the template for analyzers that outgrow SQL expressions:
-    stemmers, per-language rules)."""
+    stemmers, per-language rules).
+
+    ``with_dl=True`` additionally emits one ``term=NULL`` row per
+    document carrying its doc length in ``tf`` (including dl=0 docs) —
+    doc_lengths then falls out of the same pass instead of a separate
+    aggregate + left join against docs."""
     import re
 
     stop = frozenset(STOPWORDS)
@@ -165,6 +170,13 @@ def tokenize_tokens(docs: DataFrame, hygiene: bool = False) -> DataFrame:
             {"doc_id": pd.Series(dtype="int64"), "term": pd.Series(dtype="object"),
              "tf": pd.Series(dtype="int64")}
         )
+
+        def dl_rows(pdf, doc_k):
+            dls = np.bincount(doc_k, minlength=len(pdf)).astype(np.int64)
+            return pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "term": None, "tf": dls}
+            )
+
         for pdf in batches:
             txt = pdf["text"].fillna("").str.replace("\x00", " ", regex=False)
             if hygiene:
@@ -172,7 +184,7 @@ def tokenize_tokens(docs: DataFrame, hygiene: bool = False) -> DataFrame:
             blob = "\x00".join(txt.str.lower().tolist())
             tok_list = batch_re.findall(blob)
             if not tok_list:
-                yield empty
+                yield dl_rows(pdf, np.zeros(0, np.int64)) if with_dl else empty
                 continue
             # factorize the token stream once, then do everything on
             # integer codes: separator/stopword/length classification
@@ -194,17 +206,20 @@ def tokenize_tokens(docs: DataFrame, hygiene: bool = False) -> DataFrame:
             codes_k = codes[keep]
             doc_k = doc_idx[keep]
             if codes_k.size == 0:
-                yield empty
+                yield dl_rows(pdf, doc_k) if with_dl else empty
                 continue
             key = doc_k.astype(np.int64) * len(u) + codes_k
             uk, counts = np.unique(key, return_counts=True)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy()[uk // len(u)],
                     "term": u[uk % len(u)],
                     "tf": counts,
                 }
             )
+            if with_dl:
+                out = pd.concat([out, dl_rows(pdf, doc_k)], ignore_index=True)
+            yield out
 
     return docs.select("doc_id", "text").mapInPandas(tok, schema="doc_id long, term string, tf long")
 
@@ -360,12 +375,13 @@ def build_index(
             }
         )
 
-        tokens = tokenize_tokens(docs_r, hygiene=hygiene)
-        tokens.persist()
-        dl = tokens.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        # docs with zero surviving tokens still count (dl = 0)
-        dl_full = (
-            docs_r.select("doc_id").join(dl, "doc_id", "left").fillna(0, subset=["dl"])
+        # one tokenize pass yields postings rows AND per-doc lengths
+        # (term=NULL rows) — no separate dl aggregate / join against docs
+        tokens_all = tokenize_tokens(docs_r, hygiene=hygiene, with_dl=True)
+        tokens_all.persist()
+        tokens = tokens_all.filter(F.col("term").isNotNull())
+        dl_full = tokens_all.filter(F.col("term").isNull()).select(
+            "doc_id", F.col("tf").alias("dl")
         )
         st.write(dl_full, "doc_lengths")
         # exact df / collection stats — north rule: no approx_count_distinct
@@ -517,7 +533,7 @@ def build_index(
         built += len(batch)
 
     if tokens is not None:
-        tokens.unpersist()
+        tokens_all.unpersist()
     total = time.time() - t0
     return {
         "n_docs": meta["n_docs"],

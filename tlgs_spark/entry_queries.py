@@ -1224,6 +1224,70 @@ def ann_ivf_entry(spark, sf_dir):
     return ivf_search(assigned.filter(F.col("vec_id") != 0), cents, qv, k=10, n_probe=3)
 
 
+@q(
+    "embedding_near_dup",
+    """
+WITH base AS (
+  SELECT vec_id AS id, label, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+e AS (SELECT id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.id < b.id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.35
+""".strip(),
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup detection with label blocking (the
+    near-dup family's vector member; never all-pairs across blocks).
+    The synthetic corpus has no organic duplicates, so the entry plants
+    scaled copies (cosine-invariant ⇒ cos 1.0) of every 7th vector and
+    keeps the threshold low enough to also catch the closest organic
+    within-block pairs."""
+    from .ops.dedup import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        # ×2 is exact in binary float, so the float cast loses nothing and
+        # keeps the union's column type identical to the base table's
+        F.transform("embedding", lambda x: x * F.lit(2.0)).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    return embedding_near_dup_pairs(
+        emb.select("vec_id", "embedding", "label").unionByName(planted), threshold=0.35
+    )
+
+
+@q("multimodal_features", None)
+def multimodal_features_entry(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payloads + typed metadata →
+    mapInPandas feature extraction (schema, Arrow batch shape, and UDF
+    signature are real; the decode kernel is the documented stub).
+    Deterministic seeded payloads ⇒ stable rows-only check."""
+    from .ops.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=200, kind="image")
+    return extract_features(media).select("media_id", "kind", "n_bytes", "sha256").orderBy(
+        "media_id"
+    )
+
+
+@q("frame_sample_plan", None)
+def frame_sample_plan_entry(spark, sf_dir):
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms)
+    via JVM sequence/explode — the scale-path layout for decode jobs
+    (the decode itself stays a stub; partition count grows with frames,
+    not videos)."""
+    from .ops.multimodal import frame_sample_plan, synth_media
+
+    media = synth_media(spark, n=100, kind="video")
+    return frame_sample_plan(media, every_ms=5000).orderBy("media_id", "frame_ts_ms")
+
+
 def entry_df(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: conjunctive BM25 top-20 over the documents corpus."""
     return bm25_topk_and(spark, sf_dir)

@@ -70,6 +70,14 @@ def _exact_scores(
 
 
 def _topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k by (-score, doc_id). For large candidate sets, select the
+    ≥ k-th-score slice with an O(n) partition first and lexsort only
+    that slice — score ties at the threshold are all kept in the slice,
+    so the result is identical to lexsorting everything."""
+    if scores.size > max(4 * k, 1024):
+        thr = np.partition(scores, scores.size - k)[scores.size - k]
+        m = scores >= thr
+        doc_ids, scores = doc_ids[m], scores[m]
     order = np.lexsort((doc_ids, -scores))[:k]
     return doc_ids[order], scores[order]
 
@@ -81,10 +89,18 @@ def search_and(
     survivors, top-k by (-score, doc_id)."""
     if not terms or any(td.doc_ids.size == 0 for td in terms):
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
+    if len(terms) == 1:
+        # AND of one term ≡ OR of one term; the OR path gets block-max
+        # pruning, so a single hot term skips exhaustive scoring
+        return search_or(terms, dl_of, n_docs, avgdl, k)
     by_df = sorted(terms, key=lambda t: t.doc_ids.size)
     cand = by_df[0].doc_ids
     for td in by_df[1:]:
-        cand = cand[np.isin(cand, td.doc_ids, assume_unique=True)]
+        # both sides sorted unique ⇒ searchsorted membership beats
+        # np.isin (which re-sorts the concatenation on every probe)
+        pos = np.searchsorted(td.doc_ids, cand)
+        pos_c = np.minimum(pos, td.doc_ids.size - 1)
+        cand = cand[(pos < td.doc_ids.size) & (td.doc_ids[pos_c] == cand)]
         if cand.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
     scores = _exact_scores(cand, terms, dl_of, n_docs, avgdl)
@@ -105,36 +121,62 @@ def search_or(
         out = (np.zeros(0, np.int64), np.zeros(0, np.float64))
         return (*out, {}) if return_stats else out
 
-    # phase 0: θ from exactly scoring the rarest term's docs
+    # phase 0: seed θ by exactly scoring a small high-tf subset of the
+    # rarest term's postings. θ from ANY subset of real docs is a lower
+    # bound of the final k-th score, so pruning on it stays exact; high
+    # tf within the highest-idf term makes the bound tight. Capping the
+    # subset keeps phase 0 O(k·n_terms·log) even when every query term
+    # is a hot term (exact-scoring ALL rarest postings used to dominate
+    # multi-hot-term cold latency).
     rare = min(terms, key=lambda t: t.doc_ids.size)
-    seed_scores = _exact_scores(rare.doc_ids, terms, dl_of, n_docs, avgdl)
+    seed_cap = max(4 * k, 4096)
+    if rare.doc_ids.size > seed_cap:
+        top_tf = np.argpartition(rare.tfs, -seed_cap)[-seed_cap:]
+        seed_docs = np.sort(rare.doc_ids[top_tf])
+    else:
+        seed_docs = rare.doc_ids
+    seed_scores = _exact_scores(seed_docs, terms, dl_of, n_docs, avgdl)
     if seed_scores.size >= k:
         theta = np.partition(seed_scores, -k)[-k]
     else:
         theta = -np.inf
 
-    # phase 1: per-doc upper bounds from block maxes
-    all_docs = []
-    all_ubs = []
-    for td in terms:
-        w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
-        ub_per_posting = np.repeat(td.block_max * w_idf, td.block_sizes)
-        all_docs.append(td.doc_ids)
-        all_ubs.append(ub_per_posting)
-    docs_cat = np.concatenate(all_docs)
-    ubs_cat = np.concatenate(all_ubs)
-    uniq, inv = np.unique(docs_cat, return_inverse=True)
-    ub_doc = np.bincount(inv, weights=ubs_cat)
-    survivors = uniq[ub_doc >= theta]
+    # phase 1: per-doc upper bounds from block maxes.
+    total_postings = sum(td.doc_ids.size for td in terms)
+    if n_docs <= max(4 * total_postings, 1 << 20) and n_docs <= (1 << 26):
+        # dense id space (doc_ids are [0, n_docs) by construction):
+        # a direct scatter-add over the id space beats the sort-based
+        # unique/inverse path. Gated on n_docs ∝ work so a per-shard
+        # scorer over a huge global id space (distributed path at
+        # 10^12 docs) never allocates an O(n_docs) array.
+        ub_doc = np.zeros(n_docs, dtype=np.float64)
+        seen = np.zeros(n_docs, dtype=bool)
+        for td in terms:
+            w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+            # ids are unique within one term ⇒ fancy += is one write per id
+            ub_doc[td.doc_ids] += np.repeat(td.block_max * w_idf, td.block_sizes)
+            seen[td.doc_ids] = True
+        n_union = int(seen.sum())
+        survivors = np.nonzero(seen & (ub_doc >= theta))[0]
+    else:
+        all_docs, all_ubs = [], []
+        for td in terms:
+            w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+            all_docs.append(td.doc_ids)
+            all_ubs.append(np.repeat(td.block_max * w_idf, td.block_sizes))
+        uniq, inv = np.unique(np.concatenate(all_docs), return_inverse=True)
+        ub_doc = np.bincount(inv, weights=np.concatenate(all_ubs))
+        n_union = int(uniq.size)
+        survivors = uniq[ub_doc >= theta]
 
     # phase 2: exact-score survivors only
     scores = _exact_scores(survivors, terms, dl_of, n_docs, avgdl)
     out = _topk_order(survivors, scores, k)
     if return_stats:
         stats = {
-            "n_union": int(uniq.size),
-            "n_scored": int(survivors.size + rare.doc_ids.size),
-            "pruned_frac": 1.0 - survivors.size / max(1, uniq.size),
+            "n_union": n_union,
+            "n_scored": int(survivors.size + seed_docs.size),
+            "pruned_frac": 1.0 - survivors.size / max(1, n_union),
         }
         return (*out, stats)
     return out

@@ -78,6 +78,41 @@ def test_blockmax_actually_prunes():
     assert ids.tolist() == exp
 
 
+def test_blockmax_or_sparse_id_space_equals_exhaustive():
+    """Huge id space relative to postings forces the sparse (unique)
+    upper-bound branch — the per-shard distributed regime where a dense
+    O(n_docs) accumulator must never be allocated."""
+    rng = np.random.default_rng(11)
+    n_docs = 2_000_000  # > 1<<20 and >> 4 × total postings
+    dl_of = rng.integers(20, 300, n_docs).astype(np.int64)
+    avgdl = float(dl_of.mean())
+    terms = []
+    for t in range(4):
+        df = int(rng.integers(200, 2000))
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 12, df).astype(np.int64)
+        terms.append(_mk_term(f"t{t}", ids, tfs, dl_of[ids], avgdl))
+    ids, scores = search_or(terms, dl_of, n_docs, avgdl, k=25)
+    assert ids.tolist() == _exhaustive_or(terms, dl_of, n_docs, avgdl, 25)
+
+
+def test_seed_subset_theta_exact_on_hot_terms():
+    """Every term hotter than the seed cap ⇒ θ comes from the capped
+    high-tf subset; results must still match exhaustive scoring."""
+    rng = np.random.default_rng(13)
+    n_docs = 60_000
+    dl_of = rng.integers(20, 300, n_docs).astype(np.int64)
+    avgdl = float(dl_of.mean())
+    terms = []
+    for t in range(3):
+        df = 30_000 + int(rng.integers(0, 10_000))  # all > seed cap 4096
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 12, df).astype(np.int64)
+        terms.append(_mk_term(f"h{t}", ids, tfs, dl_of[ids], avgdl))
+    ids, scores = search_or(terms, dl_of, n_docs, avgdl, k=10)
+    assert ids.tolist() == _exhaustive_or(terms, dl_of, n_docs, avgdl, 10)
+
+
 def test_and_is_intersection():
     dl_of = np.full(100, 10, dtype=np.int64)
     a = _mk_term("a", [1, 2, 3, 50], [1, 1, 1, 1], [10] * 4, 10.0)

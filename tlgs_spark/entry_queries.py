@@ -68,8 +68,8 @@ def _token_stats(spark: SparkSession, sf_dir: str) -> dict:
     tf = _tf(docs).persist()
     dl = _dl(docs, tf).persist()
     dft = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
-    n_docs = docs.count()
-    total_dl = dl.agg(F.sum("dl")).collect()[0][0]
+    # dl has exactly one row per doc, so one action yields both stats
+    n_docs, total_dl = dl.agg(F.count("*"), F.sum("dl")).collect()[0]
     out = {
         "docs": docs,
         "tf": tf,
@@ -984,8 +984,7 @@ def bm25f_title_weighted(spark, sf_dir):
         else:
             tf = _tf(field_docs)
             dl = _dl(field_docs, tf)
-            n_docs = field_docs.count()
-            total = dl.agg(F.sum("dl")).collect()[0][0]
+            n_docs, total = dl.agg(F.count("*"), F.sum("dl")).collect()[0]
             avgdl = float(total) / n_docs
             dft = tf.groupBy("term").agg(F.count("*").alias("df"))
         m = (

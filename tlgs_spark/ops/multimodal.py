@@ -50,7 +50,11 @@ def synth_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "mime",
                                               "width", "height", "duration_ms"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    # a handful of fat partitions, not one per core — each partition
+    # spins up a Python worker, and payload rows are the heavy part
+    return spark.range(0, n, 1, numPartitions=max(1, min(8, n // 32))).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
 
 
 def decode_image(payload: bytes) -> "np.ndarray":

@@ -758,6 +758,47 @@ def source_like(spark, sf_dir):
 
 
 @q(
+    "stale_count",
+    """
+SELECT count(*)::BIGINT AS n_stale
+FROM events
+WHERE ts IS NULL OR ts < TIMESTAMP '2024-01-28' - INTERVAL 3 DAY
+""".strip(),
+)
+def stale_count(spark, sf_dir):
+    """A4/P4: staleness predicate + count (pages needing re-crawl:
+    last_crawled_at < now()-'3 days' OR IS NULL, crawler.cpp:110-113;
+    stale count tlgs_ctl/main.cpp:102-103). Anchor pinned for
+    determinism; the IS NULL disjunct mirrors never-crawled rows."""
+    ev = _read(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-28").cast("timestamp") - F.expr("INTERVAL 3 DAYS")
+    return ev.filter(F.col("ts").isNull() | (F.col("ts") < anchor)).agg(
+        F.count("*").alias("n_stale")
+    )
+
+
+@q(
+    "inlist_hydrate",
+    """
+SELECT doc_id, source, n_chars
+FROM documents WHERE doc_id IN (3, 17, 42, 99, 123, 256, 511, 1024, 2047, 4095)
+ORDER BY doc_id
+""".strip(),
+)
+def inlist_hydrate(spark, sf_dir):
+    """J3: IN-list semi-join — preview hydration of a result page's ids
+    (url IN (...), search.cpp:761-779). isin() on a literal id set; at
+    scale the same plan is a broadcast semi-join against the top-k."""
+    ids = [3, 17, 42, 99, 123, 256, 511, 1024, 2047, 4095]
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "corpus_hygiene",
     """
 SELECT doc_id,

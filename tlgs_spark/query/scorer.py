@@ -47,12 +47,20 @@ def tf_norm_vec(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
     return t * (bm25.K1 + 1.0) / (t + bm25.K1 * (1.0 - bm25.B + bm25.B * d / avgdl))
 
 
+def _denom_vec(dls: np.ndarray, avgdl: float) -> np.ndarray:
+    """Per-doc BM25 denominator part ``K1*(1-B+B*dl/avgdl)`` — the same
+    sub-expression (same op order ⇒ bit-identical) as tf_norm_vec, but
+    computable ONCE per query instead of once per term."""
+    d = dls.astype(np.float64)
+    return bm25.K1 * (1.0 - bm25.B + bm25.B * d / avgdl)
+
+
 def _exact_scores(
     cand: np.ndarray, terms: list[TermData], dl_of: np.ndarray, n_docs: int, avgdl: float
 ) -> np.ndarray:
     """Score candidate docs exactly; accumulation in query-term order."""
     scores = np.zeros(cand.shape[0], dtype=np.float64)
-    dls = dl_of[cand]
+    denom = _denom_vec(dl_of[cand], avgdl)
     for td in terms:
         pos = np.searchsorted(td.doc_ids, cand)
         pos_c = np.minimum(pos, len(td.doc_ids) - 1) if len(td.doc_ids) else pos
@@ -64,7 +72,8 @@ def _exact_scores(
         if not hit.any():
             continue
         w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
-        tfn = tf_norm_vec(td.tfs[pos_c[hit]], dls[hit], avgdl)
+        t = td.tfs[pos_c[hit]].astype(np.float64)
+        tfn = t * (bm25.K1 + 1.0) / (t + denom[hit])
         scores[hit] += w_idf * tfn
     return scores
 
@@ -95,15 +104,30 @@ def search_and(
         return search_or(terms, dl_of, n_docs, avgdl, k)
     by_df = sorted(terms, key=lambda t: t.doc_ids.size)
     cand = by_df[0].doc_ids
+    # track each term's postings position for the surviving candidates
+    # through the intersection, so scoring needs NO re-search: every
+    # candidate hits every term by construction, and searchsorted over
+    # a hot term's postings is the AND path's dominant cost
+    pos_of: dict[int, np.ndarray] = {id(by_df[0]): np.arange(cand.size, dtype=np.int64)}
     for td in by_df[1:]:
         # both sides sorted unique ⇒ searchsorted membership beats
         # np.isin (which re-sorts the concatenation on every probe)
         pos = np.searchsorted(td.doc_ids, cand)
         pos_c = np.minimum(pos, td.doc_ids.size - 1)
-        cand = cand[(pos < td.doc_ids.size) & (td.doc_ids[pos_c] == cand)]
+        m = (pos < td.doc_ids.size) & (td.doc_ids[pos_c] == cand)
+        cand = cand[m]
         if cand.size == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float64)
-    scores = _exact_scores(cand, terms, dl_of, n_docs, avgdl)
+        for key in pos_of:
+            pos_of[key] = pos_of[key][m]
+        pos_of[id(td)] = pos_c[m]
+    # exact scoring, accumulated in query-term order (oracle parity)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    denom = _denom_vec(dl_of[cand], avgdl)
+    for td in terms:
+        w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+        t = td.tfs[pos_of[id(td)]].astype(np.float64)
+        scores += w_idf * (t * (bm25.K1 + 1.0) / (t + denom))
     return _topk_order(cand, scores, k)
 
 
@@ -121,20 +145,24 @@ def search_or(
         out = (np.zeros(0, np.int64), np.zeros(0, np.float64))
         return (*out, {}) if return_stats else out
 
-    # phase 0: seed θ by exactly scoring a small high-tf subset of the
-    # rarest term's postings. θ from ANY subset of real docs is a lower
+    # phase 0: seed θ by exactly scoring a small high-tf subset of
+    # EVERY term's postings. θ from ANY subset of real docs is a lower
     # bound of the final k-th score, so pruning on it stays exact; high
-    # tf within the highest-idf term makes the bound tight. Capping the
-    # subset keeps phase 0 O(k·n_terms·log) even when every query term
-    # is a hot term (exact-scoring ALL rarest postings used to dominate
-    # multi-hot-term cold latency).
-    rare = min(terms, key=lambda t: t.doc_ids.size)
+    # tf within each term makes the bound tight. Seeding only the
+    # rarest term used to degenerate on (needle OR hot-term) queries —
+    # a df<k rarest term left θ=-inf and the hot term was exhaustively
+    # scored. Capping the subset keeps phase 0 O(k·n_terms·log) even
+    # when every query term is a hot term.
     seed_cap = max(4 * k, 4096)
-    if rare.doc_ids.size > seed_cap:
-        top_tf = np.argpartition(rare.tfs, -seed_cap)[-seed_cap:]
-        seed_docs = np.sort(rare.doc_ids[top_tf])
-    else:
-        seed_docs = rare.doc_ids
+    per_term = max(k, seed_cap // len(terms))
+    seed_parts = []
+    for td in terms:
+        if td.doc_ids.size > per_term:
+            top_tf = np.argpartition(td.tfs, -per_term)[-per_term:]
+            seed_parts.append(td.doc_ids[top_tf])
+        else:
+            seed_parts.append(td.doc_ids)
+    seed_docs = np.unique(np.concatenate(seed_parts))
     seed_scores = _exact_scores(seed_docs, terms, dl_of, n_docs, avgdl)
     if seed_scores.size >= k:
         theta = np.partition(seed_scores, -k)[-k]
@@ -143,7 +171,8 @@ def search_or(
 
     # phase 1: per-doc upper bounds from block maxes.
     total_postings = sum(td.doc_ids.size for td in terms)
-    if n_docs <= max(4 * total_postings, 1 << 20) and n_docs <= (1 << 26):
+    dense_ok = n_docs <= max(4 * total_postings, 1 << 20) and n_docs <= (1 << 26)
+    if dense_ok:
         # dense id space (doc_ids are [0, n_docs) by construction):
         # a direct scatter-add over the id space beats the sort-based
         # unique/inverse path. Gated on n_docs ∝ work so a per-shard
@@ -157,7 +186,9 @@ def search_or(
             ub_doc[td.doc_ids] += np.repeat(td.block_max * w_idf, td.block_sizes)
             seen[td.doc_ids] = True
         n_union = int(seen.sum())
-        survivors = np.nonzero(seen & (ub_doc >= theta))[0]
+        keep = seen & (ub_doc >= theta)
+        survivors = np.nonzero(keep)[0]
+        ub_surv = ub_doc[survivors]
     else:
         all_docs, all_ubs = [], []
         for td in terms:
@@ -167,10 +198,44 @@ def search_or(
         uniq, inv = np.unique(np.concatenate(all_docs), return_inverse=True)
         ub_doc = np.bincount(inv, weights=np.concatenate(all_ubs))
         n_union = int(uniq.size)
-        survivors = uniq[ub_doc >= theta]
+        keep = ub_doc >= theta
+        survivors = uniq[keep]
+        ub_surv = ub_doc[keep]
 
-    # phase 2: exact-score survivors only
-    scores = _exact_scores(survivors, terms, dl_of, n_docs, avgdl)
+    # phase 1.5: θ refinement. When the bound leaves a huge survivor
+    # set, exactly score the top-ub slice (the docs most likely to hold
+    # the true top-k), raise θ to their k-th exact score, and re-prune.
+    # Still exact: θ only ever comes from exactly-scored real docs, and
+    # an admissible ub means any doc with score ≥ θ keeps ub ≥ θ.
+    if survivors.size > 4 * seed_cap:
+        top_ub = np.argpartition(ub_surv, -seed_cap)[-seed_cap:]
+        ref_docs = np.sort(survivors[top_ub])
+        ref_scores = _exact_scores(ref_docs, terms, dl_of, n_docs, avgdl)
+        if ref_scores.size >= k:
+            theta = max(theta, np.partition(ref_scores, -k)[-k])
+            m = ub_surv >= theta
+            survivors = survivors[m]
+            ub_surv = ub_surv[m]
+
+    # phase 2: exact-score survivors only. When pruning was weak (flat
+    # bounds leave survivors ~ the whole union), per-survivor
+    # searchsorted over hot postings costs more than touching every
+    # posting once: scatter-add each term's full idf·tfn vector into a
+    # dense score array instead. Same float64 values, same query-term
+    # accumulation order per doc ⇒ bit-identical to _exact_scores.
+    dense_exact = (
+        dense_ok and survivors.size * 16 > total_postings and survivors.size > seed_cap
+    )
+    if dense_exact:
+        dscores = np.zeros(n_docs, dtype=np.float64)
+        for td in terms:
+            w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+            t = td.tfs.astype(np.float64)
+            denom = _denom_vec(dl_of[td.doc_ids], avgdl)
+            dscores[td.doc_ids] += w_idf * (t * (bm25.K1 + 1.0) / (t + denom))
+        scores = dscores[survivors]
+    else:
+        scores = _exact_scores(survivors, terms, dl_of, n_docs, avgdl)
     out = _topk_order(survivors, scores, k)
     if return_stats:
         stats = {

@@ -43,7 +43,7 @@ from .codec import encode_varints
 from .storage import IndexStorage
 
 POSTINGS_SCHEMA = (
-    "shard int, term string, df long, max_tfn double, "
+    "shard int, term string, df long, cf long, max_tfn double, "
     "block_max array<float>, block_last array<long>, postings binary"
 )
 NORMS_SCHEMA = "shard int, base long, n long, dls binary"
@@ -144,6 +144,71 @@ def tokenize_tokens_jvm(docs: DataFrame, hygiene: bool = False) -> DataFrame:
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
+def _tokenize_batch_arrays(
+    txt: "pd.Series", hygiene: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One batch of texts → (doc_ord, codes, uniques) under the frozen
+    tokenizer spec: doc_ord[i] is the 0-based position (within this
+    batch) of the doc owning kept token i, codes[i] indexes into the
+    object array `uniques`. The single implementation both the
+    streaming tokenizer and the in-shard builder call — the spec lives
+    in exactly one place.
+
+    Token extraction runs in Arrow C++ (RE2 split on the complement
+    class + dictionary_encode == factorize), ~5× the throughput of a
+    Python re.findall over the same batch; only the (small) per-batch
+    VOCABULARY is touched from Python for stopword/length
+    classification. Lowercasing stays Python str.lower so the frozen
+    spec (pinned against the pure-Python oracle and the JVM twin)
+    keeps one Unicode case-mapping authority.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    stop = frozenset(STOPWORDS)
+    txt = txt.fillna("").str.replace("\x00", " ", regex=False)
+    if hygiene:
+        txt = txt.str.replace(HYGIENE_LINE_RE, "", regex=True)
+    arr = pa.Array.from_pandas(txt.str.lower())
+    # split on the complement class: maximal [a-z0-9]+ runs survive as
+    # list elements; edge-adjacent separators yield "" entries, dropped
+    # below with the stopwords
+    toks = pc.split_pattern_regex(arr, "[^a-z0-9]+")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    d = pc.dictionary_encode(pc.list_flatten(toks))
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    u = np.asarray(d.dictionary.to_pylist(), dtype=object)
+    if codes.size == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, dtype=object)
+    drop_u = np.array(
+        [v == "" or v in stop or len(v) > MAX_TOKEN_LEN for v in u], dtype=bool
+    )
+    doc_idx = np.repeat(np.arange(len(txt), dtype=np.int64), counts)
+    keep = ~drop_u[codes]
+    return doc_idx[keep], codes[keep], u
+
+
+def tokenize_doc_lengths(docs: DataFrame, hygiene: bool = False) -> DataFrame:
+    """(doc_id, text) → (doc_id, dl): per-doc kept-token counts, one
+    tiny output row per document — NO (doc, term) rows ever enter a
+    shuffle. The prepare phase needs only doc lengths (avgdl/norms);
+    materializing + shuffling the full token stream for them cost more
+    than re-tokenizing inside the shard builder does."""
+
+    def tok(batches):
+        for pdf in batches:
+            doc_k, _, _ = _tokenize_batch_arrays(pdf["text"], hygiene)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "dl": np.bincount(doc_k, minlength=len(pdf)).astype(np.int64),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(tok, schema="doc_id long, dl long")
+
+
 def tokenize_tokens(docs: DataFrame, hygiene: bool = False, with_dl: bool = False) -> DataFrame:
     """The build's tokenizer: Arrow-batched pandas rendering of the
     frozen spec — one C-level regex pass per batch (docs joined by a
@@ -157,14 +222,6 @@ def tokenize_tokens(docs: DataFrame, hygiene: bool = False, with_dl: bool = Fals
     document carrying its doc length in ``tf`` (including dl=0 docs) —
     doc_lengths then falls out of the same pass instead of a separate
     aggregate + left join against docs."""
-    import re
-
-    stop = frozenset(STOPWORDS)
-    # one C-level regex pass over the whole batch: docs joined with a
-    # \x00 sentinel (never inside [a-z0-9]+), sentinel matches mark
-    # document boundaries
-    batch_re = re.compile(TOKEN_RE.pattern + "|\x00")
-
     def tok(batches):
         empty = pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "term": pd.Series(dtype="object"),
@@ -178,36 +235,12 @@ def tokenize_tokens(docs: DataFrame, hygiene: bool = False, with_dl: bool = Fals
             )
 
         for pdf in batches:
-            txt = pdf["text"].fillna("").str.replace("\x00", " ", regex=False)
-            if hygiene:
-                txt = txt.str.replace(HYGIENE_LINE_RE, "", regex=True)
-            blob = "\x00".join(txt.str.lower().tolist())
-            tok_list = batch_re.findall(blob)
-            if not tok_list:
-                yield dl_rows(pdf, np.zeros(0, np.int64)) if with_dl else empty
-                continue
-            # factorize the token stream once, then do everything on
-            # integer codes: separator/stopword/length classification
-            # touches only the (small) per-batch vocabulary, and the
-            # (doc, term) aggregation is an int64-key np.unique instead
-            # of a pandas string groupby — ~1.7× faster per batch
-            codes, uniques = pd.factorize(np.array(tok_list, dtype=object), sort=False)
-            u = np.asarray(uniques, dtype=object)
-            # NB: per-value == comparison (not vectorized numpy ==):
-            # object-array equality silently mismatches strings with
-            # embedded NULs
-            is_sep_u = np.array([v == "\x00" for v in u], dtype=bool)
-            drop_u = np.array(
-                [v == "\x00" or v in stop or len(v) > MAX_TOKEN_LEN for v in u],
-                dtype=bool,
-            )
-            doc_idx = np.cumsum(is_sep_u[codes])  # position → doc ordinal
-            keep = ~drop_u[codes]
-            codes_k = codes[keep]
-            doc_k = doc_idx[keep]
+            doc_k, codes_k, u = _tokenize_batch_arrays(pdf["text"], hygiene)
             if codes_k.size == 0:
                 yield dl_rows(pdf, doc_k) if with_dl else empty
                 continue
+            # (doc, term) aggregation as an int64-key np.unique instead
+            # of a pandas string groupby — ~1.7× faster per batch
             key = doc_k.astype(np.int64) * len(u) + codes_k
             uk, counts = np.unique(key, return_counts=True)
             out = pd.DataFrame(
@@ -273,8 +306,10 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFra
     byte_ends = np.cumsum(term_bytes)
     byte_starts = byte_ends - term_bytes
 
-    # per-term max tfn
+    # per-term max tfn + collection frequency (Σ tf) — cf rolls up into
+    # term_stats after the build, saving a full token-stream aggregate
     max_tfn = np.maximum.reduceat(tfn, starts)
+    cf = np.add.reduceat(tfs, starts)
 
     # global block boundaries: within each term, blocks of BLOCK_SIZE
     bs = bm25.BLOCK_SIZE
@@ -299,6 +334,7 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFra
                 shard,
                 terms[starts[i]],
                 int(seg_len[i]),
+                int(cf[i]),
                 float(max_tfn[i]),
                 bmax32[nb_starts[i] : nb_ends[i]],
                 blast_all[nb_starts[i] : nb_ends[i]],
@@ -307,8 +343,42 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFra
         )
     return pd.DataFrame(
         rows,
-        columns=["shard", "term", "df", "max_tfn", "block_max", "block_last", "postings"],
+        columns=["shard", "term", "df", "cf", "max_tfn", "block_max", "block_last",
+                 "postings"],
     )
+
+
+_POSTINGS_COLS = ["shard", "term", "df", "cf", "max_tfn", "block_max", "block_last",
+                  "postings"]
+
+
+def _build_shard_from_docs(
+    pdf: pd.DataFrame, shard_size: int, avgdl: float, hygiene: bool
+) -> pd.DataFrame:
+    """One shard's DOCS (doc_id, text) → its postings rows: tokenize
+    in-place with the frozen batch tokenizer, then delegate to
+    _build_shard. Shuffling raw docs by shard moves ~3× fewer bytes
+    than shuffling the exploded (doc_id, term, tf) stream, and the
+    token stream never has to be persisted between phases —
+    re-tokenizing inside the builder is cheap, perfectly-scaling CPU,
+    which beats materializing a corpus-sized intermediate at any
+    cluster size."""
+    doc_k, codes_k, u = _tokenize_batch_arrays(pdf["text"], hygiene)
+    if codes_k.size == 0:  # all-stopword/empty shard: no postings rows
+        dt = {"shard": "int64", "term": "object", "df": "int64", "cf": "int64",
+              "max_tfn": "float64", "block_max": "object", "block_last": "object",
+              "postings": "object"}
+        return pd.DataFrame({c: pd.Series(dtype=dt[c]) for c in _POSTINGS_COLS})
+    key = doc_k.astype(np.int64) * len(u) + codes_k
+    uk, counts = np.unique(key, return_counts=True)
+    tok_pdf = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy()[uk // len(u)],
+            "term": u[uk % len(u)],
+            "tf": counts,
+        }
+    )
+    return _build_shard(tok_pdf, shard_size, avgdl)
 
 
 def _build_norms(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
@@ -345,20 +415,29 @@ def build_index(
     """
     st = IndexStorage(index_dir)
     t0 = time.time()
-    tokens = None  # kept persisted across phases when prepare runs here
+    phases: dict[str, float] = {}
+    _pt = time.time()
 
-    # -- phase 1: prepare (docs, doc_lengths, term_stats, stats, norms) --
+    def _mark(name: str) -> None:
+        nonlocal _pt
+        now = time.time()
+        phases[name] = round(phases.get(name, 0.0) + (now - _pt), 3)
+        _pt = now
+
+    # -- phase 1: prepare (docs, doc_lengths, stats, norms) --
     if not (resume and st.exists("docs") and st.exists("collection_stats")):
         _persisted: list = []
         docs = assign_doc_ids(transcripts, cleanup=_persisted).withColumn(
             "size", F.length("text")
         ).withColumn("text_hash", F.xxhash64("text"))
         st.write(docs, "docs")
+        _mark("docs_write")
         for h in _persisted:  # docs are on disk now; drop the ranged cache
             h.unpersist()
 
         docs_r = st.read(spark, "docs")
         n_docs = docs_r.count()
+        _mark("docs_count")
         if n_shards is None:
             n_shards = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
         shard_size = max(1, math.ceil(n_docs / n_shards))
@@ -375,34 +454,32 @@ def build_index(
             }
         )
 
-        # one tokenize pass yields postings rows AND per-doc lengths
-        # (term=NULL rows) — no separate dl aggregate / join against docs
-        tokens_all = tokenize_tokens(docs_r, hygiene=hygiene, with_dl=True)
-        tokens_all.persist()
-        tokens = tokens_all.filter(F.col("term").isNotNull())
-        dl_full = tokens_all.filter(F.col("term").isNull()).select(
-            "doc_id", F.col("tf").alias("dl")
-        )
-        st.write(dl_full, "doc_lengths")
-        # exact df / collection stats — north rule: no approx_count_distinct
-        term_stats = tokens.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        )
-        st.write(term_stats.sortWithinPartitions("term"), "term_stats")
+        # dl pass: ONLY per-doc lengths leave the tokenizer (one tiny
+        # row per doc) — the (doc, term, tf) stream is never
+        # materialized or shuffled; the shard builder re-derives it
+        # locally where it's consumed
+        st.write(tokenize_doc_lengths(docs_r, hygiene=hygiene), "doc_lengths")
+        _mark("tokenize_dl")
+        # collection stats — exact (north rule: no approx). n_terms /
+        # n_postings are finalized from the postings table after phase
+        # 2 (-1 marks "build in flight"); avgdl is what scoring needs
+        # and is final here.
         stats = (
             st.read(spark, "doc_lengths")
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("dl").alias("total_dl"),
             )
-            .crossJoin(
-                st.read(spark, "term_stats").agg(
-                    F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
-                )
+            .select(
+                "n_docs",
+                "total_dl",
+                F.lit(-1).cast("long").alias("n_terms"),
+                F.lit(-1).cast("long").alias("n_postings"),
+                (F.col("total_dl") / F.col("n_docs")).alias("avgdl"),
             )
-            .withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
         )
         st.write(stats, "collection_stats")
+        _mark("collection_stats")
         shard_sz = shard_size
         norms = (
             st.read(spark, "doc_lengths")
@@ -411,6 +488,7 @@ def build_index(
             .applyInPandas(lambda p: _build_norms(p, shard_sz), schema=NORMS_SCHEMA)
         )
         st.write(norms, "norms")
+        _mark("norms")
         # keep `tokens` persisted — phase 2 reuses it (one tokenize pass
         # per build instead of two)
 
@@ -419,7 +497,6 @@ def build_index(
     shard_size = meta["shard_size"]
     stats_row = st.read(spark, "collection_stats").collect()[0]
     avgdl = float(stats_row.avgdl)
-    mean_postings = float(stats_row.n_postings) / max(1, n_shards)
 
     # -- phase 2: postings, shard-batched + resumable --
     done = st.completed_shards(spark) if resume else set()
@@ -448,19 +525,26 @@ def build_index(
             cond = cond | (
                 (F.col("doc_id") >= a * shard_size) & (F.col("doc_id") < b * shard_size)
             )
-        if tokens is not None:
-            toks = tokens.filter(cond)  # persisted from the prepare phase
-        else:
-            # resume path: re-tokenize only the pending doc ranges
-            # (doc_id min/max pushdown prunes parquet row groups)
-            toks = tokenize_tokens(docs_r.filter(cond), hygiene=hygiene)
-        toks = toks.withColumn(
-            "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
-        )
-        seg = toks.groupBy("shard").applyInPandas(
-            lambda p: _build_shard(p, shard_size, avgdl), schema=POSTINGS_SCHEMA
+        # shuffle DOCS by shard (doc_id min/max pushdown prunes parquet
+        # row groups to the pending ranges) and tokenize inside the
+        # shard builder — raw text is ~3× fewer shuffle bytes than the
+        # exploded token stream, and nothing corpus-sized is persisted
+        # between phases
+        seg = (
+            docs_r.filter(cond)
+            .select(
+                "doc_id",
+                "text",
+                (F.col("doc_id") / F.lit(shard_size)).cast("int").alias("shard"),
+            )
+            .groupBy("shard")
+            .applyInPandas(
+                lambda p: _build_shard_from_docs(p, shard_size, avgdl, hygiene),
+                schema=POSTINGS_SCHEMA,
+            )
         )
         seg.write.mode("overwrite").partitionBy("shard").parquet(st.path("postings"))
+        _mark("postings")
         elapsed = time.time() - tb0
         # per-shard checkpoint + metrics (north rule: lineage,
         # postings/sec, skew). Column-pruned read: only (shard, df) —
@@ -508,6 +592,9 @@ def build_index(
         # would otherwise never be marked built and resume would
         # re-attempt it forever
         by_shard = {int(r.shard): (int(r.n_terms), int(r.n_postings)) for r in agg_rows}
+        # skew denominator: mean postings over this batch's shards
+        # (the default one-batch build makes it the true build-wide mean)
+        mean_postings = sum(v[1] for v in by_shard.values()) / max(1, len(batch))
         now = time.time()
         led = spark.createDataFrame(
             [
@@ -530,10 +617,37 @@ def build_index(
             "skew_factor double, lineage string, built_at double",
         )
         led.write.mode("append").parquet(st.path("ledger"))
+        _mark("ledger_metrics")
         built += len(batch)
 
-    if tokens is not None:
-        tokens_all.unpersist()
+    # -- finalize: term_stats + exact n_terms/n_postings from the
+    # postings table (metadata columns only — no blob reads, no token
+    # pass). Idempotent; re-run on resume so a build killed between
+    # postings and finalize self-heals.
+    if st.exists("postings") and (built > 0 or not st.exists("term_stats")):
+        term_stats = (
+            spark.read.parquet(st.path("postings"))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
+        st.write(term_stats.sortWithinPartitions("term"), "term_stats")
+        totals = st.read(spark, "term_stats").agg(
+            F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
+        ).collect()[0]
+        srow = st.read(spark, "collection_stats").collect()[0]  # collect, THEN overwrite
+        stats_final = spark.createDataFrame(
+            [(
+                int(srow.n_docs),
+                int(srow.total_dl),
+                int(totals.n_terms),
+                int(totals.n_postings or 0),
+                float(srow.avgdl),
+            )],
+            "n_docs long, total_dl long, n_terms long, n_postings long, avgdl double",
+        )
+        st.write(stats_final, "collection_stats")
+        _mark("finalize_stats")
+
     total = time.time() - t0
     return {
         "n_docs": meta["n_docs"],
@@ -541,4 +655,5 @@ def build_index(
         "shards_built": built,
         "elapsed_s": total,
         "docs_per_sec": meta["n_docs"] / max(total, 1e-9),
+        "phases": phases,
     }

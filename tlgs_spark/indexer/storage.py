@@ -17,8 +17,9 @@ Tables (Iceberg DDL equivalent):
     term_stats       (term STRING, df BIGINT, cf BIGINT)
     collection_stats (n_docs BIGINT, total_dl BIGINT, avgdl DOUBLE,
                       n_terms BIGINT, n_postings BIGINT)
-    postings         (shard INT, term STRING, df BIGINT, max_tfn DOUBLE,
-                      block_max ARRAY<FLOAT>, block_last ARRAY<BIGINT>,
+    postings         (shard INT, term STRING, df BIGINT, cf BIGINT,
+                      max_tfn DOUBLE, block_max ARRAY<FLOAT>,
+                      block_last ARRAY<BIGINT>,
                       postings BINARY)                   PARTITIONED BY (shard)
     ledger           (shard INT, status STRING, n_terms BIGINT, n_postings BIGINT,
                       bytes_postings BIGINT, elapsed_s DOUBLE,

@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONV = int(os.environ.get("TLGS_BENCH_CONV", "100000"))
-TRIALS = int(os.environ.get("TLGS_BENCH_TRIALS", "2"))
+TRIALS = int(os.environ.get("TLGS_BENCH_TRIALS", "3"))
 DO_SCALING = os.environ.get("TLGS_BENCH_SCALING", "1") != "0"
 # 32-thread runs on this shared box collide with neighbor load and
 # understate throughput — opt-in only

@@ -33,14 +33,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _tf(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, tf) under the frozen tokenizer — JVM-only."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0))
-        ).alias("term"),
-    ).filter((F.length("term") <= MAX_TOKEN_LEN) & (~F.col("term").isin(_STOP)))
-    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    """(doc_id, term, tf) under the frozen tokenizer — the build's
+    Arrow/RE2 batch tokenizer (same spec as the SQL CTE the oracles
+    use; equivalence pinned by test_build_vectorized.py three-way)."""
+    from .indexer.build import tokenize_tokens
+
+    return tokenize_tokens(docs.select("doc_id", "text"))
 
 
 def _dl(docs: DataFrame, tf: DataFrame) -> DataFrame:

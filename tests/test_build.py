@@ -121,6 +121,28 @@ def test_resume_produces_identical_index(spark, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_finalize_self_heals_on_resume(spark, tmp_path):
+    """A build killed between the postings write and the term_stats /
+    collection_stats finalize must self-heal on resume: finalize is
+    idempotent and re-runs whenever term_stats is missing."""
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    sdf = generate_spark(spark, 12, partitions=2)
+    build_index(spark, sdf, idx, n_shards=4)
+    st = IndexStorage(idx)
+    before = st.read(spark, "collection_stats").collect()[0]
+    assert before.n_terms > 0 and before.n_postings > 0
+    # simulate the kill: finalize artifacts gone, postings + ledger intact
+    shutil.rmtree(st.path("term_stats"))
+    m = build_index(spark, sdf, idx, n_shards=4, resume=True)
+    assert m["shards_built"] == 0  # nothing re-tokenized, finalize only
+    after = st.read(spark, "collection_stats").collect()[0]
+    assert after == before
+    ts = st.read(spark, "term_stats").toPandas()
+    assert len(ts) == before.n_terms and int(ts.df.sum()) == before.n_postings
+
+
 def test_xxhash64_golden():
     """Content-hash helper reproduces the reference golden value
     (tlgsutils/tests/utils_test.cpp:146-149)."""

@@ -121,14 +121,44 @@ def search_and(
         for key in pos_of:
             pos_of[key] = pos_of[key][m]
         pos_of[id(td)] = pos_c[m]
-    # exact scoring, accumulated in query-term order (oracle parity)
-    scores = np.zeros(cand.size, dtype=np.float64)
-    denom = _denom_vec(dl_of[cand], avgdl)
-    for td in terms:
-        w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
-        t = td.tfs[pos_of[id(td)]].astype(np.float64)
-        scores += w_idf * (t * (bm25.K1 + 1.0) / (t + denom))
-    return _topk_order(cand, scores, k)
+    def _exact_from_pos(idx: np.ndarray | None) -> np.ndarray:
+        """Exact scores via the tracked positions (pure gathers);
+        idx=None scores every candidate, else the subset cand[idx].
+        Accumulation in query-term order (oracle parity)."""
+        sel = cand if idx is None else cand[idx]
+        s = np.zeros(sel.size, dtype=np.float64)
+        denom = _denom_vec(dl_of[sel], avgdl)
+        for td in terms:
+            w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+            p = pos_of[id(td)]
+            t = td.tfs[p if idx is None else p[idx]].astype(np.float64)
+            s += w_idf * (t * (bm25.K1 + 1.0) / (t + denom))
+        return s
+
+    # block-max pruning on a large intersection (hot-AND-hot queries):
+    # bound every candidate by Σ_t idf_t·blockmax_t(block(cand)), seed θ
+    # from the exact scores of the top-tf slice of the rarest term, and
+    # exactly score only candidates whose bound clears θ. Admissible
+    # bounds ⇒ any doc with score ≥ θ survives the cut — still exact.
+    seed_cap = max(4 * k, 4096)
+    if cand.size > 4 * seed_cap:
+        ub = np.zeros(cand.size, dtype=np.float64)
+        for td in terms:
+            w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+            # position → per-posting bound, then gather at the tracked
+            # positions: two linear passes, no per-candidate search
+            pos_ub = np.repeat(td.block_max * w_idf, td.block_sizes)
+            ub += pos_ub[pos_of[id(td)]]
+        rare_tf = by_df[0].tfs[pos_of[id(by_df[0])]]
+        sub = np.argpartition(rare_tf, -seed_cap)[-seed_cap:]
+        sub_scores = _exact_from_pos(sub)
+        theta = np.partition(sub_scores, -k)[-k]
+        m = ub >= theta
+        cand = cand[m]
+        for key in pos_of:
+            pos_of[key] = pos_of[key][m]
+
+    return _topk_order(cand, _exact_from_pos(None), k)
 
 
 def search_or(

@@ -413,6 +413,35 @@ def build_index(
     ``max_shards_to_build`` lets tests simulate a mid-build kill.
     Returns build metrics (also persisted in the ledger).
     """
+    # AQE partition coalescing prices partitions by SHUFFLE BYTES, but
+    # the build's stages are Python-compute-heavy (tokenize + segment
+    # encode per byte ≫ shuffle cost per byte): on local[8] it merged
+    # the postings stage to 15 uneven tasks (3.5× rows skew, straggler
+    # tail — 27.5 s vs 20.4 s for the same stage at 32 tasks). Disable
+    # it for the build only; skew-join and the rest of AQE stay on.
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    _coalesce_prev = spark.conf.get(_coalesce_key, "true")
+    spark.conf.set(_coalesce_key, "false")
+    try:
+        return _build_index_impl(
+            spark, transcripts, index_dir, n_shards, hygiene, resume,
+            shard_batch, lineage, max_shards_to_build,
+        )
+    finally:
+        spark.conf.set(_coalesce_key, _coalesce_prev)
+
+
+def _build_index_impl(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    n_shards: int | None,
+    hygiene: bool,
+    resume: bool,
+    shard_batch: int | None,
+    lineage: str,
+    max_shards_to_build: int | None,
+) -> dict:
     st = IndexStorage(index_dir)
     t0 = time.time()
     phases: dict[str, float] = {}

@@ -76,15 +76,14 @@ def ivf_assign(
     ]
     with_scores = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col), *scores)
     arr = F.array(*[F.col(f"c{c}") for c in range(n_centroids)])
-    # argmax via posexplode + keep-best window (deterministic ties)
-    sc = with_scores.select(
-        "vec_id", vec_col, F.posexplode(arr).alias("centroid_id", "sim")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
-    assigned = (
-        sc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "sim")
+    # argmax fully map-side: array_position of the max (first match ⇒
+    # lowest centroid_id wins ties — same tie-break as the keep-best
+    # window this replaces, minus that window's n_centroids× row
+    # explode + full shuffle; assignment stays a narrow projection
+    assigned = with_scores.select(
+        "vec_id",
+        vec_col,
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("centroid_id"),
     )
     return assigned, cents
 

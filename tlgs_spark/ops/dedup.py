@@ -40,22 +40,21 @@ def keep_best(
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Word k-gram shingles: (id, shingle). Built with posexplode +
-    leads — pure JVM. Docs with < k tokens yield no shingles."""
+    """Word k-gram shingles: (id, shingle), set semantics per doc. Built
+    entirely map-side: in-array slices + array_distinct, then one
+    explode — no token explode, no per-doc window sort, no global
+    distinct exchange (ids are unique, so per-doc dedup IS the global
+    dedup). Docs with < k tokens yield no shingles."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0))
-    exploded = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = exploded.select(
-        "id",
-        "tok",
-        *[F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, k)],
+    n = F.size(toks)
+    # NB: sequence(1, 0) counts DOWN in Spark — guard short docs
+    idxs = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
     )
-    parts = [F.col("tok")] + [F.col(f"t{i}") for i in range(1, k)]
-    return (
-        leads.filter(F.col(f"t{k - 1}").isNotNull())
-        .select("id", F.concat_ws(" ", *parts).alias("shingle"))
-        .distinct()
+    sh = F.array_distinct(
+        F.transform(idxs, lambda i: F.array_join(F.slice(toks, i, k), " "))
     )
+    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
 
 
 def minhash_bands(

@@ -59,3 +59,29 @@ def test_doc_range_filter_prunes_row_groups(spark, index_dir):
     assert "PushedFilters" in plan
     seg = plan.split("PushedFilters")[1][:300]
     assert "GreaterThanOrEqual(doc_id" in seg or "doc_id" in seg
+
+
+def test_shingles_stay_map_side(spark, index_dir):
+    # k-gram shingling is in-array slices + one explode: no shuffle, no
+    # per-doc window sort anywhere in the plan
+    from tlgs_spark.ops.dedup import shingles
+
+    docs = IndexStorage(index_dir).read(spark, "docs")
+    plan = _plan(shingles(docs, k=3))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_ivf_assignment_stays_map_side(spark, index_dir):
+    # centroid argmax is array_position(array_max): a narrow projection
+    from tlgs_spark.ops.similarity import ivf_assign
+
+    docs = IndexStorage(index_dir).read(spark, "docs")
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array_repeat((F.col("doc_id") % 7).cast("float") + 0.5, 8).alias("embedding"),
+    )
+    assigned, _ = ivf_assign(emb, n_centroids=4, dim=8)
+    plan = _plan(assigned)
+    assert "Exchange" not in plan
+    assert "Window" not in plan

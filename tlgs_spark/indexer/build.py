@@ -82,30 +82,29 @@ def assign_doc_ids(
     if cleanup is not None:
         cleanup.append(ranged)
     counts = {r._pid: r["count"] for r in ranged.groupBy("_pid").count().collect()}
-    offsets = {}
+    offsets = []
     acc = 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
 
-    out_schema = "doc_id long, " + ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    # numbering stays ENTIRELY JVM: monotonically_increasing_id lays
+    # out (partition_id << 33) | in-partition record index, so the
+    # in-partition sequence is mid minus the partition component;
+    # global doc_id adds the broadcast per-partition offset. The old
+    # formulation shipped the full corpus through an Arrow round-trip
+    # just to attach a counter.
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    mid = F.monotonically_increasing_id()
+    local_idx = mid - F.shiftleft(F.col("_pid").cast("long"), 33)
+    return (
+        ranged.withColumn("_local", local_idx)
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            (F.col("_off") + F.col("_local")).alias("doc_id"),
+            *[f.name for f in df.schema.fields],
+        )
     )
-
-    def number(batches):
-        pos = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if pos is None:
-                pos = b_offsets.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf.insert(0, "doc_id", np.arange(pos, pos + len(pdf), dtype=np.int64))
-            pos += len(pdf)
-            yield pdf
-
-    return ranged.mapInPandas(number, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -348,17 +348,18 @@ class SearchIndex:
         return res.reset_index(drop=True)
 
     def _apply_filter(self, res: pd.DataFrame, filt: SearchFilter) -> pd.DataFrame:
-        meta = self.docs_meta()
         first = self.first_turn_tokens() if filt.infirst else {}
-        keep = []
-        for doc_id in res["doc_id"]:
-            m = meta.loc[int(doc_id)]
-            keep.append(
-                eval_filter_row(
-                    filt, m["tool"], m["role"], m["conv_id"], int(m["size"]),
-                    first.get(m["conv_id"], frozenset()),
-                )
+        # one vectorized metadata gather (reindex), then the per-row
+        # predicate — a .loc per candidate re-paid the index lookup
+        # fetch_k times per query
+        picked = self.docs_meta().reindex(res["doc_id"].to_numpy())
+        keep = [
+            eval_filter_row(filt, tool, role, conv, int(size),
+                            first.get(conv, frozenset()))
+            for tool, role, conv, size in zip(
+                picked["tool"], picked["role"], picked["conv_id"], picked["size"]
             )
+        ]
         return res[np.asarray(keep, dtype=bool)]
 
     def _hydrate_previews(self, res: pd.DataFrame, terms: list[str]) -> pd.DataFrame:

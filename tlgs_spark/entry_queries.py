@@ -1300,6 +1300,36 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
+@q("snippet_preview", None)
+def snippet_preview_entry(spark, sf_dir):
+    """F11/F12: ts_headline-analog snippet over the first 5 kB — 23-37
+    word window, [term] highlighting, sanitize (search.cpp:62-70,
+    773-779). Vectorized over an Arrow batch; deterministic rows-only
+    (the window/highlight spec isn't expressible as portable SQL)."""
+    import pandas as pd
+
+    from .query.snippet import make_snippet
+
+    terms = ["spark", "data", "window"]
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "preview": [make_snippet(t, terms) for t in pdf["text"]],
+                }
+            )
+
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .mapInPandas(run, schema="doc_id long, preview string")
+        .orderBy("doc_id")
+    )
+
+
 @q("multimodal_features", None)
 def multimodal_features_entry(spark, sf_dir):
     """Multimodal plumbing: opaque binary payloads + typed metadata →

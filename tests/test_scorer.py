@@ -113,6 +113,63 @@ def test_seed_subset_theta_exact_on_hot_terms():
     assert ids.tolist() == _exhaustive_or(terms, dl_of, n_docs, avgdl, 10)
 
 
+def _exhaustive_and(terms, dl_of, n_docs, avgdl, k):
+    """Brute-force conjunctive reference: same float64 op order as the
+    engine (per-term idf·tfn accumulated in query-term order)."""
+    cand = set(terms[0].doc_ids.tolist())
+    for td in terms[1:]:
+        cand &= set(td.doc_ids.tolist())
+    scores = {d: 0.0 for d in cand}
+    for td in terms:
+        w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+        tfn = tf_norm_vec(td.tfs, dl_of[td.doc_ids].astype(np.float64), avgdl)
+        for d, s in zip(td.doc_ids.tolist(), (w_idf * tfn).tolist()):
+            if d in scores:
+                scores[d] += s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [d for d, _ in ranked], [s for _, s in ranked]
+
+
+def test_and_blockmax_pruning_equals_exhaustive():
+    """Hot-AND-hot: the intersection exceeds the pruning threshold
+    (4·seed_cap = 16384), so the block-max bound + θ-seed branch runs —
+    doc_ids AND float64 scores must match brute force exactly."""
+    rng = np.random.default_rng(17)
+    n_docs = 60_000
+    dl_of = rng.integers(20, 300, n_docs).astype(np.int64)
+    avgdl = float(dl_of.mean())
+    terms = []
+    for t in range(2):
+        df = 45_000 + int(rng.integers(0, 5_000))
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 12, df).astype(np.int64)
+        terms.append(_mk_term(f"h{t}", ids, tfs, dl_of[ids], avgdl))
+    # sanity: the branch actually triggers
+    inter = np.intersect1d(terms[0].doc_ids, terms[1].doc_ids)
+    assert inter.size > 4 * 4096
+    ids, scores = search_and(terms, dl_of, n_docs, avgdl, k=10)
+    exp_ids, exp_scores = _exhaustive_and(terms, dl_of, n_docs, avgdl, 10)
+    assert ids.tolist() == exp_ids
+    assert scores.tolist() == exp_scores  # bit-exact float64
+
+
+def test_and_three_hot_terms_pruned_equals_exhaustive():
+    rng = np.random.default_rng(23)
+    n_docs = 50_000
+    dl_of = rng.integers(20, 300, n_docs).astype(np.int64)
+    avgdl = float(dl_of.mean())
+    terms = []
+    for t in range(3):
+        df = 40_000 + int(rng.integers(0, 5_000))
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 9, df).astype(np.int64)
+        terms.append(_mk_term(f"h{t}", ids, tfs, dl_of[ids], avgdl))
+    ids, scores = search_and(terms, dl_of, n_docs, avgdl, k=25)
+    exp_ids, exp_scores = _exhaustive_and(terms, dl_of, n_docs, avgdl, 25)
+    assert ids.tolist() == exp_ids
+    assert scores.tolist() == exp_scores
+
+
 def test_and_is_intersection():
     dl_of = np.full(100, 10, dtype=np.int64)
     a = _mk_term("a", [1, 2, 3, 50], [1, 1, 1, 1], [10] * 4, 10.0)

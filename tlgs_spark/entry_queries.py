@@ -1300,6 +1300,65 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
+@q(
+    "combine_scores",
+    """
+WITH base AS (
+  SELECT doc_id,
+         (doc_id * 37 % 100) / 100.0 AS link,
+         round(1.0 / (1 + doc_id % 13), 6) AS text_rank,
+         n_chars
+  FROM documents
+),
+m AS (SELECT max(link) AS mx FROM base),
+p AS (
+  SELECT doc_id, link,
+         CASE WHEN n_chars > 300
+              THEN text_rank / ln(exp(1.0) + (n_chars - 300) / 30.0)
+              ELSE text_rank END AS t
+  FROM base
+),
+f AS (
+  SELECT p.doc_id,
+         round(exp(6.5 * p.link / m.mx), 4) AS boost,
+         round(2.0 * exp(6.5 * p.link / m.mx) * p.t
+               / (exp(6.5 * p.link / m.mx) + p.t), 4) AS final
+  FROM p CROSS JOIN m
+)
+SELECT doc_id, boost, final FROM f ORDER BY final DESC, doc_id LIMIT 50
+""".strip(),
+)
+def combine_scores_entry(spark, sf_dir):
+    """F13/A7: the reference's combine stage as a declarative plan —
+    exp link boost over the A7 max, size penalty past a threshold,
+    harmonic-mean merge (search.cpp:539-553). Link/text inputs are
+    deterministic functions of doc_id; threshold/scale are the same
+    formula at corpus-sized constants (48 kB → 300 chars)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 37 % 100) / 100.0).alias("link"),
+        F.round(1.0 / (1 + F.col("doc_id") % 13), 6).alias("text_rank"),
+        "n_chars",
+    )
+    mx = base.agg(F.max("link").alias("mx"))
+    t = F.when(
+        F.col("n_chars") > 300,
+        F.col("text_rank") / F.log(F.exp(F.lit(1.0)) + (F.col("n_chars") - 300) / 30.0),
+    ).otherwise(F.col("text_rank"))
+    boost = F.exp(6.5 * F.col("link") / F.col("mx"))
+    return (
+        base.crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.round(boost, 4).alias("boost"),
+            F.round(2.0 * boost * t / (boost + t), 4).alias("final"),
+        )
+        .orderBy(F.desc("final"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 @q("snippet_preview", None)
 def snippet_preview_entry(spark, sf_dir):
     """F11/F12: ts_headline-analog snippet over the first 5 kB — 23-37

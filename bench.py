@@ -144,6 +144,40 @@ def main():
     extra["query_latency"] = qb
     queries["bm25_query_p95"] = qb["p95_ms"] / 1000.0
 
+    # -- incremental re-index (north rule: change detection + shard
+    # reuse). Edit the first 1% of conversations — contiguous convs =
+    # contiguous doc ranges, so only their shards' signatures flip;
+    # everything else is reused verbatim from the existing index. --
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    inc_idx = os.path.join(WORK, "idx_incr")
+    shutil.rmtree(inc_idx, ignore_errors=True)
+    shutil.copytree(index_dir, inc_idx)
+    edited = spark.read.parquet(corpus_path).withColumn(
+        "text",
+        F.when(
+            F.col("conv_id") < "conv001000",
+            F.concat(F.col("text"), F.lit(" editedmarker")),
+        ).otherwise(F.col("text")),
+    )
+    t0 = time.time()
+    inc = incremental_update(spark, edited, inc_idx)
+    inc_s = round(time.time() - t0, 3)
+    queries["incremental_reindex"] = inc_s
+    extra["incremental"] = {
+        "elapsed_s": inc_s,
+        "shards_changed": len(inc["changed"]),
+        "shards_reused": len(inc["reused"]),
+        "reuse_frac": round(
+            len(inc["reused"]) / max(1, len(inc["changed"]) + len(inc["reused"])), 3
+        ),
+        "full_build_s": hi["build_s"],
+    }
+
     # -- entry-query suite at SF_DIR --
     from tlgs_spark.entry_queries import QUERIES
 

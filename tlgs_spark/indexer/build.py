@@ -60,7 +60,7 @@ def assign_doc_ids(
 
     Scalable formulation: range-repartition on the sort key, count rows
     per partition, broadcast the offsets, then number rows inside each
-    (sorted) partition with mapInPandas. Equivalent to
+    (sorted) partition JVM-side. Equivalent to
     ``row_number().over(Window.orderBy(...)) - 1`` but without funneling
     the corpus through one task.
 
@@ -405,11 +405,18 @@ def build_index(
     shard_batch: int | None = None,
     lineage: str = "",
     max_shards_to_build: int | None = None,
+    reuse_from: str | None = None,
 ) -> dict:
     """Full build: docs → tokens → stats/norms → per-shard postings.
 
     ``resume=True`` skips shards already in the checkpoint ledger.
     ``max_shards_to_build`` lets tests simulate a mid-build kill.
+    ``reuse_from`` points at an EXISTING index whose per-text doc
+    lengths are reused by content hash (the crawler.cpp:424-429
+    change-detection short-circuit lifted to the dl pass): only docs
+    whose text_hash is new get re-tokenized for lengths. Exactness is
+    unaffected — dl is a pure function of (text, hygiene), keyed here
+    by xxhash64(text) exactly as the reference keys its skip logic.
     Returns build metrics (also persisted in the ledger).
     """
     # AQE partition coalescing prices partitions by SHUFFLE BYTES, but
@@ -424,7 +431,7 @@ def build_index(
     try:
         return _build_index_impl(
             spark, transcripts, index_dir, n_shards, hygiene, resume,
-            shard_batch, lineage, max_shards_to_build,
+            shard_batch, lineage, max_shards_to_build, reuse_from,
         )
     finally:
         spark.conf.set(_coalesce_key, _coalesce_prev)
@@ -440,6 +447,7 @@ def _build_index_impl(
     shard_batch: int | None,
     lineage: str,
     max_shards_to_build: int | None,
+    reuse_from: str | None = None,
 ) -> dict:
     st = IndexStorage(index_dir)
     t0 = time.time()
@@ -486,7 +494,37 @@ def _build_index_impl(
         # row per doc) — the (doc, term, tf) stream is never
         # materialized or shuffled; the shard builder re-derives it
         # locally where it's consumed
-        st.write(tokenize_doc_lengths(docs_r, hygiene=hygiene), "doc_lengths")
+        dl_df = None
+        if reuse_from is not None:
+            old = IndexStorage(reuse_from)
+            if (
+                old.exists("docs")
+                and old.exists("doc_lengths")
+                and old.read_meta().get("hygiene", False) == hygiene
+            ):
+                # all joins stay SLIM (hash/id/dl columns only — never
+                # shuffle text); the fresh set re-joins the docs table
+                # by id, which AQE runtime-broadcasts when it's the
+                # expected ~1% of the corpus
+                old_map = (
+                    old.read(spark, "docs")
+                    .select("doc_id", "text_hash")
+                    .join(old.read(spark, "doc_lengths"), "doc_id")
+                    .select("text_hash", "dl")
+                    .dropDuplicates(["text_hash"])
+                )
+                slim = docs_r.select("doc_id", "text_hash").join(
+                    old_map, "text_hash", "left"
+                )
+                known = slim.filter(F.col("dl").isNotNull()).select("doc_id", "dl")
+                fresh_ids = slim.filter(F.col("dl").isNull()).select("doc_id")
+                fresh = docs_r.select("doc_id", "text").join(fresh_ids, "doc_id")
+                dl_df = known.unionByName(
+                    tokenize_doc_lengths(fresh, hygiene=hygiene)
+                )
+        if dl_df is None:
+            dl_df = tokenize_doc_lengths(docs_r, hygiene=hygiene)
+        st.write(dl_df, "doc_lengths")
         _mark("tokenize_dl")
         # collection stats — exact (north rule: no approx). n_terms /
         # n_postings are finalized from the postings table after phase

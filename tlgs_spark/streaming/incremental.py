@@ -69,7 +69,9 @@ def incremental_update(
     shutil.rmtree(stage_dir, ignore_errors=True)
     st_new = IndexStorage(stage_dir)
 
-    # full prepare, but defer ALL postings (max_shards_to_build=0)
+    # full prepare, but defer ALL postings (max_shards_to_build=0);
+    # doc lengths for unchanged texts come from the old index by
+    # content hash (reuse_from) — only changed/new docs re-tokenize
     build_index(
         spark,
         transcripts,
@@ -79,6 +81,7 @@ def incremental_update(
         resume=False,
         max_shards_to_build=0,
         lineage="incremental:prepare",
+        reuse_from=index_dir,
     )
     new_meta = st_new.read_meta()
     if new_meta["shard_size"] != meta["shard_size"]:

@@ -1,0 +1,69 @@
+"""Field-weighted (title_vector analog) search: engine vs oracle
+rank+score identity.
+
+The field index is built by build_field_index over the SAME docs table
+(first-5-token 'title' field, tlgs_ctl/main.cpp:33 analog); doc_ids
+align by construction. oracle.search_fielded mirrors search.cpp:438-442
+semantics (body-only candidate match, body + 50·title score).
+"""
+
+import os
+
+import pytest
+
+from tlgs_spark import oracle as O
+from tlgs_spark.indexer.build import build_field_index, field_index_dir
+
+QUERIES = [
+    ("tok0000", "and"),
+    ("tok0001", "or"),
+    ("tok0000 tok0001", "and"),
+    ("tok0002 tok0005", "or"),
+    ("marker000", "and"),
+    ("tok0003 tok0004 tok0010", "or"),
+]
+
+
+@pytest.fixture(scope="module")
+def field_dir(spark, index_dir):
+    d = field_index_dir(index_dir)
+    if not os.path.exists(os.path.join(d, "index_meta.json")):
+        build_field_index(spark, index_dir)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_title_index(corpus_pdf):
+    texts = [O.title_text(t) for t in corpus_pdf.text]
+    return O.build_index(list(enumerate(texts)))
+
+
+def test_field_index_aligns_with_body(spark, index_dir, field_dir, oracle_title_index):
+    from tlgs_spark.indexer.storage import IndexStorage
+
+    body_meta = IndexStorage(index_dir).read_meta()
+    f_meta = IndexStorage(field_dir).read_meta()
+    assert f_meta["n_docs"] == body_meta["n_docs"]
+    assert f_meta["shard_size"] == body_meta["shard_size"]
+    dl = {r.doc_id: r.dl for r in IndexStorage(field_dir).read(spark, "doc_lengths").collect()}
+    assert dl == oracle_title_index.doc_lengths
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_fielded_rank_identity(query, mode, search_index, field_dir,
+                               oracle_index, oracle_title_index):
+    exp = O.search_fielded(oracle_index, oracle_title_index, query, k=10, mode=mode)
+    got = search_index.search_fielded(query, k=10, mode=mode)
+    got_pairs = list(zip((int(d) for d in got["doc_id"]), got["score"]))
+    assert got_pairs == exp  # doc_ids AND float64 scores, bit-identical
+
+
+def test_title_hit_outranks_body_only(search_index, field_dir, corpus_pdf):
+    """A term appearing in a doc's first-5 tokens must outrank an
+    equal-body-score doc without the title hit (weight 50 dominates)."""
+    # find a term that is some doc's first token
+    first_tok = O.title_text(corpus_pdf.text.iloc[0]).split(" ")[0]
+    got = search_index.search_fielded(first_tok, k=5, mode="or")
+    if len(got) >= 2:
+        top = int(got["doc_id"].iloc[0])
+        assert first_tok in O.title_text(corpus_pdf.text.iloc[top]).split(" ")

@@ -723,3 +723,60 @@ def _build_index_impl(
         "docs_per_sec": meta["n_docs"] / max(total, 1e-9),
         "phases": phases,
     }
+
+
+# ---------------------------------------------------------------------------
+# field (title) index — the title_vector analog (tlgs_ctl/main.cpp:33)
+# ---------------------------------------------------------------------------
+
+FIELD_TITLE_TOKENS = 5
+
+
+def field_index_dir(index_dir: str, field: str = "first5") -> str:
+    import os
+
+    return os.path.join(index_dir, f"field_{field}")
+
+
+def build_field_index(spark: SparkSession, index_dir: str, field: str = "first5") -> dict:
+    """Build a second, field-scoped inverted index under the main one —
+    the ``title_vector`` analog (tlgs_ctl/main.cpp:33; reference titles
+    are the first heading1, crawler.cpp:443,452). The transcript
+    'title' is the first 5 [a-z0-9]+ tokens of each turn.
+
+    Reuses build_index verbatim on a derived corpus: identical
+    (conv_id, turn_idx) ordering ⇒ identical doc_ids, so field and
+    body postings address the same documents with no mapping table.
+    Same shard grid as the main index (same n_docs ⇒ same shard_size).
+    """
+    if field != "first5":
+        raise ValueError(f"unknown field {field!r}")
+    st = IndexStorage(index_dir)
+    meta = st.read_meta()
+    docs = st.read(spark, "docs")
+    derived = docs.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.array_join(
+            F.slice(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(TOKEN_RE.pattern), F.lit(0)
+                ),
+                1,
+                FIELD_TITLE_TOKENS,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return build_index(
+        spark,
+        derived,
+        field_index_dir(index_dir, field),
+        n_shards=meta["n_shards"],
+        hygiene=False,
+        resume=True,
+        lineage=f"field:{field} of {index_dir}",
+    )

@@ -88,3 +88,75 @@ def search(
                 scores[d] += w_idf * bm25.tf_norm(tf, idx.doc_lengths[d], idx.avgdl)
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]
+
+
+FIELD_TITLE_TOKENS = 5
+
+
+def title_text(text: str) -> str:
+    """The transcript 'title' field: first 5 [a-z0-9]+ tokens of the
+    lowercased text (the page-heading analog — reference titles are the
+    first heading1, crawler.cpp:443,452)."""
+    import re
+
+    return " ".join(re.findall(r"[a-z0-9]+", (text or "").lower())[:FIELD_TITLE_TOKENS])
+
+
+def search_fielded(
+    idx_body: OracleIndex,
+    idx_title: OracleIndex,
+    query: str,
+    k: int = 10,
+    mode: str = "and",
+    title_weight: float = 50.0,
+) -> list[tuple[int, float]]:
+    """Field-weighted top-k: candidates come from the BODY match alone
+    (the reference's WHERE uses search_vector only, search.cpp:441) and
+    the score is body + w·title (ts_rank(title)*50 + ts_rank(body),
+    search.cpp:438-442). Op order pinned to the engine: each field's
+    per-doc sum accumulates in query-term order; the title sum is
+    weighted ONCE, then added to the body sum."""
+    terms = tokenize_query(query)
+    if not terms:
+        return []
+    plists = []
+    for t in terms:
+        p = idx_body.postings.get(t)
+        if p is None:
+            if mode == "and":
+                return []
+            continue
+        plists.append((t, p))
+    if not plists:
+        return []
+    if mode == "and":
+        cand = set(plists[0][1].keys())
+        for _, p in plists[1:]:
+            cand &= p.keys()
+    else:
+        cand = set()
+        for _, p in plists:
+            cand |= p.keys()
+
+    body: dict[int, float] = {d: 0.0 for d in cand}
+    for t, p in plists:
+        w_idf = bm25.idf(idx_body.n_docs, len(p))
+        for d in cand:
+            tf = p.get(d)
+            if tf:
+                body[d] += w_idf * bm25.tf_norm(tf, idx_body.doc_lengths[d], idx_body.avgdl)
+    title: dict[int, float] = {d: 0.0 for d in cand}
+    for t in terms:
+        p = idx_title.postings.get(t)
+        if not p:
+            continue
+        w_idf = bm25.idf(idx_title.n_docs, len(p))
+        for d in cand:
+            tf = p.get(d)
+            if tf:
+                title[d] += w_idf * bm25.tf_norm(
+                    tf, idx_title.doc_lengths[d], idx_title.avgdl
+                )
+    scores = {d: body[d] + title_weight * title[d] for d in cand}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]

@@ -34,7 +34,7 @@ from ..indexer.codec import decode_postings, decode_postings_batch, decode_varin
 from ..indexer.storage import IndexStorage
 from ..tokenizer import tokenize, tokenize_query
 from .parser import SearchFilter, eval_filter_row, parse_search_query
-from .scorer import TermData, search_and, search_or
+from .scorer import TermData, _exact_scores, _topk_order, search_and, search_or
 from .snippet import make_snippet
 
 
@@ -374,6 +374,63 @@ class SearchIndex:
         res = res.copy()
         res["preview"] = [make_snippet(texts.get(i, ""), terms) for i in ids]
         return res
+
+    # ---------------- search (fielded, title_vector analog) ----------------
+
+    def field_index(self, field: str = "first5") -> "SearchIndex":
+        """Open (and cache) the field sub-index built by
+        build_field_index — same doc_ids as the body index by
+        construction (identical (conv_id, turn_idx) ordering)."""
+        import os
+
+        if not hasattr(self, "_field_cache"):
+            self._field_cache: dict[str, SearchIndex] = {}
+        if field not in self._field_cache:
+            self._field_cache[field] = SearchIndex(
+                self.spark, os.path.join(self.st.index_dir, f"field_{field}")
+            )
+        return self._field_cache[field]
+
+    def search_fielded(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        title_weight: float = 50.0,
+        field: str = "first5",
+    ) -> pd.DataFrame:
+        """W1 field-weighted search over the INDEX: candidates from the
+        body match alone (the reference's WHERE uses search_vector only,
+        search.cpp:441), score = body + w·title
+        (ts_rank_cd(title)*50 + ts_rank_cd(search_vector),
+        search.cpp:438-442). Rank-identical to oracle.search_fielded."""
+        text_query, _ = parse_search_query(query)
+        terms = tokenize_query(text_query)
+        if not terms:
+            raise EmptyQueryError(query)
+        tds = self.term_data(terms)
+        if mode == "and":
+            if any(td.doc_ids.size == 0 for td in tds):
+                return pd.DataFrame({"doc_id": [], "score": []})
+            by_df = sorted(tds, key=lambda t: t.doc_ids.size)
+            cand = by_df[0].doc_ids
+            for td in by_df[1:]:
+                pos = np.searchsorted(td.doc_ids, cand)
+                pos_c = np.minimum(pos, td.doc_ids.size - 1)
+                cand = cand[(pos < td.doc_ids.size) & (td.doc_ids[pos_c] == cand)]
+                if cand.size == 0:
+                    return pd.DataFrame({"doc_id": [], "score": []})
+        else:
+            nonempty = [td.doc_ids for td in tds if td.doc_ids.size]
+            if not nonempty:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            cand = np.unique(np.concatenate(nonempty))
+        body = _exact_scores(cand, tds, self.dl_of, self.n_docs, self.avgdl)
+        ft = self.field_index(field)
+        ttds = ft.term_data(terms)
+        title = _exact_scores(cand, ttds, ft.dl_of, ft.n_docs, ft.avgdl)
+        ids, sc = _topk_order(cand, body + title_weight * title, k)
+        return pd.DataFrame({"doc_id": ids, "score": sc})
 
     # ---------------- search (distributed path) ----------------
 

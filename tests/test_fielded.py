@@ -58,6 +58,14 @@ def test_fielded_rank_identity(query, mode, search_index, field_dir,
     assert got_pairs == exp  # doc_ids AND float64 scores, bit-identical
 
 
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_fielded_distributed_path_identity(query, mode, search_index, field_dir,
+                                           oracle_index, oracle_title_index):
+    exp = O.search_fielded(oracle_index, oracle_title_index, query, k=10, mode=mode)
+    rows = search_index.search_df_fielded(query, k=10, mode=mode).collect()
+    assert [(r.doc_id, r.score) for r in rows] == exp
+
+
 def test_title_hit_outranks_body_only(search_index, field_dir, corpus_pdf):
     """A term appearing in a doc's first-5 tokens must outrank an
     equal-body-score doc without the title hit (weight 50 dominates)."""

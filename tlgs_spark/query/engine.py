@@ -558,3 +558,89 @@ class SearchIndex:
                 .select("doc_id", "score")
             )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_df_fielded(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        title_weight: float = 50.0,
+        field: str = "first5",
+    ) -> DataFrame:
+        """Distributed rendering of search_fielded: body + title postings
+        for the query terms union into one per-shard group (doc-range
+        sharding puts ALL of a doc's postings — both fields — in one
+        shard, so the per-shard body intersection IS the global one
+        restricted to the shard), each shard scores body + w·title
+        exactly, and the global merge moves only n_shards×k rows.
+        Bit-identical to the driver path (same op order per doc)."""
+        text_query, _ = parse_search_query(query)
+        terms = tokenize_query(text_query)
+        if not terms:
+            raise EmptyQueryError(query)
+        ft = self.field_index(field)
+        df_map = self._term_df_map(terms)
+        tdf_map = ft._term_df_map(terms)
+        if mode == "and" and len(df_map) < len(terms):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        n_docs, avgdl, shard_size = self.n_docs, self.avgdl, self.shard_size
+        t_n_docs, t_avgdl = ft.n_docs, ft.avgdl
+        q_terms, w = list(terms), float(title_weight)
+
+        cols = ["shard", "term", "postings"]
+        posts = self._postings_df.select(*cols, F.lit("body").alias("fld")).filter(
+            F.col("term").isin(terms)
+        ).unionByName(
+            ft._postings_df.select(*cols, F.lit("title").alias("fld")).filter(
+                F.col("term").isin(terms)
+            )
+        )
+        b_dl = self._dl_broadcast()
+        b_tdl = ft._dl_broadcast()
+
+        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard0 = int(pdf["shard"].iloc[0])
+            base = shard0 * shard_size
+
+            def tds_of(fld: str, dfm: dict) -> list[TermData]:
+                rows = {r["term"]: r for _, r in pdf[pdf["fld"] == fld].iterrows()}
+                out = []
+                for t in q_terms:
+                    r = rows.get(t)
+                    if r is None:
+                        out.append(TermData(t, dfm.get(t, 0), np.zeros(0, np.int64),
+                                            np.zeros(0, np.int64), np.zeros(0, np.float64),
+                                            np.zeros(0, np.int64)))
+                        continue
+                    d, tf = decode_postings(bytes(r["postings"]), base=base)
+                    out.append(TermData(t, dfm.get(t, 0), d, tf,
+                                        np.zeros(0, np.float64), np.zeros(0, np.int64)))
+                return out
+
+            body_tds = tds_of("body", df_map)
+            if mode == "and":
+                if any(td.doc_ids.size == 0 for td in body_tds):
+                    return pd.DataFrame({"doc_id": [], "score": []})
+                by_df = sorted(body_tds, key=lambda t: t.doc_ids.size)
+                cand = by_df[0].doc_ids
+                for td in by_df[1:]:
+                    pos = np.searchsorted(td.doc_ids, cand)
+                    pos_c = np.minimum(pos, td.doc_ids.size - 1)
+                    cand = cand[(pos < td.doc_ids.size) & (td.doc_ids[pos_c] == cand)]
+                    if cand.size == 0:
+                        return pd.DataFrame({"doc_id": [], "score": []})
+            else:
+                nonempty = [td.doc_ids for td in body_tds if td.doc_ids.size]
+                if not nonempty:
+                    return pd.DataFrame({"doc_id": [], "score": []})
+                cand = np.unique(np.concatenate(nonempty))
+            body = _exact_scores(cand, body_tds, b_dl.value, n_docs, avgdl)
+            title = _exact_scores(cand, tds_of("title", tdf_map), b_tdl.value,
+                                  t_n_docs, t_avgdl)
+            ids, sc = _topk_order(cand, body + w * title, k)
+            return pd.DataFrame({"doc_id": ids, "score": sc})
+
+        local = posts.groupBy("shard").applyInPandas(
+            score_shard, schema="doc_id long, score double"
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

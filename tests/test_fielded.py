@@ -75,3 +75,39 @@ def test_title_hit_outranks_body_only(search_index, field_dir, corpus_pdf):
     if len(got) >= 2:
         top = int(got["doc_id"].iloc[0])
         assert first_tok in O.title_text(corpus_pdf.text.iloc[top]).split(" ")
+
+
+def test_incremental_rebuilds_field_index(spark, tmp_path):
+    """Field sub-indexes live inside index_dir; the incremental swap
+    must rebuild them so fielded search stays correct after an update."""
+    from pyspark.sql import functions as F
+
+    from tlgs_spark.corpus import generate_spark
+    from tlgs_spark.indexer.build import build_index
+    from tlgs_spark.query.engine import SearchIndex
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx")
+    sdf = generate_spark(spark, 12, partitions=2)
+    build_index(spark, sdf, idx, n_shards=4)
+    build_field_index(spark, idx)
+
+    edited = sdf.withColumn(
+        "text",
+        F.when(F.col("conv_id") == "conv000000",
+               F.concat(F.lit("zzedited "), F.col("text"))).otherwise(F.col("text")),
+    )
+    res = incremental_update(spark, edited, idx)
+    assert res["fields_rebuilt"] == ["first5"]
+
+    rows = sorted(edited.select("conv_id", "turn_idx", "text").collect(),
+                  key=lambda r: (r.conv_id, r.turn_idx))
+    body = O.build_index(list(enumerate(r.text for r in rows)))
+    title = O.build_index(list(enumerate(O.title_text(r.text) for r in rows)))
+    si = SearchIndex(spark, idx)
+    for q in ["zzedited", "tok0000"]:
+        exp = O.search_fielded(body, title, q, k=5, mode="or")
+        got = si.search_fielded(q, k=5, mode="or")
+        assert list(zip((int(d) for d in got["doc_id"]), got["score"])) == exp
+    # the edited prefix is now a title hit for conv000000's turns
+    assert len(si.search_fielded("zzedited", k=5)) > 0

@@ -133,13 +133,28 @@ def incremental_update(
             lineage="incremental:changed",
         )
 
+    # field sub-indexes live INSIDE index_dir and would be silently
+    # dropped by the swap — note which exist and rebuild them after
+    # (cheap: the title field is 5 tokens/doc)
+    fields = [
+        d.split("field_", 1)[1]
+        for d in os.listdir(index_dir)
+        if d.startswith("field_") and os.path.isdir(os.path.join(index_dir, d))
+    ]
+
     # atomic-ish swap
     backup = index_dir.rstrip("/") + ".prev"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(index_dir, backup)
     os.rename(stage_dir, index_dir)
     shutil.rmtree(backup, ignore_errors=True)
-    return {"changed": changed, "reused": reused}
+
+    if fields:
+        from ..indexer.build import build_field_index
+
+        for f in fields:
+            build_field_index(spark, index_dir, field=f)
+    return {"changed": changed, "reused": reused, "fields_rebuilt": fields}
 
 
 def purge_conversations(

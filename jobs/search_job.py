@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--preview", action="store_true")
     ap.add_argument("--dedup", action="store_true")
+    ap.add_argument("--fielded", action="store_true",
+                    help="title-weighted W1 scoring (needs build_field_index)")
+    ap.add_argument("--title-weight", type=float, default=50.0)
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("tlgs_spark_search").getOrCreate()
@@ -34,7 +37,17 @@ def main():
     from tlgs_spark.query.engine import SearchIndex
 
     si = SearchIndex(spark, args.index_dir)
-    if args.distributed:
+    if args.fielded and args.distributed:
+        rows = si.search_df_fielded(
+            args.query, k=args.k, mode=args.mode, title_weight=args.title_weight
+        ).collect()
+        results = [{"doc_id": r.doc_id, "score": r.score} for r in rows]
+    elif args.fielded:
+        pdf = si.search_fielded(
+            args.query, k=args.k, mode=args.mode, title_weight=args.title_weight
+        )
+        results = json.loads(pdf.to_json(orient="records"))
+    elif args.distributed:
         rows = si.search_df(args.query, k=args.k, mode=args.mode).collect()
         results = [{"doc_id": r.doc_id, "score": r.score} for r in rows]
     else:

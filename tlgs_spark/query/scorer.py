@@ -83,7 +83,9 @@ def _topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.nda
     ≥ k-th-score slice with an O(n) partition first and lexsort only
     that slice — score ties at the threshold are all kept in the slice,
     so the result is identical to lexsorting everything."""
-    if scores.size > max(4 * k, 1024):
+    # k>=1 guard: np.partition(kth=size) is out of bounds for k=0 —
+    # keep the old empty-result behavior via the lexsort path
+    if k >= 1 and scores.size > max(4 * k, 1024):
         thr = np.partition(scores, scores.size - k)[scores.size - k]
         m = scores >= thr
         doc_ids, scores = doc_ids[m], scores[m]

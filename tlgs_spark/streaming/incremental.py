@@ -121,17 +121,21 @@ def incremental_update(
         )
         led.write.mode("append").parquet(st_new.path("ledger"))
 
-    # rebuild only the changed shards (resume skips the reused ones)
-    if changed:
-        build_index(
-            spark,
-            transcripts,
-            stage_dir,
-            n_shards=n_shards,
-            hygiene=hygiene,
-            resume=True,
-            lineage="incremental:changed",
-        )
+    # rebuild only the changed shards (resume skips the reused ones).
+    # Called even when changed == []: the prepare pass above deferred
+    # finalize (max_shards_to_build=0 ⇒ no postings yet), so term_stats
+    # and the exact n_terms/n_postings only exist after this resume run
+    # — skipping it on a no-change update would swap in an index with
+    # no term_stats table and -1 placeholders in collection_stats.
+    build_index(
+        spark,
+        transcripts,
+        stage_dir,
+        n_shards=n_shards,
+        hygiene=hygiene,
+        resume=True,
+        lineage="incremental:changed",
+    )
 
     # field sub-indexes live INSIDE index_dir and would be silently
     # dropped by the swap — note which exist and rebuild them after

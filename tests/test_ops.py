@@ -70,7 +70,7 @@ def test_minhash_lsh_finds_near_dups(docs_df):
 def test_simhash_near_dups_close(docs_df):
     from tlgs_spark.ops.textstats import simhash64
 
-    h = {r.doc_id: r.simhash for r in simhash64(docs_df).collect()}
+    h = {r.doc_id: int(r.simhash, 16) for r in simhash64(docs_df).collect()}
     assert h[0] == h[1]  # identical text → identical simhash
 
     def ham(a, b):

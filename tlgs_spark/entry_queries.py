@@ -199,6 +199,68 @@ def bm25_topk_or(spark, sf_dir):
     return _topk(scored, 25)
 
 
+_ENGINE_IDX_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _engine_index(spark: SparkSession, sf_dir: str):
+    """Build (once per session × sf_dir) a REAL index over the
+    documents table — through assign_doc_ids → tokenize → delta-gap +
+    varint postings → block-max metadata — and open it with
+    SearchIndex. conv_id = zero-padded doc_id makes the builder's
+    (conv_id, turn_idx) rank equal the table's doc_id, so engine
+    results and the DuckDB oracle address identical documents."""
+    key = (id(spark), sf_dir)
+    hit = _ENGINE_IDX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import tempfile
+
+    from .indexer.build import build_index
+    from .query.engine import SearchIndex
+
+    idx = tempfile.mkdtemp(prefix="tlgs_entry_engine_idx_")
+    transcripts = _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    build_index(spark, transcripts, idx, n_shards=8, lineage=f"entry:{sf_dir}")
+    si = SearchIndex(spark, idx)
+    _ENGINE_IDX_CACHE[key] = si
+    return si
+
+
+@q("engine_bm25_topk", _bm25_sql(AND_TERMS, 20, "and"))
+def engine_bm25_topk(spark, sf_dir):
+    """The REAL engine under the driver's oracle: build_index →
+    posting codec (delta-gap varint, indexer/codec.py) → SearchIndex
+    driver path (search_and intersection + exact scoring,
+    query/scorer.py — plainto_tsquery AND semantics, search.cpp:441).
+    Same DuckDB mirror as the declarative twin bm25_topk_and — the
+    index is an access path, not a semantics change."""
+    si = _engine_index(spark, sf_dir)
+    res = si.search(" ".join(AND_TERMS), k=20, mode="and")
+    sdf = spark.createDataFrame(
+        res[["doc_id", "score"]], schema="doc_id long, score double"
+    )
+    return sdf.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@q("engine_bm25_wand_df", _bm25_sql(OR_TERMS, 25, "or"))
+def engine_bm25_wand_df(spark, sf_dir):
+    """Distributed engine path under the oracle: search_df scores each
+    shard's decoded postings with the block-max pruned OR scorer
+    (search_or, query/scorer.py) inside applyInPandas, then merges
+    n_shards×k rows globally — the 100 TB serving shape."""
+    si = _engine_index(spark, sf_dir)
+    return si.search_df(" ".join(OR_TERMS), k=25, mode="or").select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 @q(
     "bm25_filtered",
     _bm25_sql(AND_TERMS, 20, "and", doc_filter="doc.lang IN ('en','de')"),
@@ -1256,30 +1318,159 @@ def _synth_links(spark, sf_dir):
     return e1.unionAll(e2).filter(F.col("src") != F.col("dst"))
 
 
-@q("hits_rank", None)
+_SYNTH_EDGES_SQL = """
+base AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id < 500),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % 97 AS dst FROM base
+    UNION ALL
+    SELECT doc_id, (doc_id * 7 + 3) % (SELECT count(*) FROM base) FROM base
+  ) WHERE src <> dst
+)
+""".strip()
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled fixed-iteration HITS mirror of graph.hits_rank with
+    eps=0 (no early stop): auth_raw(v)=Σ hub(u); hub_raw(u)=Σ
+    auth_raw(v) — hub uses the PRE-normalization auth, exactly like
+    the engine — then each L1-normalizes."""
+    parts = [
+        _SYNTH_EDGES_SQL,
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e "
+        "UNION ALL SELECT dst FROM e))",
+        "s0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS auth, "
+        "1.0 / (SELECT count(*) FROM nodes) AS hub FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT e.dst AS node, sum(s.hub) AS raw "
+            f"FROM e JOIN s{p} s ON s.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT e.src AS node, sum(a.raw) AS raw "
+            f"FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT n.node, "
+            f"coalesce(a.raw, 0) / (SELECT sum(raw) FROM a{k}) AS auth, "
+            f"coalesce(h.raw, 0) / (SELECT sum(raw) FROM h{k}) AS hub "
+            f"FROM nodes n LEFT JOIN a{k} a USING (node) "
+            f"LEFT JOIN h{k} h USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(auth, 6) AS auth, round(hub, 6) AS hub FROM s{iters}"
+    )
+
+
+def _salsa_sql(iters: int = 5) -> str:
+    """Unrolled fixed-iteration SALSA mirror of graph.salsa_rank with
+    eps=0: side = auth iff in_deg > out_deg, hub→auth edges only,
+    degree-normalized propagation, per-side L1 after each half-step
+    (hub update sees the NORMALIZED auth, exactly like the engine)."""
+    parts = [
+        _SYNTH_EDGES_SQL,
+        "deg AS MATERIALIZED (SELECT node, sum(out_) AS outd, sum(in_) AS ind FROM ("
+        "SELECT src AS node, 1 AS out_, 0 AS in_ FROM e "
+        "UNION ALL SELECT dst, 0, 1 FROM e) GROUP BY node)",
+        "sides AS MATERIALIZED (SELECT node, CASE WHEN ind > outd THEN 'auth' ELSE 'hub' END AS side FROM deg)",
+        "ke AS MATERIALIZED (SELECT e.src, e.dst FROM e "
+        "JOIN sides ss ON ss.node = e.src AND ss.side = 'hub' "
+        "JOIN sides sd ON sd.node = e.dst AND sd.side = 'auth')",
+        "hdeg AS MATERIALIZED (SELECT src, count(*) AS hd FROM ke GROUP BY src)",
+        "adeg AS MATERIALIZED (SELECT dst, count(*) AS ad FROM ke GROUP BY dst)",
+        "an AS MATERIALIZED (SELECT DISTINCT dst AS node FROM ke)",
+        "hn AS MATERIALIZED (SELECT DISTINCT src AS node FROM ke)",
+        "a0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT count(*) FROM an) AS score FROM an)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT count(*) FROM hn) AS score FROM hn)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT ke.dst AS node, sum(h.score / hd.hd) AS raw "
+            f"FROM ke JOIN h{p} h ON h.node = ke.src "
+            f"JOIN hdeg hd ON hd.src = ke.src GROUP BY ke.dst)"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT node, raw / (SELECT sum(raw) FROM ar{k}) AS score FROM ar{k})"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT ke.src AS node, sum(a.score / ad.ad) AS raw "
+            f"FROM ke JOIN a{k} a ON a.node = ke.dst "
+            f"JOIN adeg ad ON ad.dst = ke.dst GROUP BY ke.src)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT node, raw / (SELECT sum(raw) FROM hr{k}) AS score FROM hr{k})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, 'auth' AS side, round(score, 6) AS score FROM a{iters}"
+        + f"\nUNION ALL SELECT node, 'hub', round(score, 6) FROM h{iters}"
+    )
+
+
+@q("hits_rank", _hits_sql(5))
 def hits_rank_entry(spark, sf_dir):
     """A5: HITS neighbor-sum iteration (search.cpp:253-306) over the
-    synthetic link graph; capped iterations for gate latency."""
+    synthetic link graph; fixed 5 iterations (eps=0) so the unrolled
+    DuckDB CTE mirror is exact — oracle-paired since r2."""
     from .graph import hits_rank
 
-    return hits_rank(_synth_links(spark, sf_dir), max_iter=5).select(
+    return hits_rank(_synth_links(spark, sf_dir), max_iter=5, eps=0.0).select(
         "node", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
     )
 
 
-@q("salsa_rank", None)
+@q("salsa_rank", _salsa_sql(5))
 def salsa_rank_entry(spark, sf_dir):
-    """A6: SALSA bipartite two-hop average (search.cpp:316-412)."""
+    """A6: SALSA bipartite two-hop average (search.cpp:316-412); fixed
+    5 iterations (eps=0), unrolled CTE oracle — paired since r2."""
     from .graph import salsa_rank
 
-    return salsa_rank(_synth_links(spark, sf_dir), max_iter=5).select(
+    return salsa_rank(_synth_links(spark, sf_dir), max_iter=5, eps=0.0).select(
         "node", "side", F.round("score", 6).alias("score")
     )
 
 
-@q("simhash", None)
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(l) AS t FROM toks),
+h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
+jb AS (SELECT unnest(range(64)) AS j),
+bits AS (
+  SELECT h.doc_id, jb.j,
+         sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + j // 4, 1)) - 1)
+                        & ([8,4,2,1][(j & 3) + 1])) > 0 THEN 1 ELSE 0 END) AS n_set,
+         count(*) AS n
+  FROM h CROSS JOIN jb GROUP BY h.doc_id, jb.j
+),
+sb AS (
+  SELECT doc_id, j, CASE WHEN 2 * n_set >= n THEN 1 ELSE 0 END AS bit FROM bits
+),
+nib AS (
+  SELECT doc_id, j // 4 AS ni, sum(bit * ([8,4,2,1][(j & 3) + 1])) AS v
+  FROM sb GROUP BY doc_id, j // 4
+),
+hexes AS (
+  SELECT doc_id,
+         string_agg(substr('0123456789abcdef', (v + 1)::INT, 1), '' ORDER BY ni) AS simhash
+  FROM nib GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(hx.simhash, '0000000000000000') AS simhash
+FROM documents d LEFT JOIN hexes hx USING (doc_id)
+""".strip()
+
+
+@q("simhash", _SIMHASH_SQL)
 def simhash_entry(spark, sf_dir):
-    """SimHash fingerprints (near-dup family) — vectorized pandas UDF."""
+    """SimHash fingerprints (near-dup family) — pure JVM expression
+    kernel (md5 token hash + bit aggregation in whole-stage codegen;
+    no Python in the data plane), oracle-paired since r2."""
     from .ops.textstats import simhash64
 
     return simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash")

@@ -157,3 +157,35 @@ def test_incremental_reuses_zero_posting_shard(spark, tmp_path):
     build_index(spark, sdf, idx, n_shards=2)
     res = incremental_update(spark, sdf, idx, n_shards=2)
     assert res["reused"] == [0, 1] and res["changed"] == []
+
+
+def test_incremental_reuse_is_metadata_level(spark, tmp_path):
+    """r2: no staging-dir copy, no os.rename — a reused shard's
+    postings files must be the SAME files (path + inode + mtime)
+    after the update, and no .staging/.prev dirs may appear."""
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_meta")
+    pdf = generate_pandas(20)
+    build_index(spark, _spark_df(spark, pdf), idx, n_shards=6, lineage="v1")
+
+    def snap(shard):
+        d = os.path.join(idx, "postings", f"shard={shard}")
+        return {
+            f: (os.stat(os.path.join(d, f)).st_ino, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+
+    pdf2 = pdf.copy()
+    mask = pdf2.conv_id == "conv000003"
+    pdf2.loc[mask, "text"] = pdf2.loc[mask, "text"] + " edited"
+    # snapshot every shard's files pre-update; diff after
+    pre = {s: snap(s) for s in range(6) if os.path.isdir(os.path.join(idx, "postings", f"shard={s}"))}
+    res = incremental_update(spark, _spark_df(spark, pdf2), idx, n_shards=6)
+    assert res["changed"] and res["reused"]
+    for s in res["reused"]:
+        if s in pre:
+            assert snap(s) == pre[s], f"reused shard {s} files were rewritten/copied"
+    parent = os.path.dirname(idx)
+    assert not any(".staging" in d or ".prev" in d for d in os.listdir(parent))

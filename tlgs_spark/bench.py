@@ -75,7 +75,7 @@ def query_bench(spark, index_dir: str, rounds: int = 3) -> dict:
 
     si = SearchIndex(spark, index_dir)
     si.dl_of  # index-open warmup outside the timed region
-    si.docs_meta()
+    si._meta_lookup(np.array([0]))  # docs pyarrow dataset discovery
     si.term_rows(["__warmup__"])  # pyarrow dataset discovery (once per index)
     cold, warm = [], []
     for r in range(rounds):

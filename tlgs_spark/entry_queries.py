@@ -18,7 +18,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import bm25
-from .tokenizer import MAX_TOKEN_LEN, STOPWORDS, stopwords_sql_list, tokens_cte_sql
+from .tokenizer import (
+    MAX_TOKEN_LEN,
+    STOPWORDS,
+    s_stem,
+    stem_sql_case,
+    stopwords_sql_list,
+    tokens_cte_sql,
+)
 
 TOKEN_PATTERN = "[a-z0-9]+"
 _STOP = sorted(STOPWORDS)
@@ -83,6 +90,7 @@ def _token_stats(spark: SparkSession, sf_dir: str) -> dict:
 def _bm25_scored(spark, sf_dir, terms: list[str]) -> tuple[DataFrame, int]:
     """→ (doc_id, score(double, unrounded), n_matched), plus n_terms.
     Candidate generation = per-term postings join; idf/avgdl exact."""
+    terms = [s_stem(t) for t in terms]  # query analyzer = doc analyzer
     st = _token_stats(spark, sf_dir)
     tf, dl, dft = st["tf"], st["dl"], st["dft"]
     n_docs, avgdl = st["n_docs"], st["avgdl"]
@@ -113,6 +121,7 @@ def _bm25_scored(spark, sf_dir, terms: list[str]) -> tuple[DataFrame, int]:
 
 def _bm25_sql(terms: list[str], k: int, mode: str = "and", doc_filter: str = "TRUE",
               page: int | None = None) -> str:
+    terms = [s_stem(t) for t in terms]  # mirror of _bm25_scored's stem
     vals = ", ".join(f"('{t}')" for t in terms)
     having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
     idf = f"ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
@@ -1054,7 +1063,7 @@ t_raw AS (
   SELECT doc_id, unnest(regexp_extract_all(title, '[a-z0-9]+')) AS term FROM titles
 ),
 t_toks AS (
-  SELECT doc_id, term FROM t_raw
+  SELECT doc_id, {stem_sql_case("term")} AS term FROM t_raw
   WHERE length(term) <= 64 AND term NOT IN ({stopwords_sql_list()})
 ),
 t_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t_toks GROUP BY doc_id, term),
@@ -1464,6 +1473,100 @@ hexes AS (
 SELECT d.doc_id, coalesce(hx.simhash, '0000000000000000') AS simhash
 FROM documents d LEFT JOIN hexes hx USING (doc_id)
 """.strip()
+
+
+_URL_FRAME_SQL = """
+uf AS (
+  SELECT doc_id,
+         doc_id % 50 AS content_hash,
+         n_chars AS size,
+         n_chars::DOUBLE AS score,
+         CASE doc_id % 5
+           WHEN 0 THEN 'gemini://host' || (doc_id % 7) || '.example/page' || (doc_id % 50)
+           WHEN 1 THEN 'gemini://host' || (doc_id % 7) || '.example/page' || (doc_id % 50) || '/'
+           WHEN 2 THEN 'gemini://host' || (doc_id % 7) || '.example/~alice/page' || (doc_id % 50)
+           WHEN 3 THEN 'gemini://host' || (doc_id % 7) || '.example/users/alice/page' || (doc_id % 50)
+           ELSE 'gemini://archive.example/host' || (doc_id % 7) || '.example/page' || (doc_id % 50)
+         END AS url
+  FROM documents
+)
+""".strip()
+
+
+def _url_frame(spark, sf_dir):
+    """Deterministic URL-bearing frame over documents: 50 content-hash
+    groups × 5 URL shapes exercising every W4 rule (plain, trailing
+    slash, /~user, /users/, archive-mirror)."""
+    d = _docs(spark, sf_dir)
+    h = F.col("doc_id") % 50
+    hostn = F.col("doc_id") % 7
+    page = F.concat(F.lit("host"), hostn, F.lit(".example/page"), h)
+    url = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("gemini://"), page))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("gemini://"), page, F.lit("/")))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("gemini://host"), hostn, F.lit(".example/~alice/page"), h),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("gemini://host"), hostn, F.lit(".example/users/alice/page"), h),
+        )
+        .otherwise(F.concat(F.lit("gemini://archive.example/"), page))
+    )
+    return d.select(
+        "doc_id",
+        h.alias("content_hash"),
+        F.col("n_chars").alias("size"),
+        F.col("n_chars").cast("double").alias("score"),
+        url.alias("url"),
+    )
+
+
+@q(
+    "dedup_merge_rules",
+    _URL_FRAME_SQL.replace("uf AS (", "WITH uf AS MATERIALIZED (")
+    + """
+, parsed AS (
+  SELECT doc_id AS id, content_hash AS h, url,
+         lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host,
+         coalesce(regexp_extract(url, '^[a-z]+://[^/]+(/.*)?$', 1), '') AS path,
+         regexp_replace(
+           replace(replace(replace(url, '/~', chr(1)), '/users', chr(1)), '/user', chr(1)),
+           '/$', '') AS norm
+  FROM uf WHERE size > 0
+),
+sized AS (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY h) AS grp_n FROM parsed)
+  WHERE grp_n <= 200
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CASE WHEN a.host = b.host THEN 'same_host'
+            WHEN a.path = b.path THEN 'same_path'
+            WHEN a.norm = b.norm THEN 'norm_eq'
+            WHEN suffix(b.url, a.host || a.path) OR suffix(a.url, b.host || b.path)
+              THEN 'archive'
+       END AS rule
+FROM sized a JOIN sized b ON a.h = b.h AND a.id < b.id
+WHERE CASE WHEN a.host = b.host THEN 'same_host'
+           WHEN a.path = b.path THEN 'same_path'
+           WHEN a.norm = b.norm THEN 'norm_eq'
+           WHEN suffix(b.url, a.host || a.path) OR suffix(a.url, b.host || b.path)
+             THEN 'archive'
+      END IS NOT NULL
+""",
+)
+def dedup_merge_rules(spark, sf_dir):
+    """W4 generic URL-equivalence pair predicate (search.cpp:555-625):
+    same-host / same-path / token-normalized (~user ≈ /users ≈ /user,
+    trailing slash) / archive-suffix rules within content-hash groups.
+    Hash-bucketed self-join with an explicit group-size cap — the
+    100 TB-safe shape (never all-pairs)."""
+    from .ops.dedup import url_merge_pairs
+
+    return url_merge_pairs(_url_frame(spark, sf_dir)).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "rule"
+    )
 
 
 @q("simhash", _SIMHASH_SQL)

@@ -38,7 +38,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import bm25
-from ..tokenizer import HYGIENE_LINE_RE, MAX_TOKEN_LEN, STOPWORDS, TOKEN_RE
+from ..tokenizer import (
+    HYGIENE_LINE_RE,
+    MAX_TOKEN_LEN,
+    STOPWORDS,
+    TOKEN_RE,
+    s_stem,
+    stem_sql_case,
+)
 from .codec import encode_varints
 from .storage import IndexStorage
 
@@ -140,6 +147,9 @@ def tokenize_tokens_jvm(docs: DataFrame, hygiene: bool = False) -> DataFrame:
     ).filter(
         (F.length("term") <= MAX_TOKEN_LEN) & (~F.col("term").isin(sorted(STOPWORDS)))
     )
+    # spec step 5: stem AFTER the raw-token stopword/length check —
+    # the same SQL rendering the DuckDB oracles use (one authority)
+    toks = toks.select("doc_id", F.expr(stem_sql_case("term")).alias("term"))
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
@@ -183,9 +193,16 @@ def _tokenize_batch_arrays(
     drop_u = np.array(
         [v == "" or v in stop or len(v) > MAX_TOKEN_LEN for v in u], dtype=bool
     )
+    # spec step 5 (stemming) runs on the per-batch VOCABULARY only —
+    # the token stream is remapped through the stemmed dictionary, so
+    # the per-token cost is an int gather. Distinct raw tokens that
+    # stem to the same form ("window"/"windows") collapse to ONE code
+    # here, keeping downstream (doc, term) aggregation exact.
+    stemmed = np.asarray([s_stem(v) for v in u], dtype=object)
+    su, inv = np.unique(stemmed, return_inverse=True)
     doc_idx = np.repeat(np.arange(len(txt), dtype=np.int64), counts)
     keep = ~drop_u[codes]
-    return doc_idx[keep], codes[keep], u
+    return doc_idx[keep], inv[codes[keep]], su
 
 
 def tokenize_doc_lengths(docs: DataFrame, hygiene: bool = False) -> DataFrame:
@@ -406,6 +423,8 @@ def build_index(
     lineage: str = "",
     max_shards_to_build: int | None = None,
     reuse_from: str | None = None,
+    storage: IndexStorage | None = None,
+    force_shards: set[int] | None = None,
 ) -> dict:
     """Full build: docs → tokens → stats/norms → per-shard postings.
 
@@ -417,6 +436,12 @@ def build_index(
     whose text_hash is new get re-tokenized for lengths. Exactness is
     unaffected — dl is a pure function of (text, hygiene), keyed here
     by xxhash64(text) exactly as the reference keys its skip logic.
+    ``storage`` lets the incremental path pass an IndexStorage with
+    STAGED table versions (see storage.py) so recomputed tables land
+    in new version dirs while readers keep the committed ones.
+    ``force_shards`` rebuilds those shards even when the ledger marks
+    them complete (the incremental changed-set, rewritten in place
+    under dynamic partition overwrite).
     Returns build metrics (also persisted in the ledger).
     """
     # AQE partition coalescing prices partitions by SHUFFLE BYTES, but
@@ -432,6 +457,7 @@ def build_index(
         return _build_index_impl(
             spark, transcripts, index_dir, n_shards, hygiene, resume,
             shard_batch, lineage, max_shards_to_build, reuse_from,
+            storage, force_shards,
         )
     finally:
         spark.conf.set(_coalesce_key, _coalesce_prev)
@@ -448,8 +474,10 @@ def _build_index_impl(
     lineage: str,
     max_shards_to_build: int | None,
     reuse_from: str | None = None,
+    storage: IndexStorage | None = None,
+    force_shards: set[int] | None = None,
 ) -> dict:
-    st = IndexStorage(index_dir)
+    st = storage if storage is not None else IndexStorage(index_dir)
     t0 = time.time()
     phases: dict[str, float] = {}
     _pt = time.time()
@@ -486,7 +514,7 @@ def _build_index_impl(
                 "hygiene": hygiene,
                 "block_size": bm25.BLOCK_SIZE,
                 "lineage": lineage,
-                "tokenizer": "tlgs_spark.tokenizer v1",
+                "tokenizer": "tlgs_spark.tokenizer v2 (s-stem)",
             }
         )
 
@@ -551,6 +579,23 @@ def _build_index_impl(
         )
         st.write(stats, "collection_stats")
         _mark("collection_stats")
+        # first_turn_terms: (conv_id, term) for every conversation's
+        # turn-0 text — the precomputed infirst:/intitle flag table
+        # (search.cpp:206-207). Serving must NOT collect corpus-sized
+        # conv→tokens maps (r1 VERDICT scale-killer); both query paths
+        # resolve infirst via per-term lookups/joins on this table.
+        # Term-sorted so the pyarrow point lookup prunes row groups.
+        ftt = (
+            tokenize_tokens(
+                docs_r.filter(F.col("turn_idx") == 0).select("doc_id", "text"),
+                hygiene=hygiene,
+            )
+            .join(docs_r.select("doc_id", "conv_id"), "doc_id")
+            .select("conv_id", "term")
+            .distinct()
+        )
+        st.write(ftt.sort("term"), "first_turn_terms")
+        _mark("first_turn_terms")
         shard_sz = shard_size
         norms = (
             st.read(spark, "doc_lengths")
@@ -571,6 +616,8 @@ def _build_index_impl(
 
     # -- phase 2: postings, shard-batched + resumable --
     done = st.completed_shards(spark) if resume else set()
+    if force_shards:
+        done -= set(force_shards)
     pending = [s for s in range(n_shards) if s not in done]
     if max_shards_to_build is not None:
         pending = pending[:max_shards_to_build]
@@ -698,7 +745,11 @@ def _build_index_impl(
     # kill window BETWEEN the term_stats write and the collection_stats
     # rewrite (term_stats exists, built==0, placeholder still -1), and
     # the no-change incremental path (all shards reused ⇒ built==0).
-    if st.exists("postings") and (
+    # max_shards_to_build == 0 is the incremental PREPARE pass: the
+    # (unversioned) postings table still holds pre-update segments, so
+    # finalizing here would roll stats over stale postings — the
+    # resume build that follows always finalizes instead.
+    if max_shards_to_build != 0 and st.exists("postings") and (
         built > 0 or not st.exists("term_stats") or int(stats_row.n_terms) < 0
     ):
         term_stats = (

@@ -44,11 +44,61 @@ TABLES = (
 
 
 class IndexStorage:
-    def __init__(self, index_dir: str):
+    """Physical layout with a metadata-level version pointer.
+
+    ``table_versions.json`` maps table → committed version; version 0
+    is the bare ``<table>`` dir (every fresh build), version n > 0 is
+    ``<table>__v{n}``. An incremental update stages NEW versions of
+    the recomputed tables (``staged_versions``) while readers keep
+    resolving the committed ones, then flips the pointer with ONE
+    small-file write (``commit_versions``) — the object-store-safe
+    replacement for the r1 staging-dir ``os.rename`` swap (rename is
+    not atomic — or is a full copy — on object stores). The postings
+    table is never versioned: unchanged shard partitions are reused
+    as METADATA (untouched files), changed ones are rewritten in
+    place under dynamic partition overwrite. Snapshot isolation for
+    those partition rewrites is the one gap — that's the Iceberg
+    swap point documented above.
+    """
+
+    def __init__(self, index_dir: str, staged_versions: dict[str, int] | None = None):
         self.index_dir = index_dir
+        self._staged = dict(staged_versions or {})
+        self._versions: dict[str, int] | None = None
+
+    # --- version pointer ---
+    def _versions_file(self) -> str:
+        return os.path.join(self.index_dir, "table_versions.json")
+
+    def versions(self) -> dict[str, int]:
+        if self._versions is None:
+            try:
+                with open(self._versions_file()) as f:
+                    self._versions = {k: int(v) for k, v in json.load(f).items()}
+            except FileNotFoundError:
+                self._versions = {}
+        return self._versions
+
+    def commit_versions(self, staged: dict[str, int]) -> None:
+        """Flip the committed pointer to the staged versions — one
+        small-file write (a single PUT on object storage)."""
+        merged = {**self.versions(), **staged}
+        tmp = self._versions_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._versions_file())
+        self._versions = merged
+
+    def table_dir(self, table: str, version: int) -> str:
+        return os.path.join(
+            self.index_dir, table if version == 0 else f"{table}__v{version}"
+        )
 
     def path(self, table: str) -> str:
-        return os.path.join(self.index_dir, table)
+        v = self._staged.get(table)
+        if v is None:
+            v = self.versions().get(table, 0)
+        return self.table_dir(table, v)
 
     def exists(self, table: str) -> bool:
         p = self.path(table)

@@ -170,6 +170,181 @@ def jaccard_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# W4 generic URL-equivalence merge (search.cpp:555-625)
+# ---------------------------------------------------------------------------
+
+_MERGE_TOKEN = "\x01"
+
+
+def _url_host(url):
+    return F.lower(F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1))
+
+
+def _url_path(url):
+    return F.regexp_extract(url, r"^[a-z]+://[^/]+(/.*)?$", 1)
+
+
+def _url_norm(url):
+    """Rule-3 normal form: /~ , /users , /user all collapsed to one
+    token (in that order — /users before its prefix /user, like the
+    reference's replaceAll chain), one trailing slash dropped."""
+    s = F.replace(url, F.lit("/~"), F.lit(_MERGE_TOKEN))
+    s = F.replace(s, F.lit("/users"), F.lit(_MERGE_TOKEN))
+    s = F.replace(s, F.lit("/user"), F.lit(_MERGE_TOKEN))
+    return F.regexp_replace(s, r"/$", "")
+
+
+def url_merge_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    size_col: str = "size",
+    max_group: int = 200,
+) -> DataFrame:
+    """W4 pair predicate (search.cpp:555-625): within a content-hash
+    group (zero-size pages never merge), a pair is URL-equivalent when
+    one of:
+
+      same_host   — lowercased hosts equal
+      same_path   — paths equal
+      norm_eq     — /~ ≈ /users ≈ /user token-collapsed, trailing /
+                    stripped, strings equal
+      archive     — one URL ends with the other's host+path (the
+                    Geminispace mirror pattern; direction decides
+                    keep-original anti-takeover in the merge stage)
+
+    → (id_a, id_b, rule) with rule = first match in the order above
+    (host/path/norm are symmetric; archive reported regardless of
+    direction). Hash-bucketed self-join — never all-pairs; groups
+    above ``max_group`` are dropped (boilerplate-hash guard, the same
+    explicit skew control as the LSH bucket cap)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.col(url_col).alias("url"),
+        _url_host(F.col(url_col)).alias("host"),
+        F.coalesce(_url_path(F.col(url_col)), F.lit("")).alias("path"),
+        _url_norm(F.col(url_col)).alias("norm"),
+    ).filter(F.col(size_col) > 0)
+    sized = base.withColumn(
+        "grp_n", F.count("*").over(Window.partitionBy("h"))
+    ).filter(F.col("grp_n") <= max_group)
+    a = sized.select("h", *[F.col(c).alias(c + "_a") for c in ("id", "url", "host", "path", "norm")])
+    b = sized.select("h", *[F.col(c).alias(c + "_b") for c in ("id", "url", "host", "path", "norm")])
+    hp_a = F.concat(F.col("host_a"), F.col("path_a"))
+    hp_b = F.concat(F.col("host_b"), F.col("path_b"))
+    rule = (
+        F.when(F.col("host_a") == F.col("host_b"), F.lit("same_host"))
+        .when(F.col("path_a") == F.col("path_b"), F.lit("same_path"))
+        .when(F.col("norm_a") == F.col("norm_b"), F.lit("norm_eq"))
+        .when(
+            F.col("url_b").endswith(hp_a) | F.col("url_a").endswith(hp_b),
+            F.lit("archive"),
+        )
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("rule", rule)
+        .filter(F.col("rule").isNotNull())
+        .select("id_a", "id_b", "rule")
+    )
+
+
+def merge_url_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    size_col: str = "size",
+    score_col: str = "score",
+) -> DataFrame:
+    """The full W4 merge, faithful to the reference's sequential
+    algorithm (search.cpp:565-625): results are visited in rank order
+    (score desc, id asc — the reference's multimap insertion order);
+    each is compared against the already-kept entries of its hash
+    group; same_host/same_path/norm_eq or kept-is-archive-of-new →
+    keep-best replacement; new-is-archive-of-kept → new is dropped
+    without a score comparison (anti-takeover: the mirror can never
+    displace the original). Zero-size docs always survive (they never
+    enter the hash map).
+
+    Runs per content-hash group via applyInPandas — the sequential
+    loop touches only one bounded group at a time, so the operator
+    stays shuffle-partitioned by hash at any scale. → the surviving
+    rows (id, url, score, n_merged)."""
+    import pandas as pd
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["score", "id"], ascending=[False, True])
+        kept: list[dict] = []
+        for r in pdf.itertuples(index=False):
+            if r.size == 0:
+                kept.append({"id": r.id, "url": r.url, "score": r.score, "n": 1})
+                continue
+            node_norm = _norm_py(r.url)
+            host, path = _host_py(r.url), _path_py(r.url)
+            placed = False
+            for slot in kept:
+                s_host, s_path = _host_py(slot["url"]), _path_py(slot["url"])
+                if (
+                    host == s_host
+                    or path == s_path
+                    or slot["url"].endswith(host + path)
+                    or node_norm == _norm_py(slot["url"])
+                ):
+                    if slot["score"] < r.score:
+                        slot.update({"id": r.id, "url": r.url, "score": r.score})
+                    slot["n"] += 1
+                    placed = True
+                    break
+                if r.url.endswith(s_host + s_path):
+                    slot["n"] += 1  # anti-takeover: drop the mirror
+                    placed = True
+                    break
+            if not placed:
+                kept.append({"id": r.id, "url": r.url, "score": r.score, "n": 1})
+        return pd.DataFrame(
+            {
+                "id": [k["id"] for k in kept],
+                "url": [k["url"] for k in kept],
+                "score": [k["score"] for k in kept],
+                "n_merged": [k["n"] for k in kept],
+            }
+        )
+
+    def _host_py(u: str) -> str:
+        import re
+
+        m = re.match(r"^[a-z]+://([^/]+)", u)
+        return m.group(1).lower() if m else ""
+
+    def _path_py(u: str) -> str:
+        import re
+
+        m = re.match(r"^[a-z]+://[^/]+(/.*)?$", u)
+        return (m.group(1) or "") if m else ""
+
+    def _norm_py(u: str) -> str:
+        s = u.replace("/~", _MERGE_TOKEN).replace("/users", _MERGE_TOKEN).replace(
+            "/user", _MERGE_TOKEN
+        )
+        return s[:-1] if s.endswith("/") else s
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        F.col(hash_col).alias("h"),
+        F.col(size_col).alias("size"),
+        F.col(score_col).alias("score"),
+    )
+    return base.groupBy("h").applyInPandas(
+        merge_group, schema="id long, url string, score double, n_merged long"
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

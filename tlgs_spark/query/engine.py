@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..indexer.codec import decode_postings, decode_postings_batch, decode_varints
 from ..indexer.storage import IndexStorage
-from ..tokenizer import tokenize, tokenize_query
+from ..tokenizer import tokenize_query
 from .parser import SearchFilter, eval_filter_row, parse_search_query
 from .scorer import TermData, _exact_scores, _topk_order, search_and, search_or
 from .snippet import make_snippet
@@ -64,8 +64,8 @@ class SearchIndex:
         self.avgdl = float(row.avgdl)
         self.shard_size = int(self.meta["shard_size"])
         self._dl: np.ndarray | None = None
-        self._docs_meta: pd.DataFrame | None = None
-        self._first_tokens: dict[str, frozenset] | None = None
+        self._meta_cache: dict[int, tuple] = {}
+        self._first_convs_cache: dict[str, frozenset] = {}
         # two-tier result cache, TTL 600 s (search.cpp:681,713-751):
         # tier 1 = raw ranked list per (terms, mode); tier 2 = the
         # filtered list per full query
@@ -110,45 +110,94 @@ class SearchIndex:
             self._dl_bc = self.spark.sparkContext.broadcast(self.dl_of)
         return self._dl_bc
 
-    def docs_meta(self) -> pd.DataFrame:
-        if self._docs_meta is None:
-            self._docs_meta = (
-                self.st.read(self.spark, "docs")
-                .select("doc_id", "conv_id", "turn_idx", "role", "tool", "size", "text_hash")
-                .toPandas()
-                .set_index("doc_id")
-                .sort_index()
+    _META_COLS = ("conv_id", "turn_idx", "role", "tool", "size", "text_hash")
+    _META_CACHE_MAX = 200_000  # bounded — never corpus-sized at 100×
+
+    def _meta_lookup(self, ids: np.ndarray) -> pd.DataFrame:
+        """Point-lookup docs metadata for the given doc_ids, indexed by
+        doc_id. The r1 version collected the WHOLE docs table to the
+        driver (fine at 2M docs, an OOM at 100×); now only the
+        requested rows move — pyarrow row-group-pruned scan (docs are
+        written doc_id-sorted) behind a bounded hot-doc cache, Spark
+        filter fallback off local filesystems."""
+        ids = np.unique(np.asarray(ids, dtype=np.int64))
+        missing = [int(i) for i in ids if int(i) not in self._meta_cache]
+        if missing:
+            tbl = self._arrow_lookup(
+                "docs", missing, ["doc_id", *self._META_COLS], key_field="doc_id"
             )
-        return self._docs_meta
+            if tbl is not None:
+                got = tbl.to_pandas()
+            else:
+                got = (
+                    self.st.read(self.spark, "docs")
+                    .filter(F.col("doc_id").isin(missing))
+                    .select("doc_id", *self._META_COLS)
+                    .toPandas()
+                )
+            if len(self._meta_cache) + len(got) > self._META_CACHE_MAX:
+                self._meta_cache.clear()
+            for row in got.itertuples(index=False):
+                self._meta_cache[int(row.doc_id)] = tuple(row)[1:]
+        data = [
+            self._meta_cache.get(int(i), (None, None, None, None, 0, None)) for i in ids
+        ]
+        out = pd.DataFrame(data, columns=list(self._META_COLS))
+        out.index = pd.Index(ids, name="doc_id")
+        return out
 
     def _attach_meta(self, res: pd.DataFrame, cols: tuple[str, ...]) -> pd.DataFrame:
-        """Left-attach docs_meta columns by doc_id. reindex FIRST (O(k)
-        index lookups on the full frame), project after (copies k rows,
-        not a full-height column slice) — a pandas index JOIN here
-        re-factorized the multi-million-row index on every call
-        (~175 ms/query), and caching full-height projections would
-        roughly double resident docs_meta memory."""
-        picked = self.docs_meta().reindex(res["doc_id"].to_numpy())
+        """Left-attach docs metadata by doc_id — a top-k/fetch-k-sized
+        point lookup, never a corpus-wide structure."""
+        req = res["doc_id"].to_numpy(dtype=np.int64)
+        picked = self._meta_lookup(req).reindex(req)
         out = res.reset_index(drop=True)
         for c in cols:
             out[c] = picked[c].to_numpy()
         return out
 
-    def first_turn_tokens(self) -> dict[str, frozenset]:
-        """conv_id → token set of its turn-0 text (infirst:/intitle
-        analog, search.cpp:206-207)."""
-        if self._first_tokens is None:
+    def first_turn_convs(self, term: str) -> frozenset:
+        """conv_ids whose turn-0 text contains ``term`` (infirst:/
+        intitle analog, search.cpp:206-207) — a per-term point lookup
+        on the build-time first_turn_terms table (df-sized result, not
+        corpus-sized). Legacy indexes without the table derive it with
+        one distributed tokenize pass, still collecting only the
+        matching conv_ids."""
+        t = term.lower()
+        hit = self._first_convs_cache.get(t)
+        if hit is not None:
+            return hit
+        if self.st.exists("first_turn_terms"):
+            tbl = self._arrow_lookup("first_turn_terms", [t], ["conv_id"])
+            if tbl is not None:
+                out = frozenset(tbl["conv_id"].to_pylist())
+            else:
+                rows = (
+                    self.st.read(self.spark, "first_turn_terms")
+                    .filter(F.col("term") == t)
+                    .select("conv_id")
+                    .collect()
+                )
+                out = frozenset(r.conv_id for r in rows)
+        else:
+            from ..indexer.build import tokenize_tokens
+
             rows = (
-                self.st.read(self.spark, "docs")
-                .filter(F.col("turn_idx") == 0)
-                .select("conv_id", "text")
+                tokenize_tokens(
+                    self.st.read(self.spark, "docs")
+                    .filter(F.col("turn_idx") == 0)
+                    .select("doc_id", "text"),
+                    hygiene=self.meta.get("hygiene", False),
+                )
+                .filter(F.col("term") == t)
+                .join(self.st.read(self.spark, "docs").select("doc_id", "conv_id"), "doc_id")
+                .select("conv_id")
+                .distinct()
                 .collect()
             )
-            self._first_tokens = {
-                r.conv_id: frozenset(tokenize(r.text, hygiene=self.meta.get("hygiene", False)))
-                for r in rows
-            }
-        return self._first_tokens
+            out = frozenset(r.conv_id for r in rows)
+        self._first_convs_cache[t] = out
+        return out
 
     # ---------------- postings access ----------------
 
@@ -168,9 +217,9 @@ class SearchIndex:
             return tbl.to_pandas()
         return self._postings_df.filter(F.col("term").isin(terms)).toPandas()
 
-    def _arrow_lookup(self, table: str, terms: list[str], columns: list[str],
-                      partitioning: str | None = None):
-        """Point lookup rows where term ∈ terms via a cached pyarrow
+    def _arrow_lookup(self, table: str, keys: list, columns: list[str],
+                      partitioning: str | None = None, key_field: str = "term"):
+        """Point lookup rows where key_field ∈ keys via a cached pyarrow
         dataset; None ⇒ use the Spark fallback. A failed dataset open
         (non-local index dir) is cached so later queries don't re-pay
         directory discovery, and is logged once; read errors surface —
@@ -198,7 +247,7 @@ class SearchIndex:
         if ds is None:
             return None
         return ds.to_table(
-            filter=self._ds_mod.field("term").isin(terms), columns=columns
+            filter=self._ds_mod.field(key_field).isin(keys), columns=columns
         )
 
     def _term_df_map(self, terms: list[str]) -> dict[str, int]:
@@ -348,14 +397,24 @@ class SearchIndex:
         return res.reset_index(drop=True)
 
     def _apply_filter(self, res: pd.DataFrame, filt: SearchFilter) -> pd.DataFrame:
-        first = self.first_turn_tokens() if filt.infirst else {}
-        # one vectorized metadata gather (reindex), then the per-row
-        # predicate — a .loc per candidate re-paid the index lookup
-        # fetch_k times per query
-        picked = self.docs_meta().reindex(res["doc_id"].to_numpy())
+        # per-spec conv sets from the precomputed first_turn_terms
+        # table (df-sized), not a corpus-wide conv→tokens map; the row
+        # predicate only ever tests membership of the FILTER terms, so
+        # the per-row token set is reconstructed from those sets
+        conv_sets = (
+            {term.lower(): self.first_turn_convs(term) for term, _ in filt.infirst}
+            if filt.infirst
+            else {}
+        )
+        # one vectorized metadata gather (point lookup + reindex), then
+        # the per-row predicate
+        req = res["doc_id"].to_numpy(dtype=np.int64)
+        picked = self._meta_lookup(req).reindex(req)
         keep = [
-            eval_filter_row(filt, tool, role, conv, int(size),
-                            first.get(conv, frozenset()))
+            eval_filter_row(
+                filt, tool, role, conv, int(size),
+                {t for t, s in conv_sets.items() if conv in s},
+            )
             for tool, role, conv, size in zip(
                 picked["tool"], picked["role"], picked["conv_id"], picked["size"]
             )
@@ -465,20 +524,40 @@ class SearchIndex:
                 any_ = any_ | x
             cond = cond & any_
         if filt.infirst:
-            first = self.first_turn_tokens()
-            ok_convs = [
-                {c for c, toks in first.items() if term.lower() in toks}
-                for term, _ in filt.infirst
-            ]
+            # flag columns `_inf{i}` are attached by search_df via
+            # broadcast joins against the first_turn_terms table — no
+            # conv data is ever collected to the driver on this path
             per = [
-                (F.col("conv_id").isin(list(s)) if s else F.lit(False)) != F.lit(neg)
-                for s, (_, neg) in zip(ok_convs, filt.infirst)
+                (F.coalesce(F.col(f"_inf{i}"), F.lit(False))) != F.lit(neg)
+                for i, (_, neg) in enumerate(filt.infirst)
             ]
             any_ = per[0]
             for x in per[1:]:
                 any_ = any_ | x
             cond = cond & any_
         return cond
+
+    def _first_terms_df(self) -> DataFrame:
+        """The (conv_id, term) infirst flag table as a DataFrame —
+        build-time table when present, else derived distributively
+        (legacy indexes), never collected."""
+        if not hasattr(self, "_ftt_df"):
+            if self.st.exists("first_turn_terms"):
+                self._ftt_df = self.st.read(self.spark, "first_turn_terms")
+            else:
+                from ..indexer.build import tokenize_tokens
+
+                docs = self.st.read(self.spark, "docs")
+                self._ftt_df = (
+                    tokenize_tokens(
+                        docs.filter(F.col("turn_idx") == 0).select("doc_id", "text"),
+                        hygiene=self.meta.get("hygiene", False),
+                    )
+                    .join(docs.select("doc_id", "conv_id"), "doc_id")
+                    .select("conv_id", "term")
+                    .distinct()
+                )
+        return self._ftt_df
 
     def search_df(self, query: str, k: int = 10, mode: str = "and") -> DataFrame:
         """Spark-plan search: per-shard scoring via applyInPandas,
@@ -552,10 +631,18 @@ class SearchIndex:
             meta_cols = self.st.read(self.spark, "docs").select(
                 "doc_id", "conv_id", "role", "tool", "size"
             )
-            local = (
-                local.join(meta_cols, "doc_id")
-                .filter(self._filter_column(filt, meta_cols))
-                .select("doc_id", "score")
+            local = local.join(meta_cols, "doc_id")
+            for i, (term, _) in enumerate(filt.infirst):
+                flags = (
+                    self._first_terms_df()
+                    .filter(F.col("term") == term.lower())
+                    .select("conv_id")
+                    .distinct()
+                    .withColumn(f"_inf{i}", F.lit(True))
+                )
+                local = local.join(F.broadcast(flags), "conv_id", "left")
+            local = local.filter(self._filter_column(filt, meta_cols)).select(
+                "doc_id", "score"
             )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -15,10 +15,20 @@ Stats/norms/doc_lengths are always recomputed (cheap single pass) —
 df/avgdl are global and must stay exact (north rule), so any text
 change anywhere invalidates them; postings (the expensive artifact)
 are what change detection protects.
+
+Object-store-safe since r2: no staging-directory copy, no os.rename.
+Recomputed tables land in NEW version dirs (storage.py version
+pointer) while readers keep the committed ones; unchanged postings
+partitions are reused as METADATA (their files are never touched);
+changed partitions are rewritten in place under dynamic partition
+overwrite; the cutover is one small-file pointer write. The remaining
+non-atomicity (a reader scanning a changed postings partition during
+its rewrite) is the documented Iceberg swap point in storage.py.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +36,17 @@ from pyspark.sql import functions as F
 
 from ..indexer.build import build_index
 from ..indexer.storage import IndexStorage
+
+# tables recomputed by every incremental update → staged as new versions
+_STAGED_TABLES = (
+    "docs",
+    "doc_lengths",
+    "collection_stats",
+    "norms",
+    "first_turn_terms",
+    "term_stats",
+    "ledger",
+)
 
 
 def shard_signatures(docs: DataFrame, shard_size: int) -> DataFrame:
@@ -50,12 +71,17 @@ def incremental_update(
 ) -> dict:
     """Bring ``index_dir`` up to date with ``transcripts``.
 
-    1. Build the new docs/doc_lengths/stats/norms into a staging dir
-       (full prepare pass — global stats must be exact).
-    2. Diff per-shard signatures old vs new.
-    3. Copy unchanged shards' postings verbatim; rebuild changed ones.
-    4. Swap staging into place; ledger rows for reused shards carry
-       status='reused'.
+    1. Prepare the new docs/doc_lengths/stats/norms into STAGED table
+       versions (full prepare pass — global stats must be exact; doc
+       lengths for unchanged texts reuse the committed index by
+       content hash, so only changed/new docs re-tokenize).
+    2. Diff per-shard signatures committed vs staged.
+    3. Stage a ledger carrying the unchanged shards as 'reused' rows;
+       rebuild only the changed shards in place (dynamic partition
+       overwrite touches exactly those partitions).
+    4. Commit the version pointer (one small-file write) and GC the
+       superseded version dirs + any postings partitions beyond the
+       new shard grid.
     Returns {"changed": [...], "reused": [...]}.
     """
     st_old = IndexStorage(index_dir)
@@ -64,24 +90,26 @@ def incremental_update(
         n_shards = meta["n_shards"]
     if hygiene is None:
         hygiene = meta.get("hygiene", False)
+    old_n_shards = meta["n_shards"]
 
-    stage_dir = index_dir.rstrip("/") + ".staging"
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    st_new = IndexStorage(stage_dir)
+    committed = st_old.versions()
+    staged = {t: committed.get(t, 0) + 1 for t in _STAGED_TABLES}
+    st_new = IndexStorage(index_dir, staged_versions=staged)
 
     # full prepare, but defer ALL postings (max_shards_to_build=0);
-    # doc lengths for unchanged texts come from the old index by
+    # doc lengths for unchanged texts come from the committed index by
     # content hash (reuse_from) — only changed/new docs re-tokenize
     build_index(
         spark,
         transcripts,
-        stage_dir,
+        index_dir,
         n_shards=n_shards,
         hygiene=hygiene,
         resume=False,
         max_shards_to_build=0,
         lineage="incremental:prepare",
         reuse_from=index_dir,
+        storage=st_new,
     )
     new_meta = st_new.read_meta()
     if new_meta["shard_size"] != meta["shard_size"]:
@@ -101,18 +129,10 @@ def incremental_update(
     reused = sorted(s for s in new_sigs if old_sigs.get(s) == new_sigs[s])
     changed = sorted(s for s in new_sigs if s not in set(reused))
 
-    # copy unchanged postings partitions + ledger rows for them
-    import os
-
-    os.makedirs(st_new.path("postings"), exist_ok=True)
-    for s in reused:
-        src = os.path.join(st_old.path("postings"), f"shard={s}")
-        dst = os.path.join(st_new.path("postings"), f"shard={s}")
-        # a zero-posting shard is "built" in the ledger but has no
-        # partition dir — nothing to copy
-        if os.path.isdir(src):
-            shutil.copytree(src, dst)
-    if reused:
+    # staged ledger: committed rows for REUSED shards only (marked), so
+    # resume skips exactly them; changed shards get fresh 'built' rows
+    # from the rebuild below — no double-counted ledger metrics
+    if reused and st_old.exists("ledger"):
         led = (
             st_old.read(spark, "ledger")
             .filter(F.col("shard").isin(reused))
@@ -121,24 +141,25 @@ def incremental_update(
         )
         led.write.mode("append").parquet(st_new.path("ledger"))
 
-    # rebuild only the changed shards (resume skips the reused ones).
-    # Called even when changed == []: the prepare pass above deferred
-    # finalize (max_shards_to_build=0 ⇒ no postings yet), so term_stats
-    # and the exact n_terms/n_postings only exist after this resume run
-    # — skipping it on a no-change update would swap in an index with
-    # no term_stats table and -1 placeholders in collection_stats.
+    # rebuild only the changed shards in place (resume skips the
+    # reused ones; force_shards overrides their pre-update ledger
+    # rows). Called even when changed == []: the prepare pass deferred
+    # finalize, so term_stats / exact collection stats only exist
+    # after this run.
     build_index(
         spark,
         transcripts,
-        stage_dir,
+        index_dir,
         n_shards=n_shards,
         hygiene=hygiene,
         resume=True,
         lineage="incremental:changed",
+        storage=st_new,
+        force_shards=set(changed),
     )
 
-    # field sub-indexes live INSIDE index_dir and would be silently
-    # dropped by the swap — note which exist and rebuild them after
+    # the field sub-indexes derive from the (now superseded) docs
+    # table — note which exist, rebuild them fresh after the commit
     # (cheap: the title field is 5 tokens/doc)
     fields = [
         d.split("field_", 1)[1]
@@ -146,18 +167,23 @@ def incremental_update(
         if d.startswith("field_") and os.path.isdir(os.path.join(index_dir, d))
     ]
 
-    # atomic-ish swap
-    backup = index_dir.rstrip("/") + ".prev"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(index_dir, backup)
-    os.rename(stage_dir, index_dir)
-    shutil.rmtree(backup, ignore_errors=True)
+    # metadata-level cutover + GC of superseded versions / stale
+    # partitions (plain DELETEs — valid object-store operations,
+    # unlike directory rename)
+    st_new.commit_versions(staged)
+    for t in _STAGED_TABLES:
+        prev = st_old.table_dir(t, committed.get(t, 0))
+        shutil.rmtree(prev, ignore_errors=True)
+    post_dir = st_new.path("postings")
+    for s in range(new_meta["n_shards"], old_n_shards):
+        shutil.rmtree(os.path.join(post_dir, f"shard={s}"), ignore_errors=True)
 
     if fields:
         from ..indexer.build import build_field_index
 
-        for f in fields:
-            build_field_index(spark, index_dir, field=f)
+        for f_ in fields:
+            shutil.rmtree(os.path.join(index_dir, f"field_{f_}"), ignore_errors=True)
+            build_field_index(spark, index_dir, field=f_)
     return {"changed": changed, "reused": reused, "fields_rebuilt": fields}
 
 

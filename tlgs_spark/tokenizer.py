@@ -14,9 +14,22 @@ ours to pin; rank-identity is proven against *this* spec's oracle):
 2. lowercase
 3. tokens = maximal runs of ``[a-z0-9]+`` (ASCII)
 4. drop stopwords (fixed list below), drop tokens longer than 64 chars
+5. stem (spec v2): the Harman "S-stemmer" (Harman 1991, *How
+   effective is suffixing?*) — three plural-suffix rules, applied to
+   tokens of ≥ 4 chars, AFTER the stopword/length check (raw-token
+   stopwording, like PG's dictionary chain):
+     a. ``…ies`` (not ``eies``/``aies``) → ``…y``
+     b. ``…es``  (not ``aes``/``ees``/``oes``) → drop the ``s``
+     c. ``…s``   (not ``us``/``ss``) → drop the ``s``
+   This closes the round-1 plural/singular retrieval gap (PG
+   ``to_tsvector('english')`` stems — crawler.cpp:556-558) with a
+   spec small enough to stay bit-identical across the Arrow
+   tokenizer, the JVM expression twin, and plain-SQL DuckDB oracles
+   (a full Snowball run needs the fts extension, unavailable here).
 
-Everything here must stay in lock-step with :func:`token_sql_exprs`,
-which renders the same pipeline as ANSI SQL for the DuckDB oracle.
+Everything here must stay in lock-step with :func:`tokens_cte_sql` /
+:func:`stem_sql_case`, which render the same pipeline as ANSI SQL for
+the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -49,6 +62,23 @@ def clean_text(text: str) -> str:
     return HYGIENE_LINE_RE.sub("", text)
 
 
+STEM_MIN_LEN = 4
+
+
+def s_stem(t: str) -> str:
+    """Spec step 5: the S-stemmer (see module docstring). Pure
+    function of the kept token; never lengthens it, never empties it."""
+    if len(t) < STEM_MIN_LEN:
+        return t
+    if t.endswith("ies"):
+        return t if t.endswith(("eies", "aies")) else t[:-3] + "y"
+    if t.endswith("es"):
+        return t if t.endswith(("aes", "ees", "oes")) else t[:-1]
+    if t.endswith("s"):
+        return t if t.endswith(("us", "ss")) else t[:-1]
+    return t
+
+
 def tokenize(text: str, hygiene: bool = False) -> list[str]:
     """Frozen analyzer. Pure Python — this *is* the spec."""
     if text is None:
@@ -56,7 +86,7 @@ def tokenize(text: str, hygiene: bool = False) -> list[str]:
     if hygiene:
         text = clean_text(text)
     toks = TOKEN_RE.findall(text.lower())
-    return [t for t in toks if t not in STOPWORDS and len(t) <= MAX_TOKEN_LEN]
+    return [s_stem(t) for t in toks if t not in STOPWORDS and len(t) <= MAX_TOKEN_LEN]
 
 
 def term_freqs(text: str, hygiene: bool = False) -> Counter:
@@ -80,9 +110,35 @@ def stopwords_sql_list() -> str:
     return ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
 
+def stem_sql_case(e: str) -> str:
+    """ANSI-SQL rendering of :func:`s_stem` over expression ``e`` —
+    identical semantics in DuckDB and Spark SQL (both: 1-based
+    substr, || concat, length)."""
+    L = f"length({e})"
+
+    def suf(n: int) -> str:
+        return f"substr({e}, {L} - {n - 1}, {n})"
+
+    return (
+        f"CASE WHEN {L} < {STEM_MIN_LEN} THEN {e} "
+        f"WHEN {suf(3)} = 'ies' THEN "
+        f"(CASE WHEN {suf(4)} IN ('eies', 'aies') THEN {e} "
+        f"ELSE substr({e}, 1, {L} - 3) || 'y' END) "
+        f"WHEN {suf(2)} = 'es' THEN "
+        f"(CASE WHEN {suf(3)} IN ('aes', 'ees', 'oes') THEN {e} "
+        f"ELSE substr({e}, 1, {L} - 1) END) "
+        f"WHEN {suf(1)} = 's' THEN "
+        f"(CASE WHEN {suf(2)} IN ('us', 'ss') THEN {e} "
+        f"ELSE substr({e}, 1, {L} - 1) END) "
+        f"ELSE {e} END"
+    )
+
+
 def tokens_cte_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
     """A DuckDB CTE producing (doc_id, term, tf) under the frozen spec
-    (no hygiene — hygiene-on paths are tested against the Python oracle)."""
+    (no hygiene — hygiene-on paths are tested against the Python
+    oracle). tf groups by the STEMMED term, merging e.g. window +
+    windows counts exactly like the Python/Arrow paths."""
     return f"""
   raw_toks AS (
     SELECT {id_col} AS doc_id,
@@ -90,7 +146,7 @@ def tokens_cte_sql(table: str = "documents", id_col: str = "doc_id", text_col: s
     FROM {table}
   ),
   toks AS (
-    SELECT doc_id, term FROM raw_toks
+    SELECT doc_id, {stem_sql_case("term")} AS term FROM raw_toks
     WHERE length(term) <= {MAX_TOKEN_LEN}
       AND term NOT IN ({stopwords_sql_list()})
   ),

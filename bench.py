@@ -37,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONV = int(os.environ.get("TLGS_BENCH_CONV", "100000"))
-TRIALS = int(os.environ.get("TLGS_BENCH_TRIALS", "3"))
+TRIALS = int(os.environ.get("TLGS_BENCH_TRIALS", "5"))
 DO_SCALING = os.environ.get("TLGS_BENCH_SCALING", "1") != "0"
 # 32-thread runs on this shared box collide with neighbor load and
 # understate throughput — opt-in only
@@ -113,11 +113,20 @@ def main():
         lo = max((p[0] for p in pairs), key=lambda m: m["turns_per_sec"])
         hi = max((p[1] for p in pairs), key=lambda m: m["turns_per_sec"])
         eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+        pair_effs = sorted(
+            round(p[1]["turns_per_sec"] / p[0]["turns_per_sec"] / 4.0, 3) for p in pairs
+        )
         extra["scaling"] = {
             "cores_n": 2, "cores_4n": 8,
             "turns_per_sec_n": lo["turns_per_sec"],
             "turns_per_sec_4n": hi["turns_per_sec"],
             "efficiency": round(eff, 3),
+            # spread across raw paired windows (noise diagnostics; the
+            # per-level-max estimator above is the headline — ambient
+            # load only ever slows a deterministic job)
+            "pair_eff_min": pair_effs[0],
+            "pair_eff_median": pair_effs[len(pair_effs) // 2],
+            "pair_eff_max": pair_effs[-1],
             "pairs": [
                 {
                     "n": p[0]["turns_per_sec"],

@@ -203,3 +203,57 @@ def test_build_leaves_no_persisted_rdds(spark, tmp_path):
     build_index(spark, sdf, str(tmp_path / "idx_noleak"), n_shards=2)
     leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert leaked == 0, f"{leaked} persisted RDDs left behind"
+
+
+def test_concurrent_builders_disjoint_claims(spark, tmp_path):
+    """I4: two builders race the same pending set; claim files
+    partition it — every shard built exactly once, final index
+    byte-identical to a single-builder build, finalize runs once in
+    the closing resume pass."""
+    import threading
+
+    from tlgs_spark.corpus import generate_pandas
+    from tlgs_spark.indexer.build import build_index, release_claims
+    from tlgs_spark.indexer.storage import IndexStorage
+
+    pdf = generate_pandas(20)
+    sdf = spark.createDataFrame(pdf)
+    idx = str(tmp_path / "idx_conc")
+    # phase 1 only (shared prepare), no postings yet
+    build_index(spark, sdf, idx, n_shards=6, max_shards_to_build=0, resume=False)
+
+    results = {}
+
+    def builder(owner):
+        results[owner] = build_index(
+            spark, sdf, idx, n_shards=6, resume=True, shard_batch=1,
+            claim_owner=owner, lineage=f"builder:{owner}",
+        )
+
+    t1 = threading.Thread(target=builder, args=("b1",))
+    t2 = threading.Thread(target=builder, args=("b2",))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert results["b1"]["shards_built"] + results["b2"]["shards_built"] == 6
+    release_claims(idx)
+    # closing resume pass: nothing left to build, finalizes stats
+    build_index(spark, sdf, idx, n_shards=6, resume=True)
+    st = IndexStorage(idx)
+    led = st.read(spark, "ledger").toPandas()
+    assert sorted(led.shard.tolist()) == list(range(6))  # exactly once each
+    stats = st.read(spark, "collection_stats").collect()[0]
+    assert stats.n_terms > 0
+
+    # byte-identical to a single-builder build
+    solo = str(tmp_path / "idx_solo")
+    build_index(spark, sdf, solo, n_shards=6)
+    import os
+
+    import pandas as pd
+    a = (spark.read.parquet(os.path.join(idx, "postings"))
+         .select("shard", "term", "df", "postings").toPandas()
+         .sort_values(["shard", "term"]).reset_index(drop=True))
+    b = (spark.read.parquet(os.path.join(solo, "postings"))
+         .select("shard", "term", "df", "postings").toPandas()
+         .sort_values(["shard", "term"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

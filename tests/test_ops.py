@@ -68,10 +68,18 @@ def test_minhash_lsh_finds_near_dups(docs_df):
 
 
 def test_simhash_near_dups_close(docs_df):
-    from tlgs_spark.ops.textstats import simhash64
+    from tlgs_spark.ops.textstats import simhash64, simhash_hex_col
 
     h = {r.doc_id: int(r.simhash, 16) for r in simhash64(docs_df).collect()}
     assert h[0] == h[1]  # identical text → identical simhash
+    # batch kernel ≡ JVM expression twin (one frozen spec, two paths)
+    twin = {
+        r.doc_id: int(r.s, 16)
+        for r in docs_df.select(
+            "doc_id", simhash_hex_col(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert twin == h
 
     def ham(a, b):
         return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

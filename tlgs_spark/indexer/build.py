@@ -409,6 +409,45 @@ def _build_norms(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# concurrent-builder mutual exclusion (I4)
+# ---------------------------------------------------------------------------
+
+def _claim_shard(st: IndexStorage, shard: int, owner: str) -> bool:
+    """Claim a shard for one builder — the crawler.cpp:132-139 analog
+    (parallel crawlers claim pages via PG row locks / last_crawl
+    watermarks). Local/HDFS rendering: O_CREAT|O_EXCL claim file
+    (atomic create-if-absent); on object storage the same protocol is
+    a conditional PUT (If-None-Match), and on Iceberg it's the
+    optimistic snapshot commit — one swap point, same semantics. A
+    claim is NOT a completion: resume still consults the ledger, so a
+    builder that dies after claiming leaves a stale claim that
+    ``release_claims`` (or a fresh non-concurrent resume, which
+    ignores claims) clears."""
+    import os
+
+    d = os.path.join(st.index_dir, "claims")
+    os.makedirs(d, exist_ok=True)
+    try:
+        fd = os.open(os.path.join(d, f"shard_{shard}.lock"), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.write(f"{owner} {time.time()}\n")
+    return True
+
+
+def release_claims(index_dir: str) -> int:
+    """Drop all claim files (post-build cleanup / stale-claim sweep)."""
+    import os
+    import shutil
+
+    d = os.path.join(index_dir, "claims")
+    n = len(os.listdir(d)) if os.path.isdir(d) else 0
+    shutil.rmtree(d, ignore_errors=True)
+    return n
+
+
+# ---------------------------------------------------------------------------
 # build driver
 # ---------------------------------------------------------------------------
 
@@ -425,6 +464,7 @@ def build_index(
     reuse_from: str | None = None,
     storage: IndexStorage | None = None,
     force_shards: set[int] | None = None,
+    claim_owner: str | None = None,
 ) -> dict:
     """Full build: docs → tokens → stats/norms → per-shard postings.
 
@@ -442,6 +482,11 @@ def build_index(
     ``force_shards`` rebuilds those shards even when the ledger marks
     them complete (the incremental changed-set, rewritten in place
     under dynamic partition overwrite).
+    ``claim_owner`` enables concurrent-builder mode (I4): each pending
+    shard is claimed via an atomic create-if-absent claim file before
+    building, so N builders running against the same index partition
+    the pending set between them with no shard built twice; finalize
+    is deferred to a final single resume pass (see _claim_shard).
     Returns build metrics (also persisted in the ledger).
     """
     # AQE partition coalescing prices partitions by SHUFFLE BYTES, but
@@ -457,7 +502,7 @@ def build_index(
         return _build_index_impl(
             spark, transcripts, index_dir, n_shards, hygiene, resume,
             shard_batch, lineage, max_shards_to_build, reuse_from,
-            storage, force_shards,
+            storage, force_shards, claim_owner,
         )
     finally:
         spark.conf.set(_coalesce_key, _coalesce_prev)
@@ -476,6 +521,7 @@ def _build_index_impl(
     reuse_from: str | None = None,
     storage: IndexStorage | None = None,
     force_shards: set[int] | None = None,
+    claim_owner: str | None = None,
 ) -> dict:
     st = storage if storage is not None else IndexStorage(index_dir)
     t0 = time.time()
@@ -623,6 +669,8 @@ def _build_index_impl(
         pending = pending[:max_shards_to_build]
     if shard_batch is None:
         shard_batch = len(pending) or 1
+    if claim_owner is not None:
+        pending = [s for s in pending if _claim_shard(st, s, claim_owner)]
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs_r = st.read(spark, "docs")
@@ -749,7 +797,10 @@ def _build_index_impl(
     # (unversioned) postings table still holds pre-update segments, so
     # finalizing here would roll stats over stale postings — the
     # resume build that follows always finalizes instead.
-    if max_shards_to_build != 0 and st.exists("postings") and (
+    # claim mode: concurrent builders must not race the term_stats /
+    # collection_stats rewrite — the caller runs one final
+    # resume-without-claims pass, which finalizes exactly once.
+    if claim_owner is None and max_shards_to_build != 0 and st.exists("postings") and (
         built > 0 or not st.exists("term_stats") or int(stats_row.n_terms) < 0
     ):
         term_stats = (

@@ -1579,9 +1579,52 @@ def simhash_entry(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
 
-@q("lang_id", None)
+def _lang_id_sql() -> str:
+    """DuckDB mirror of ops.textstats.lang_id_ngram: non-overlapping
+    bigram counts via replace-delta (≡ str.count for literal bigrams),
+    integer-exact sums so float op order is moot, argmax first-wins in
+    profile order, all-zero → 'und', CJK ratio ≥ 0.3 → 'zh'."""
+    from .ops.textstats import CJK_RANGE, CJK_THRESHOLD, LANG_PROFILES
+
+    langs = [l for l, g in LANG_PROFILES.items() if g]
+    score_exprs = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(lt) - length(replace(lt, '{g}', ''))) / 2"
+            for g in LANG_PROFILES[lang]
+        )
+        score_exprs.append(f"({terms}) / n AS s_{lang}")
+    # argmax, first profile wins ties (pandas idxmax semantics)
+    argmax = "CASE "
+    for i, lang in enumerate(langs):
+        rest = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        argmax += f"WHEN {cond} THEN '{lang}' "
+    argmax += "END"
+    zero = " AND ".join(f"s_{l} = 0" for l in langs)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS lt,
+         greatest(length(lower(coalesce(text, ''))), 1)::DOUBLE AS n
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lt, n, {", ".join(score_exprs)},
+         length(regexp_replace(lt, '[^{CJK_RANGE}]', '', 'g')) / n AS cjk
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN cjk >= {CJK_THRESHOLD} THEN 'zh'
+            WHEN {zero} THEN 'und'
+            ELSE {argmax} END AS lang_pred
+FROM scored
+""".strip()
+
+
+@q("lang_id", _lang_id_sql())
 def lang_id_entry(spark, sf_dir):
-    """Language-ID heuristic (char-bigram profiles, Arrow-vectorized)."""
+    """Language-ID heuristic (char-bigram profiles, Arrow-vectorized);
+    oracle-paired since r2 (frozen LANG_PROFILES spec)."""
     from .ops.textstats import lang_id_ngram
 
     return lang_id_ngram(_docs(spark, sf_dir)).select("doc_id", "lang_pred")

@@ -73,21 +73,27 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
-def lang_id_ngram(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Character-bigram language-ID heuristic (vectorized pandas UDF).
+# Frozen language-ID spec: per-language character-bigram profiles
+# (tiny, deterministic — a placeholder for a fastText-style model; the
+# plumbing and the exactness contract are the deliverable). Score =
+# Σ_g non-overlapping count(g) / max(len,1); argmax in dict order
+# (first wins ties); all-zero → 'und'; CJK codepoint ratio ≥ 0.3 →
+# 'zh'. Mirrored 1:1 by the lang_id oracle SQL in entry_queries.
+LANG_PROFILES = {
+    "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+    "de": ["en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"],
+    "fr": ["es", "le", "de", "en", "re", "nt", "on", "er", "te", "ou"],
+    "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
+    "zh": [],  # CJK detection is by codepoint class
+}
+CJK_RANGE = "一-鿿"
+CJK_THRESHOLD = 0.3
 
-    Scores each text against per-language bigram profiles (tiny,
-    hard-coded, deterministic) and argmaxes. A placeholder for a real
-    fastText-style model — the Spark plumbing (Arrow batches, no
-    per-row Python at the Spark level) is the deliverable.
-    """
-    profiles = {
-        "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
-        "de": ["en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"],
-        "fr": ["es", "le", "de", "en", "re", "nt", "on", "er", "te", "ou"],
-        "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
-        "zh": [],  # CJK detection is by codepoint class below
-    }
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Character-bigram language-ID heuristic (vectorized pandas UDF)
+    under the frozen LANG_PROFILES spec above."""
+    profiles = LANG_PROFILES
 
     @F.pandas_udf("string")
     def _lang(s: pd.Series) -> pd.Series:

@@ -1283,33 +1283,206 @@ def robots_rules(spark, sf_dir):
     )
 
 
-@q("extract_documents", None)
+# Deterministic synthesized crawl responses over documents, exercising
+# every branch of the F19-F22 chain: gemtext headings/links/preformat
+# (art-dropped AND kept blocks)/separator hygiene/gemsub runs, plain
+# text (+twtxt), rss MIME feeds, 1x input prompts, binary-sniff drops.
+_EXTRACT_STRIP = "' ' || chr(9) || chr(13) || chr(11) || chr(12)"
+
+
+def _x_strip(e: str) -> str:
+    return f"trim({e}, {_EXTRACT_STRIP})"
+
+
+# pieces precomputed outside the f-string (py311: no backslash in {})
+_X_LINK_TEST = r"regexp_matches(c.line, '^=>[ \t]*\S+')"
+_X_LABEL = _x_strip(r"regexp_extract(c.line, '^=>[ \t]*\S+[ \t]+(.*)$', 1)")
+_X_URL1 = r"regexp_extract(c.line, '^=>[ \t]*(\S+)', 1)"
+_X_SEP = r"'^(-{3,}.*-{3,}|[-=_~*#.]{3,})$'"
+_X_DATED = r"regexp_matches(line, '^=>[ \t]*\S+[ \t]+\d{4}-\d{1,2}-\d{1,2}')"
+
+_EXTRACT_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         doc_id % 21 AS cls,
+         doc_id % 3 AS m3,
+         'gemini://h/' || doc_id ||
+           CASE WHEN doc_id % 21 NOT IN (7, 14) AND doc_id % 3 = 1 AND doc_id % 5 = 0
+                THEN '/twtxt.txt' ELSE '' END AS url,
+         '# Doc ' || doc_id || chr(10) || substr(text, 1, 500) AS plain_body,
+         '# Doc ' || doc_id || chr(10)
+           || '=> gemini://l' || doc_id || '/a First link' || chr(10)
+           || '=> gemini://l' || doc_id || '/b' || chr(10)
+           || '## Section ' || doc_id || chr(10)
+           || substr(text, 1, 200) || chr(10)
+           || '```ascii banner' || chr(10)
+           || 'ART-' || doc_id || chr(10)
+           || '```' || chr(10)
+           || '```code' || chr(10)
+           || 'kept pre ' || doc_id || chr(10)
+           || '```' || chr(10)
+           || '---===---' || chr(10)
+           || '#####' || chr(10)
+           || '│tree│' || chr(10)
+           || CASE WHEN doc_id % 6 = 0 THEN
+                '=> /p1 2024-01-02 one' || chr(10)
+                || '=> /p2 2024-01-03 two' || chr(10)
+                || '=> /p3 2024-02-04 three' || chr(10)
+              ELSE '' END
+           || 'plain tail ' || doc_id AS gem_body
+  FROM documents
+),
+prompt_out AS (
+  SELECT url, substr(url, 1, 1000) AS title, NULL AS feed_type, plain_body AS body,
+         0::BIGINT AS n_links, octet_length(encode(plain_body))::BIGINT AS size
+  FROM base WHERE cls = 7
+),
+plain_out AS (
+  SELECT url, substr(url, 1, 1000),
+         CASE WHEN url LIKE '%/twtxt.txt' THEN 'twtxt' END,
+         plain_body, 0::BIGINT, octet_length(encode(plain_body))::BIGINT
+  FROM base WHERE cls NOT IN (7, 14) AND m3 = 1
+),
+rss_out AS (
+  SELECT url, substr(url, 1, 1000), 'rss', '', 0::BIGINT, 0::BIGINT
+  FROM base WHERE cls NOT IN (7, 14) AND m3 = 2
+),
+gdocs AS MATERIALIZED (
+  SELECT doc_id, url, gem_body FROM base WHERE cls NOT IN (7, 14) AND m3 = 0
+),
+gl AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(l, 1) AS ln, unnest(l) AS line
+  FROM (SELECT doc_id, string_split(gem_body, chr(10)) AS l FROM gdocs)
+),
+l2 AS MATERIALIZED (
+  SELECT doc_id, ln, line,
+         coalesce(sum(CASE WHEN line LIKE '```%' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY ln
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM gl
+),
+tog AS MATERIALIZED (
+  SELECT doc_id, ln, row_number() OVER (PARTITION BY doc_id ORDER BY ln) AS tidx,
+         {_x_strip("substr(line, 4)")} AS meta
+  FROM l2 WHERE line LIKE '```%'
+),
+xform AS MATERIALIZED (
+  SELECT c.doc_id, c.ln,
+    CASE
+      WHEN c.nb % 2 = 1 THEN
+        CASE WHEN t.meta = '' OR regexp_matches(lower(t.meta),
+                  'ascii|art|banner|logo|figlet|diagram')
+             THEN NULL ELSE c.line END
+      WHEN {_X_LINK_TEST} THEN
+        coalesce(NULLIF({_X_LABEL}, ''), {_X_URL1})
+      WHEN c.line LIKE '# %' THEN {_x_strip("substr(c.line, 3)")}
+      WHEN c.line LIKE '## %' OR c.line LIKE '### %'
+        THEN {_x_strip("regexp_replace(c.line, '^#+', '')")}
+      ELSE CASE
+        WHEN length({_x_strip("c.line")}) >= 3
+             AND {_x_strip("c.line")} = repeat(substr({_x_strip("c.line")}, 1, 1),
+                                               length({_x_strip("c.line")})) THEN NULL
+        WHEN regexp_matches({_x_strip("c.line")}, {_X_SEP}) THEN NULL
+        WHEN strpos({_x_strip("c.line")}, '│') > 0 THEN NULL
+        ELSE c.line END
+    END AS outl,
+    CASE WHEN c.nb % 2 = 0 AND c.line LIKE '# %' THEN {_x_strip("substr(c.line, 3)")} END AS h1,
+    CASE WHEN c.nb % 2 = 0 AND {_X_LINK_TEST} THEN 1 ELSE 0 END AS is_link
+  FROM l2 c LEFT JOIN tog t ON t.doc_id = c.doc_id AND t.tidx = c.nb AND c.nb % 2 = 1
+  WHERE c.line NOT LIKE '```%'
+),
+t1 AS (SELECT doc_id, arg_min(h1, ln) AS title FROM xform WHERE h1 IS NOT NULL GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, string_agg(outl, chr(10) ORDER BY ln) AS txt,
+         count(outl) AS n_kept, sum(is_link)::BIGINT AS n_links
+  FROM xform GROUP BY doc_id
+),
+fl AS (
+  SELECT doc_id, ln,
+         CASE WHEN {_X_DATED} THEN 1 ELSE 0 END AS dated
+  FROM gl
+),
+isl AS (
+  SELECT doc_id, ln - row_number() OVER (PARTITION BY doc_id ORDER BY ln) AS grp
+  FROM fl WHERE dated = 1
+),
+gs AS (
+  SELECT doc_id, TRUE AS is_gemsub
+  FROM (SELECT doc_id, grp, count(*) AS c FROM isl GROUP BY doc_id, grp)
+  WHERE c >= 3 GROUP BY doc_id
+),
+gem_out AS (
+  SELECT g.url,
+         substr(coalesce(t1.title, g.url), 1, 1000) AS title,
+         CASE WHEN gs.is_gemsub THEN 'gemsub' END AS feed_type,
+         CASE WHEN a.n_kept > 0 THEN a.txt || chr(10) ELSE '' END AS body,
+         coalesce(a.n_links, 0)::BIGINT AS n_links,
+         octet_length(encode(CASE WHEN a.n_kept > 0 THEN a.txt || chr(10) ELSE '' END))::BIGINT AS size
+  FROM gdocs g
+  LEFT JOIN t1 USING (doc_id) LEFT JOIN agg a USING (doc_id) LEFT JOIN gs USING (doc_id)
+)
+SELECT * FROM prompt_out
+UNION ALL SELECT * FROM plain_out
+UNION ALL SELECT * FROM rss_out
+UNION ALL SELECT * FROM gem_out
+""".strip()
+
+
+@q("extract_documents", _EXTRACT_SQL)
 def extract_documents_entry(spark, sf_dir):
     """F19-F22 chain: charset decode + binary sniff + MIME dispatch +
-    feed classification (crawler.cpp:415-496) over raw bytes
-    synthesized from the documents table. Rows-only check (gemtext AST
-    extraction isn't SQL-expressible)."""
+    gemtext concise extraction + feed classification
+    (crawler.cpp:415-496, gemini_parser.cpp:36-160) over synthesized
+    crawl responses. Oracle-paired since r2: the DuckDB mirror
+    replays the whole concise transform (preformat state via window
+    sums, link labels, heading strips, hygiene drops, gemsub
+    gaps-and-islands) and compares title/body/links/feed/size."""
     from .ops.extract import extract_documents
 
     docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    cls = d % 21
+    twtxt = (cls != 7) & (cls != 14) & (d % 3 == 1) & (d % 5 == 0)
+    url = F.concat(
+        F.lit("gemini://h/"), ds,
+        F.when(twtxt, F.lit("/twtxt.txt")).otherwise(F.lit("")),
+    )
+    plain_body = F.concat(F.lit("# Doc "), ds, F.lit("\n"), F.substring("text", 1, 500))
+    dated = F.when(
+        d % 6 == 0,
+        F.lit("=> /p1 2024-01-02 one\n=> /p2 2024-01-03 two\n=> /p3 2024-02-04 three\n"),
+    ).otherwise(F.lit(""))
+    gem_body = F.concat(
+        F.lit("# Doc "), ds,
+        F.lit("\n=> gemini://l"), ds, F.lit("/a First link"),
+        F.lit("\n=> gemini://l"), ds, F.lit("/b"),
+        F.lit("\n## Section "), ds, F.lit("\n"),
+        F.substring("text", 1, 200),
+        F.lit("\n```ascii banner\nART-"), ds,
+        F.lit("\n```\n```code\nkept pre "), ds,
+        F.lit("\n```\n---===---\n#####\n│tree│\n"),
+        dated,
+        F.lit("plain tail "), ds,
+    )
+    body = F.when(d % 3 == 0, gem_body).otherwise(plain_body)
     raw = docs.select(
-        F.concat(F.lit("gemini://h/"), F.col("doc_id").cast("string")).alias("url"),
-        F.lit(20).alias("status"),
-        F.when(F.col("doc_id") % 3 == 0, "text/gemini")
-        .when(F.col("doc_id") % 3 == 1, "text/plain")
+        url.alias("url"),
+        F.when(cls == 7, F.lit(11)).otherwise(F.lit(20)).alias("status"),
+        F.when(d % 3 == 0, "text/gemini")
+        .when(d % 3 == 1, "text/plain")
         .otherwise("application/rss+xml")
         .alias("mime"),
         F.lit("utf-8").alias("charset"),
-        F.encode(
-            F.concat(F.lit("# Doc "), F.col("doc_id").cast("string"), F.lit("\n"),
-                     F.substring(F.col("text"), 1, 500)),
-            "utf-8",
+        # cls 14: bytes that decode to nothing — the binary-sniff drop
+        F.when(cls == 14, F.unhex(F.lit("FF" * 64))).otherwise(
+            F.encode(body, "utf-8")
         ).alias("raw"),
     )
-    return (
-        extract_documents(raw)
-        .select("url", "title", "feed_type", "size")
-        .orderBy("url")
+    return extract_documents(raw).select(
+        "url", "title", "feed_type", "body",
+        F.size("links").cast("long").alias("n_links"),
+        F.col("size").cast("long").alias("size"),
     )
 
 

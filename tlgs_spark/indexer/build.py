@@ -55,6 +55,9 @@ POSTINGS_SCHEMA = (
 )
 NORMS_SCHEMA = "shard int, base long, n long, dls binary"
 
+# worker-process-global stem memo (see _tokenize_batch_arrays)
+_STEM_MEMO: dict[str, str] = {}
+
 
 # ---------------------------------------------------------------------------
 # doc_id assignment — distributed dense rank over (conv_id, turn_idx)
@@ -197,8 +200,15 @@ def _tokenize_batch_arrays(
     # the token stream is remapped through the stemmed dictionary, so
     # the per-token cost is an int gather. Distinct raw tokens that
     # stem to the same form ("window"/"windows") collapse to ONE code
-    # here, keeping downstream (doc, term) aggregation exact.
-    stemmed = np.asarray([s_stem(v) for v in u], dtype=object)
+    # here, keeping downstream (doc, term) aggregation exact. The memo
+    # is worker-process-global: batch vocabularies overlap heavily
+    # (Zipf), so after the first few batches stemming is a dict hit.
+    memo = _STEM_MEMO
+    if len(memo) > 4_000_000:  # bound worker memory; refills fast
+        memo.clear()
+    stemmed = np.asarray(
+        [memo.get(v) or memo.setdefault(v, s_stem(v)) for v in u], dtype=object
+    )
     su, inv = np.unique(stemmed, return_inverse=True)
     doc_idx = np.repeat(np.arange(len(txt), dtype=np.int64), counts)
     keep = ~drop_u[codes]
@@ -631,6 +641,10 @@ def _build_index_impl(
         # conv→tokens maps (r1 VERDICT scale-killer); both query paths
         # resolve infirst via per-term lookups/joins on this table.
         # Term-sorted so the pyarrow point lookup prunes row groups.
+        # no .distinct(): (conv_id, turn_idx) is unique, so turn-0 docs
+        # are 1:1 with convs and tokenize_tokens already emits one row
+        # per (doc, term) — the global term-sort (for pyarrow row-group
+        # pruning) is the only shuffle this table pays
         ftt = (
             tokenize_tokens(
                 docs_r.filter(F.col("turn_idx") == 0).select("doc_id", "text"),
@@ -638,7 +652,6 @@ def _build_index_impl(
             )
             .join(docs_r.select("doc_id", "conv_id"), "doc_id")
             .select("conv_id", "term")
-            .distinct()
         )
         st.write(ftt.sort("term"), "first_turn_terms")
         _mark("first_turn_terms")

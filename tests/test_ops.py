@@ -151,6 +151,34 @@ def test_ivf_recall_reasonable(spark):
     assert recall >= 0.5  # half the buckets probed → decent recall
 
 
+def test_ivf_fitted_centroids_cluster_data(spark):
+    """k-means fit: on clustered data, fitted centroids put each
+    cluster in its own bucket — probing ONE bucket yields perfect
+    recall for an in-cluster query (an RNG centroid grid can't
+    guarantee that)."""
+    from tlgs_spark.ops.similarity import cosine_topk, ivf_assign, ivf_fit, ivf_search
+
+    rng = np.random.default_rng(7)
+    protos = rng.standard_normal((4, 16))
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+    rows = []
+    for i in range(200):
+        v = protos[i % 4] + 0.05 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_fit(df, n_centroids=4, iters=10)
+    assigned, cents = ivf_assign(df, centroids=cents)
+    # every member of a proto-cluster lands in the same bucket
+    buckets = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    for c in range(4):
+        ids = [i for i in range(200) if i % 4 == c]
+        assert len({buckets[i] for i in ids}) == 1
+    q = [float(x) for x in protos[2]]
+    exact = [r.vec_id for r in cosine_topk(df, q, k=10).collect()]
+    approx = [r.vec_id for r in ivf_search(assigned, cents, q, k=10, n_probe=1).collect()]
+    assert set(approx) == set(exact)  # single-probe perfect recall
+
+
 def test_embedding_near_dup_pairs(spark):
     from tlgs_spark.ops.dedup import embedding_near_dup_pairs
 

@@ -85,3 +85,51 @@ def test_ivf_assignment_stays_map_side(spark, index_dir):
     plan = _plan(assigned)
     assert "Exchange" not in plan
     assert "Window" not in plan
+
+
+def test_minhash_bands_single_shuffle_no_band_explode(spark, index_dir):
+    # r2 kernel: one md5 per shingle, rotation family as expressions,
+    # ALL band minima from one map-side-partial groupBy(id) — exactly
+    # one Exchange in the plan and no explode of the shingle stream
+    # by band (the r1 version shuffled a ×n_bands explosion)
+    from tlgs_spark.ops.dedup import minhash_bands
+
+    import re
+
+    docs = IndexStorage(index_dir).read(spark, "docs")
+    plan = _plan(minhash_bands(docs.select("doc_id", "text")))
+    # count physical nodes via the details-section headers "(n) Name"
+    assert len(re.findall(r"\(\d+\) \w*Exchange", plan)) == 1
+    # the only Generates are the shingle explode and the 4-element
+    # post-aggregation band unpivot (over n_docs rows, not the stream)
+    assert len(re.findall(r"\(\d+\) Generate", plan)) <= 2
+    assert "partial_min" in plan  # map-side combine before the shuffle
+
+
+def test_simhash_is_arrow_batched(spark, index_dir):
+    # the data-plane simhash is ONE Arrow-batched python stage — no
+    # row-at-a-time BatchEvalPython, no shuffle
+    from tlgs_spark.ops.textstats import simhash64
+
+    docs = IndexStorage(index_dir).read(spark, "docs")
+    plan = _plan(simhash64(docs.select("doc_id", "text")))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_url_merge_pairs_is_hash_bucketed(spark, index_dir):
+    # W4 pair predicate: self-join strictly on the content-hash key —
+    # never a cartesian/nested-loop expansion
+    from tlgs_spark.ops.dedup import url_merge_pairs
+
+    docs = IndexStorage(index_dir).read(spark, "docs")
+    frame = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("gemini://h/"), F.col("doc_id")).alias("url"),
+        (F.col("doc_id") % 10).alias("content_hash"),
+        F.lit(100).alias("size"),
+    )
+    plan = _plan(url_merge_pairs(frame))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1806,12 +1806,15 @@ def lang_id_entry(spark, sf_dir):
 @q("ann_ivf_topk", None)
 def ann_ivf_entry(spark, sf_dir):
     """IVF-bucketed approximate NN (scale path; exactness is
-    embedding_topk's job, so rows-only here)."""
-    from .ops.similarity import ivf_assign, ivf_search
+    embedding_topk's job, so rows-only here). Centroids are FITTED
+    (spherical k-means on a bounded driver-side sample — the
+    FAISS-style training regime) since r2, not RNG stand-ins."""
+    from .ops.similarity import ivf_assign, ivf_fit, ivf_search
 
     emb = _read(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
-    assigned, cents = ivf_assign(emb, n_centroids=8)
+    cents = ivf_fit(emb, n_centroids=8, iters=8)
+    assigned, cents = ivf_assign(emb, centroids=cents)
     return ivf_search(assigned.filter(F.col("vec_id") != 0), cents, qv, k=10, n_probe=3)
 
 

@@ -52,6 +52,55 @@ def cosine_topk(
     return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def ivf_fit(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 50_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit IVF centroids with spherical Lloyd's k-means on a BOUNDED
+    driver-side sample — the FAISS-style training regime: train on
+    ≤ sample_size vectors (one sampled collect, never corpus-sized),
+    assign the full corpus distributively afterwards. Deterministic:
+    seeded sample, seeded init, fixed iteration count; empty clusters
+    reseed from the point farthest from its centroid. Returns unit
+    row-vectors (n_centroids × dim)."""
+    n = emb.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n, 1))  # oversample, then cap
+    pdf = (
+        emb.select(_as_double(F.col(vec_col)).alias("v"))
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample_size)
+        .toPandas()
+    )
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(nrm > 0, nrm, 1.0)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        sims = x @ cents.T                        # spherical: cosine argmax
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:
+                # reseed on the worst-served point
+                worst = int(np.argmin(sims[np.arange(len(x)), assign]))
+                cents[c] = x[worst]
+                continue
+            m = members.sum(axis=0)
+            mn = np.linalg.norm(m)
+            cents[c] = m / mn if mn > 0 else cents[c]
+    if k < n_centroids:  # degenerate tiny corpus: pad deterministically
+        pad = rng.standard_normal((n_centroids - k, x.shape[1]))
+        pad /= np.linalg.norm(pad, axis=1, keepdims=True)
+        cents = np.vstack([cents, pad])
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -59,15 +108,21 @@ def ivf_assign(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
-    """Assign each vector to its nearest deterministic pseudo-centroid
-    (unit vectors from a seeded RNG — stand-in for a k-means fit,
-    which at scale would be a sampled driver-side fit). Returns
-    (emb + centroid_id, centroids). Broadcast-joined, no shuffle of emb.
+    """Assign each vector to its nearest centroid — pass ``centroids``
+    from :func:`ivf_fit` for a trained index; without them, seeded
+    unit random centroids (the cheap untrained fallback). Returns
+    (emb + centroid_id, centroids). Assignment is a narrow map-side
+    projection — no shuffle of emb.
     """
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        n_centroids = len(cents)
+    else:
+        rng = np.random.default_rng(seed)
+        cents = rng.standard_normal((n_centroids, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     v = _as_double(F.col(vec_col))
     nrm = _norm(v)
     scores = [

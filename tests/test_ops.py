@@ -291,3 +291,27 @@ def test_merge_url_duplicates_sequential(spark):
     # original REPLACES the mirror only if it scores higher; here the
     # mirror ranks first and keeps the slot
     assert out[3].n_merged == 2 and out[3].score == 9.0
+
+
+def test_polite_schedule_caps_and_breaks(spark):
+    from tlgs_spark.ops.politeness import polite_schedule
+
+    frontier = spark.createDataFrame(
+        [(i, f"h{i % 3}", float(i)) for i in range(12)],
+        "item_id long, host string, priority double",
+    )
+    failures = spark.createDataFrame(
+        [("h2", 2), ("h2", 2), ("h0", 1)], "host string, n_failures long"
+    )
+    out = polite_schedule(frontier, failures, priority_col="priority", per_host_cap=2)
+    rows = out.collect()
+    # h2 tripped (4 failures > 3) → gone entirely; h0 (1 failure) stays
+    assert not any(r.host == "h2" for r in rows)
+    assert any(r.host == "h0" for r in rows)
+    # ≤ 2 items per host per round; higher priority runs earlier
+    from collections import Counter
+
+    c = Counter((r.host, r.round) for r in rows)
+    assert max(c.values()) <= 2
+    h0 = sorted((r for r in rows if r.host == "h0"), key=lambda r: (r.round, -r.priority))
+    assert h0[0].priority == max(r.priority for r in h0)

@@ -1803,6 +1803,51 @@ def lang_id_entry(spark, sf_dir):
     return lang_id_ngram(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+@q(
+    "host_backpressure",
+    """
+WITH frontier AS (
+  SELECT doc_id AS item_id,
+         'h' || (doc_id % 20) AS host,
+         n_chars AS priority
+  FROM documents
+),
+fails AS (
+  SELECT 'h' || (doc_id % 20) AS host, (doc_id % 4)::BIGINT AS n_failures
+  FROM documents WHERE doc_id % 9 = 0
+),
+tripped AS (
+  SELECT host FROM fails GROUP BY host HAVING sum(n_failures) > 3
+)
+SELECT f.item_id, f.host,
+       ((row_number() OVER (PARTITION BY f.host
+                            ORDER BY f.priority DESC, f.item_id) - 1) // 2)::INT AS round
+FROM frontier f LEFT JOIN tripped t USING (host)
+WHERE t.host IS NULL
+""",
+)
+def host_backpressure(spark, sf_dir):
+    """I6: host circuit breaker + politeness rounds
+    (crawler.cpp:163-167 'do not crawl hosts known to be down', batch
+    dispersion) as declarative window/anti-join over a synthesized
+    work frontier — at most per_host_cap items per host per round."""
+    from .ops.politeness import polite_schedule
+
+    d = _docs(spark, sf_dir)
+    frontier = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 20)).alias("host"),
+        F.col("n_chars").alias("priority"),
+    )
+    failures = d.filter(F.col("doc_id") % 9 == 0).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20)).alias("host"),
+        (F.col("doc_id") % 4).cast("long").alias("n_failures"),
+    )
+    return polite_schedule(
+        frontier, failures, priority_col="priority", per_host_cap=2
+    ).select("item_id", "host", "round")
+
+
 @q("ann_ivf_topk", None)
 def ann_ivf_entry(spark, sf_dir):
     """IVF-bucketed approximate NN (scale path; exactness is
@@ -1915,17 +1960,68 @@ def combine_scores_entry(spark, sf_dir):
     )
 
 
-@q("snippet_preview", None)
+_SNIPPET_TERMS = ("spark", "data", "window")
+
+
+def _snippet_sql() -> str:
+    """DuckDB mirror of query.snippet.make_snippet under the frozen
+    spec: sanitize (newline/tab/backtick → space, leading gemtext
+    markers stripped, runs collapsed, strip), single-space word split,
+    [a-z0-9]-normalized match, first-hit 23–37 word window with left
+    padding, [word] highlighting."""
+    terms_in = "(" + ", ".join(f"'{t}'" for t in _SNIPPET_TERMS) + ")"
+    sanitize = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(substr(text, 1, 5000), "
+        r"'[\n\t`]+', ' ', 'g'), "
+        r"'^[`*=>#\s]+', ''), "
+        r"'\s{2,}', ' ', 'g'), " + _EXTRACT_STRIP + ")"
+    )
+    return (
+        """
+WITH heads AS (
+  SELECT doc_id, """ + sanitize + """ AS head
+  FROM documents WHERE doc_id < 200
+),
+w AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         list_transform(ws, x -> regexp_replace(lower(x), '[^a-z0-9]+', '', 'g')) AS nw
+  FROM (SELECT doc_id, string_split(head, ' ') AS ws FROM heads)
+),
+pos AS (
+  -- NULLIF: DuckDB list_position yields 0 (not NULL) when absent
+  SELECT *, NULLIF(list_position(list_transform(nw, x -> x IN """ + terms_in + """), true), 0) AS hit
+  FROM w
+),
+win AS (
+  SELECT doc_id, ws, nw,
+         CASE WHEN hit IS NULL THEN 0
+              ELSE greatest(0, least(hit - 1, least(n, hit - 1 + 37) - 23)) END AS st,
+         CASE WHEN hit IS NULL THEN least(n, 23)
+              ELSE least(n, hit - 1 + 37) END AS en
+  FROM pos
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(range(st + 1, en + 1),
+           i -> CASE WHEN nw[i] IN """ + terms_in + """
+                     THEN '[' || ws[i] || ']' ELSE ws[i] END),
+         ' ') AS preview
+FROM win
+"""
+    ).strip()
+
+
+@q("snippet_preview", _snippet_sql())
 def snippet_preview_entry(spark, sf_dir):
     """F11/F12: ts_headline-analog snippet over the first 5 kB — 23-37
     word window, [term] highlighting, sanitize (search.cpp:62-70,
-    773-779). Vectorized over an Arrow batch; deterministic rows-only
-    (the window/highlight spec isn't expressible as portable SQL)."""
+    773-779). Vectorized over an Arrow batch; oracle-paired since r2
+    (the window/highlight spec rendered as DuckDB list ops)."""
     import pandas as pd
 
     from .query.snippet import make_snippet
 
-    terms = ["spark", "data", "window"]
+    terms = list(_SNIPPET_TERMS)
 
     def run(batches):
         for pdf in batches:

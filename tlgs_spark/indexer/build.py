@@ -643,14 +643,15 @@ def _build_index_impl(
         # Term-sorted so the pyarrow point lookup prunes row groups.
         # no .distinct(): (conv_id, turn_idx) is unique, so turn-0 docs
         # are 1:1 with convs and tokenize_tokens already emits one row
-        # per (doc, term) — the global term-sort (for pyarrow row-group
-        # pruning) is the only shuffle this table pays
+        # per (doc, term). The conv_id hydration joins against the
+        # TURN-0 slice only (1/turns-per-conv of the corpus — AQE
+        # runtime-broadcasts it at bench scale, stays a partitioned
+        # join at 10^12 turns); the global term-sort (for pyarrow
+        # row-group pruning) is the other shuffle this table pays.
+        turn0 = docs_r.filter(F.col("turn_idx") == 0)
         ftt = (
-            tokenize_tokens(
-                docs_r.filter(F.col("turn_idx") == 0).select("doc_id", "text"),
-                hygiene=hygiene,
-            )
-            .join(docs_r.select("doc_id", "conv_id"), "doc_id")
+            tokenize_tokens(turn0.select("doc_id", "text"), hygiene=hygiene)
+            .join(turn0.select("doc_id", "conv_id"), "doc_id")
             .select("conv_id", "term")
         )
         st.write(ftt.sort("term"), "first_turn_terms")

@@ -315,3 +315,20 @@ def test_polite_schedule_caps_and_breaks(spark):
     assert max(c.values()) <= 2
     h0 = sorted((r for r in rows if r.host == "h0"), key=lambda r: (r.round, -r.priority))
     assert h0[0].priority == max(r.priority for r in h0)
+
+
+def test_simhash_hamming_pairs(spark):
+    from tlgs_spark.ops.dedup import simhash_hamming_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 8
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base + "today"),  # one token appended to a long doc
+        (3, "completely unrelated text about catalyst plans and shuffles here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_hamming_pairs(df).collect()}
+    assert got[(0, 1)] == 0                   # identical → distance 0
+    assert (0, 2) in got and got[(0, 2)] <= 3  # near dup within threshold
+    assert all(3 not in p for p in got)        # unrelated never pairs

@@ -60,3 +60,47 @@ def test_term_freqs():
 def test_query_tokenize_dedup_keeps_order():
     assert tokenize_query("Dog CAT dog bird cat") == ["dog", "cat", "bird"]
     assert tokenize_query("the and of") == []
+
+
+# ---------------------------------------------------------------------------
+# property-based spec lock: Python stemmer ≡ its SQL rendering (DuckDB)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=12))
+def test_s_stem_sql_rendering_matches_python(token):
+    import duckdb
+
+    from tlgs_spark.tokenizer import s_stem, stem_sql_case
+
+    lit = "'" + token + "'"
+    got = duckdb.sql(f"SELECT {stem_sql_case(lit)} AS s").fetchone()[0]
+    assert got == s_stem(token)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghij s.AB-", min_size=0, max_size=20), min_size=0, max_size=5
+    )
+)
+def test_tokens_cte_matches_python_tokenize(lines):
+    """Random texts through tokens_cte_sql (DuckDB) vs tokenize()
+    (Python): same (term → tf) multiset under spec v2 (stemmed)."""
+    from collections import Counter
+
+    import duckdb
+
+    from tlgs_spark.tokenizer import term_freqs, tokens_cte_sql
+
+    text = "\n".join(lines)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 0::BIGINT AS doc_id, ? AS text", [text])
+    rows = con.execute(
+        f"WITH {tokens_cte_sql()} SELECT term, tf FROM tf"
+    ).fetchall()
+    assert Counter(dict(rows)) == Counter(term_freqs(text))

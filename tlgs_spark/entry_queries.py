@@ -1616,15 +1616,18 @@ def salsa_rank_entry(spark, sf_dir):
     )
 
 
-_SIMHASH_SQL = """
-WITH toks AS (
+def _simhash_cte_sql(src: str = "documents") -> str:
+    """CTE chain computing sighex(doc_id, simhash) over ``src`` under
+    the frozen simhash spec (ops.textstats.simhash_hex_col)."""
+    return f"""
+toks AS MATERIALIZED (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
-  FROM documents
+  FROM {src}
 ),
 tok AS (SELECT doc_id, unnest(l) AS t FROM toks),
-h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
+h AS MATERIALIZED (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
 jb AS (SELECT unnest(range(64)) AS j),
-bits AS (
+bits AS MATERIALIZED (
   SELECT h.doc_id, jb.j,
          sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + j // 4, 1)) - 1)
                         & ([8,4,2,1][(j & 3) + 1])) > 0 THEN 1 ELSE 0 END) AS n_set,
@@ -1642,10 +1645,71 @@ hexes AS (
   SELECT doc_id,
          string_agg(substr('0123456789abcdef', (v + 1)::INT, 1), '' ORDER BY ni) AS simhash
   FROM nib GROUP BY doc_id
+),
+sighex AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(hx.simhash, '0000000000000000') AS simhash
+  FROM {src} d LEFT JOIN hexes hx USING (doc_id)
 )
-SELECT d.doc_id, coalesce(hx.simhash, '0000000000000000') AS simhash
-FROM documents d LEFT JOIN hexes hx USING (doc_id)
 """.strip()
+
+
+_SIMHASH_SQL = (
+    "WITH " + _simhash_cte_sql() + "\nSELECT doc_id, simhash FROM sighex"
+)
+
+
+def _simhash_pairs_sql() -> str:
+    """Band-bucketed simhash near-dup pairs over documents augmented
+    with near-duplicates (doc_id+100000, two tokens appended)."""
+    ham = " + ".join(
+        "bit_count(xor(strpos('0123456789abcdef', substr(sa, {i}, 1)) - 1, "
+        "strpos('0123456789abcdef', substr(sb, {i}, 1)) - 1))".format(i=i)
+        for i in range(1, 17)
+    )
+    return f"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' dupmarker extra' FROM documents WHERE doc_id % 11 = 0
+),
+{_simhash_cte_sql("aug")},
+bands AS MATERIALIZED (
+  SELECT doc_id, simhash, b AS band, substr(simhash, b * 4 + 1, 4) AS key
+  FROM sighex, (SELECT unnest([0,1,2,3]) AS b)
+),
+sized AS MATERIALIZED (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, key) AS bn FROM bands)
+  WHERE bn <= 100
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({ham})::INT AS hamming
+FROM cand WHERE ({ham}) <= 3
+""".strip()
+
+
+@q("simhash_pairs", _simhash_pairs_sql())
+def simhash_pairs_entry(spark, sf_dir):
+    """SimHash near-dup pairs: band buckets (full recall for Hamming
+    ≤ n_bands-1 by pigeonhole, never all-pairs) + exact per-nibble
+    bit_count(xor) verify — over documents augmented with synthesized
+    near-duplicates."""
+    from .ops.dedup import simhash_hamming_pairs
+
+    d = _docs(spark, sf_dir)
+    aug = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" dupmarker extra")).alias("text"),
+        )
+    )
+    return simhash_hamming_pairs(aug).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("hamming").cast("int"),
+    )
 
 
 _URL_FRAME_SQL = """

@@ -180,6 +180,69 @@ def jaccard_pairs(
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """SimHash near-dup pairs: band-bucketed candidates + exact
+    Hamming verify. → (id_a, id_b, hamming).
+
+    The 64-bit signature (16 hex chars, ops.textstats spec) splits
+    into ``n_bands`` equal hex bands; by pigeonhole, two signatures
+    within Hamming distance < n_bands agree on at least one band, so
+    the bucket join has FULL recall for distance ≤ n_bands-1 (default
+    3) and never goes all-pairs — the same scale topology as the
+    MinHash LSH family, with the same explicit ``max_bucket`` skew
+    cap. Verification computes the exact distance as 16 per-nibble
+    ``bit_count(xor)`` terms — pure JVM expressions.
+    """
+    from .textstats import simhash64
+
+    chars = 16 // n_bands
+    sig = simhash64(df.select(id_col, text_col), text_col=text_col).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("sig")
+    )
+    bands = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("sig", b * chars + 1, chars).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "key"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select("band", "key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sized.select("band", "key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+
+    def nib(col, i):
+        return F.position(F.substring(col, i + 1, 1), F.lit("0123456789abcdef")) - 1
+
+    ham = sum(
+        (F.bit_count(nib(F.col("sig_a"), i).bitwiseXOR(nib(F.col("sig_b"), i))))
+        for i in range(16)
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # W4 generic URL-equivalence merge (search.cpp:555-625)
 # ---------------------------------------------------------------------------

@@ -189,3 +189,90 @@ def test_incremental_reuse_is_metadata_level(spark, tmp_path):
             assert snap(s) == pre[s], f"reused shard {s} files were rewritten/copied"
     parent = os.path.dirname(idx)
     assert not any(".staging" in d or ".prev" in d for d in os.listdir(parent))
+
+
+def test_stateful_session_stream_emits_on_gap(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a conversation whose last
+    turn is gap+watermark behind the stream's max event time emits its
+    summary with exact turn/char counts, then its state is gone."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from tlgs_spark.streaming.ingest import conversation_sessions_stream
+
+    src = str(tmp_path / "sess_src")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        )
+
+    # file 1: conversation A, two turns at t0 and t0+1min
+    frame([
+        ("convA", 0, "user", "hello there", None, t0),
+        ("convA", 1, "assistant", "hi", None, t0 + dt.timedelta(minutes=1)),
+    ]).coalesce(1).write.mode("overwrite").parquet(src)
+    # files 2,3: conversation B hours later — advances the watermark
+    # far past A's gap, and gives the engine a batch AFTER the
+    # watermark move in which A's timeout fires
+    frame([("convB", 0, "user", "late batch", None, t0 + dt.timedelta(hours=2))]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    frame([("convB", 1, "user", "even later", None, t0 + dt.timedelta(hours=3))]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = conversation_sessions_stream(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.conv_id: r for r in spark.sql("SELECT * FROM sessions_out").collect()}
+    assert "convA" in rows
+    a = rows["convA"]
+    assert a.n_turns == 2 and a.n_chars == len("hello there") + len("hi")
+    assert a.first_ts == t0 and a.last_ts == t0 + dt.timedelta(minutes=1)
+
+
+def test_stream_to_incremental_index_refresh(spark, tmp_path):
+    """End-to-end 'crawl → index refresh': file-stream lands turns
+    exactly-once, the index builds from the landing area, new files
+    land, incremental_update picks up ONLY the changed shards, and
+    the refreshed index serves the new content."""
+    from tlgs_spark.query.engine import SearchIndex
+    from tlgs_spark.streaming.incremental import incremental_update
+    from tlgs_spark.streaming.ingest import land_new_turns
+
+    src = str(tmp_path / "e2e_src")
+    landing = str(tmp_path / "e2e_landing")
+    ckpt = str(tmp_path / "e2e_ckpt")
+    idx = str(tmp_path / "e2e_idx")
+
+    pdf = generate_pandas(12)
+    _spark_df(spark, pdf).write.mode("overwrite").parquet(src)
+    land_new_turns(spark, src, landing, ckpt)
+    build_index(spark, spark.read.parquet(landing), idx, n_shards=4)
+
+    # new conversation arrives on the stream
+    extra = generate_pandas(1, start=500)
+    extra["text"] = extra["text"] + " freshmarker"
+    _spark_df(spark, extra).write.mode("append").parquet(src)
+    land_new_turns(spark, src, landing, ckpt)
+
+    res = incremental_update(spark, spark.read.parquet(landing), idx, n_shards=4)
+    assert res["reused"]  # most shards untouched
+    si = SearchIndex(spark, idx)
+    hits = si.search("freshmarker", k=5)
+    assert len(hits) > 0

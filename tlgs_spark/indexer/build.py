@@ -475,6 +475,7 @@ def build_index(
     storage: IndexStorage | None = None,
     force_shards: set[int] | None = None,
     claim_owner: str | None = None,
+    shard_size: int | None = None,
 ) -> dict:
     """Full build: docs → tokens → stats/norms → per-shard postings.
 
@@ -492,6 +493,9 @@ def build_index(
     ``force_shards`` rebuilds those shards even when the ledger marks
     them complete (the incremental changed-set, rewritten in place
     under dynamic partition overwrite).
+    ``shard_size`` pins the shard geometry explicitly (overrides
+    ``n_shards``) — incremental updates pass the original grid so a
+    grown corpus appends shards instead of re-gridding everything.
     ``claim_owner`` enables concurrent-builder mode (I4): each pending
     shard is claimed via an atomic create-if-absent claim file before
     building, so N builders running against the same index partition
@@ -512,7 +516,7 @@ def build_index(
         return _build_index_impl(
             spark, transcripts, index_dir, n_shards, hygiene, resume,
             shard_batch, lineage, max_shards_to_build, reuse_from,
-            storage, force_shards, claim_owner,
+            storage, force_shards, claim_owner, shard_size,
         )
     finally:
         spark.conf.set(_coalesce_key, _coalesce_prev)
@@ -532,6 +536,7 @@ def _build_index_impl(
     storage: IndexStorage | None = None,
     force_shards: set[int] | None = None,
     claim_owner: str | None = None,
+    shard_size: int | None = None,
 ) -> dict:
     st = storage if storage is not None else IndexStorage(index_dir)
     t0 = time.time()
@@ -558,9 +563,16 @@ def _build_index_impl(
         docs_r = st.read(spark, "docs")
         n_docs = docs_r.count()
         _mark("docs_count")
-        if n_shards is None:
-            n_shards = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
-        shard_size = max(1, math.ceil(n_docs / n_shards))
+        if shard_size is not None:
+            # explicit geometry (incremental updates pin the ORIGINAL
+            # shard_size so corpus growth appends trailing shards
+            # instead of re-gridding — interior shards stay reusable)
+            shard_size = max(1, shard_size)
+            n_shards = max(1, math.ceil(n_docs / shard_size))
+        else:
+            if n_shards is None:
+                n_shards = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+            shard_size = max(1, math.ceil(n_docs / n_shards))
         n_shards = math.ceil(n_docs / shard_size)
         st.write_meta(
             {

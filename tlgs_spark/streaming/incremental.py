@@ -99,17 +99,21 @@ def incremental_update(
     # full prepare, but defer ALL postings (max_shards_to_build=0);
     # doc lengths for unchanged texts come from the committed index by
     # content hash (reuse_from) — only changed/new docs re-tokenize
+    # PIN the original shard_size: a grown corpus appends trailing
+    # shards instead of re-gridding, so interior shards whose doc
+    # ranges are untouched keep their signatures (append-mostly
+    # updates reuse almost everything — the 10^12-turn regime)
     build_index(
         spark,
         transcripts,
         index_dir,
-        n_shards=n_shards,
         hygiene=hygiene,
         resume=False,
         max_shards_to_build=0,
         lineage="incremental:prepare",
         reuse_from=index_dir,
         storage=st_new,
+        shard_size=meta["shard_size"],
     )
     new_meta = st_new.read_meta()
     if new_meta["shard_size"] != meta["shard_size"]:
@@ -150,12 +154,12 @@ def incremental_update(
         spark,
         transcripts,
         index_dir,
-        n_shards=n_shards,
         hygiene=hygiene,
         resume=True,
         lineage="incremental:changed",
         storage=st_new,
         force_shards=set(changed),
+        shard_size=meta["shard_size"],
     )
 
     # the field sub-indexes derive from the (now superseded) docs

@@ -59,6 +59,70 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_table: str):
     return q
 
 
+def conversation_sessions_stream(turns: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    — the streaming twin of the batch sessionization entry
+    (events_sessions): per-conversation running state (turn count,
+    chars, first/last event time) accumulates across micro-batches;
+    when the event-time watermark passes ``gap_minutes`` beyond a
+    conversation's last turn, its session summary is emitted and the
+    state cleared. State is flat longs (epoch ms) — no Python objects
+    in the state store; each group's update touches only its Arrow
+    batch. This is the (c)-tier custom-operator route the built-in
+    windowed aggregates can't express (per-key gap semantics with
+    explicit state lifecycle)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, n_turns long, n_chars long, "
+        "first_ts timestamp, last_ts timestamp"
+    )
+    state_schema = "n_turns long, n_chars long, first_ms long, last_ms long"
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, c, f, l = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "n_chars": [c],
+                    "first_ts": [pd.to_datetime(f, unit="ms")],
+                    "last_ts": [pd.to_datetime(l, unit="ms")],
+                }
+            )
+            return
+        n = c = 0
+        f = l = None
+        if state.exists:
+            n, c, f, l = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            c += int(pdf["text"].str.len().sum())
+            ms = (pdf["ts"].astype("int64") // 1_000_000)
+            mn, mx = int(ms.min()), int(ms.max())
+            f = mn if f is None or mn < f else f
+            l = mx if l is None or mx > l else l
+        state.update((n, c, f, l))
+        # end the session once the watermark passes last_ts + gap
+        state.setTimeoutTimestamp(l + gap_ms)
+
+    return (
+        turns.withWatermark("ts", "10 minutes")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def land_new_turns(spark: SparkSession, source_dir: str, landing_dir: str, checkpoint: str):
     """File-stream append into the landing area (exactly-once via the
     streaming checkpoint + parquet sink transaction log)."""

@@ -71,6 +71,11 @@ def incremental_update(
 ) -> dict:
     """Bring ``index_dir`` up to date with ``transcripts``.
 
+    ``n_shards``/``hygiene`` default from the committed index's meta;
+    the shard GRID always pins the committed ``shard_size`` (stable
+    doc-range geometry — growth appends trailing shards, so interior
+    shards stay signature-reusable).
+
     1. Prepare the new docs/doc_lengths/stats/norms into STAGED table
        versions (full prepare pass — global stats must be exact; doc
        lengths for unchanged texts reuse the committed index by

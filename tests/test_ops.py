@@ -332,3 +332,24 @@ def test_simhash_hamming_pairs(spark):
     assert got[(0, 1)] == 0                   # identical → distance 0
     assert (0, 2) in got and got[(0, 2)] <= 3  # near dup within threshold
     assert all(3 not in p for p in got)        # unrelated never pairs
+
+
+def test_embedding_lsh_pairs_unlabeled(spark):
+    """Hyperplane-LSH near-dup without a blocking key: scaled copies
+    share every sign bit (recall 1.0 by construction); orthogonal-ish
+    random vectors below the cosine threshold never pair."""
+    from tlgs_spark.ops.dedup import embedding_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    planes = rng.standard_normal((16, 8))
+    base = rng.standard_normal(8)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 2.5]),          # same direction
+        (2, [float(x) for x in rng.standard_normal(8)]),
+        (3, [float(x) for x in rng.standard_normal(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cos for r in embedding_lsh_pairs(df, planes, 0.95).collect()}
+    assert got.get((0, 1)) == 1.0
+    assert all(p == (0, 1) for p in got)

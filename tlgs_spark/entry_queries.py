@@ -1965,6 +1965,81 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
+def _lsh_planes():
+    """16 deterministic hyperplanes over the 64-dim embedding space,
+    rounded to 6 dp so the SAME literals appear in the Spark
+    expressions and the DuckDB SQL (seeded PCG64 — identical in every
+    process)."""
+    import numpy as np
+
+    return np.round(np.random.default_rng(7).standard_normal((16, 64)), 6)
+
+
+def _lsh_pairs_sql(threshold: float = 0.95, n_bands: int = 4) -> str:
+    H = _lsh_planes()
+    width = len(H) // n_bands
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in row)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for row in H
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT id, v, {b} AS band, substr(s, {b * width + 1}, {width}) AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH aug AS MATERIALIZED (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+sig AS MATERIALIZED (
+  SELECT id, v, {bits} AS s FROM aug
+),
+bands AS MATERIALIZED (
+  {band_rows}
+),
+sized AS MATERIALIZED (
+  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, key) AS bn FROM bands)
+  WHERE bn <= 100
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+  FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 4) AS cos
+FROM cand
+WHERE round(list_dot_product(va, vb)
+            / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 4) >= {threshold}
+""".strip()
+
+
+@q("embedding_lsh_pairs", _lsh_pairs_sql())
+def embedding_lsh_pairs_entry(spark, sf_dir):
+    """Unlabeled embedding near-dup via random-hyperplane LSH: the
+    blocking-key-free scale path (sign signatures → band buckets →
+    exact cosine verify; planted scaled copies share every sign bit,
+    so their recall is 1.0 by construction)."""
+    from .ops.dedup import embedding_lsh_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(
+        planted.select("vec_id", "embedding")
+    )
+    return embedding_lsh_pairs(aug, _lsh_planes(), threshold=0.95).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cos"
+    )
+
+
 @q(
     "combine_scores",
     """

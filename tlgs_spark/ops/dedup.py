@@ -180,6 +180,77 @@ def jaccard_pairs(
     )
 
 
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    hyperplanes,
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Unlabeled embedding near-dup via random-hyperplane LSH — the
+    blocking-key-free sibling of embedding_near_dup_pairs. Signature
+    bit j = sign(v·h_j) (scale-invariant, like cosine itself); the
+    n_bits signature splits into ``n_bands`` bands; bucket-joined
+    candidates (skew-capped, never all-pairs) are verified with the
+    exact cosine at 4 dp ≥ threshold. Two vectors within angle θ
+    collide on a given bit with probability 1-θ/π — bands of b bits
+    give the standard (1-θ/π)^b per-band collision curve. Hyperplanes
+    are caller-supplied constants so the DuckDB oracle can embed the
+    identical literals. → (id_a, id_b, cos)."""
+    import numpy as np
+
+    from .similarity import _as_double, _dot, _norm
+
+    H = np.asarray(hyperplanes, dtype=np.float64)
+    n_bits = len(H)
+    if n_bits % n_bands:
+        raise ValueError("n_bits must divide into n_bands")
+    width = n_bits // n_bands
+    v = _as_double(F.col(vec_col))
+    bits = [
+        F.when(_dot(v, F.array(*[F.lit(float(x)) for x in H[j]])) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        for j in range(n_bits)
+    ]
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.concat(*bits).alias("sig"),
+    )
+    bands = sig.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("sig", b * width + 1, width).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "key"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select("band", "key", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = sized.select("band", "key", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str = "text",

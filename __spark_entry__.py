@@ -6,7 +6,7 @@
   SURVEY.md §2 + the training-pipeline ops (dedup / similarity /
   text analysis) — see tlgs_spark/entry_queries.py.
 - ``oracle_sql()``: DuckDB-runnable ANSI SQL mirror for every entry
-  that is SQL-expressible — 48 of 51 since round 2 (incl. the real
+  that is SQL-expressible — 50 of 53 since round 2 (incl. the real
   index+scorer path, fixed-iteration HITS/SALSA, the gemtext
   extraction chain, simhash and the snippet spec); rows-only by
   design: recall-based ANN and the seeded-RNG multimodal plumbing.

@@ -90,7 +90,10 @@ def _token_stats(spark: SparkSession, sf_dir: str) -> dict:
 def _bm25_scored(spark, sf_dir, terms: list[str]) -> tuple[DataFrame, int]:
     """→ (doc_id, score(double, unrounded), n_matched), plus n_terms.
     Candidate generation = per-term postings join; idf/avgdl exact."""
-    terms = [s_stem(t) for t in terms]  # query analyzer = doc analyzer
+    # query analyzer = doc analyzer; dedupe AFTER stemming (two raw
+    # terms stemming to one form must count once in the AND cardinality
+    # — mirrors tokenize_query, which dedupes post-stem)
+    terms = list(dict.fromkeys(s_stem(t) for t in terms))
     st = _token_stats(spark, sf_dir)
     tf, dl, dft = st["tf"], st["dl"], st["dft"]
     n_docs, avgdl = st["n_docs"], st["avgdl"]
@@ -121,7 +124,8 @@ def _bm25_scored(spark, sf_dir, terms: list[str]) -> tuple[DataFrame, int]:
 
 def _bm25_sql(terms: list[str], k: int, mode: str = "and", doc_filter: str = "TRUE",
               page: int | None = None) -> str:
-    terms = [s_stem(t) for t in terms]  # mirror of _bm25_scored's stem
+    # mirror of _bm25_scored: stem, then dedupe (order-preserving)
+    terms = list(dict.fromkeys(s_stem(t) for t in terms))
     vals = ", ".join(f"('{t}')" for t in terms)
     having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
     idf = f"ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from .. import bm25
 from ..tokenizer import (
+    ANALYZER_VERSION,
     HYGIENE_LINE_RE,
     MAX_TOKEN_LEN,
     STOPWORDS,
@@ -551,6 +552,19 @@ def _build_index_impl(
 
     # -- phase 1: prepare (docs, doc_lengths, stats, norms) --
     if not (resume and st.exists("docs") and st.exists("collection_stats")):
+        # capture the COMMITTED meta of the reuse source BEFORE any
+        # write of our own meta: on the incremental path reuse_from ==
+        # index_dir, and reading it after write_meta would hand the
+        # hygiene/analyzer guard the just-written values — the guard
+        # would always pass (r2 ADVICE). With index_meta versioned this
+        # read resolves the committed file, but capturing up front also
+        # protects the standalone reuse_from path (unversioned builds).
+        reuse_meta: dict | None = None
+        if reuse_from is not None:
+            try:
+                reuse_meta = IndexStorage(reuse_from).read_meta()
+            except FileNotFoundError:
+                reuse_meta = None
         _persisted: list = []
         docs = assign_doc_ids(transcripts, cleanup=_persisted).withColumn(
             "size", F.length("text")
@@ -582,7 +596,7 @@ def _build_index_impl(
                 "hygiene": hygiene,
                 "block_size": bm25.BLOCK_SIZE,
                 "lineage": lineage,
-                "tokenizer": "tlgs_spark.tokenizer v2 (s-stem)",
+                "tokenizer": ANALYZER_VERSION,
             }
         )
 
@@ -596,7 +610,13 @@ def _build_index_impl(
             if (
                 old.exists("docs")
                 and old.exists("doc_lengths")
-                and old.read_meta().get("hygiene", False) == hygiene
+                and reuse_meta is not None
+                and reuse_meta.get("hygiene", False) == hygiene
+                # dl is a pure function of (text, analyzer): reuse only
+                # when the committed index was built under the SAME
+                # analyzer spec (s_stem preserves token counts, but a
+                # future spec need not — be strict, not clever)
+                and reuse_meta.get("tokenizer") == ANALYZER_VERSION
             ):
                 # all joins stay SLIM (hash/id/dl columns only — never
                 # shuffle text); the fresh set re-joins the docs table

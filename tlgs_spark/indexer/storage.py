@@ -117,14 +117,106 @@ class IndexStorage:
         w.parquet(self.path(table))
 
     # --- config sidecar (shard geometry etc.) ---
+    # index_meta is VERSIONED like the staged tables: an incremental
+    # update writes the new meta to index_meta__v{n}.json while
+    # readers (and the update's own reuse guards) keep resolving the
+    # committed file; commit_versions flips it with the same pointer
+    # write. Version 0 is the bare index_meta.json.
+    def _meta_file(self, version: int) -> str:
+        name = "index_meta.json" if version == 0 else f"index_meta__v{version}.json"
+        return os.path.join(self.index_dir, name)
+
     def write_meta(self, meta: dict) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
-        with open(os.path.join(self.index_dir, "index_meta.json"), "w") as f:
+        v = self._staged.get("index_meta")
+        if v is None:
+            v = self.versions().get("index_meta", 0)
+        with open(self._meta_file(v), "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
 
     def read_meta(self) -> dict:
-        with open(os.path.join(self.index_dir, "index_meta.json")) as f:
+        v = self._staged.get("index_meta")
+        if v is None:
+            v = self.versions().get("index_meta", 0)
+        with open(self._meta_file(v)) as f:
             return json.load(f)
+
+    # --- deferred GC (reader-safe) ---
+    # A SearchIndex opened before an incremental update holds resolved
+    # committed paths (and cached pyarrow datasets); deleting superseded
+    # version dirs at commit time would make it start erroring
+    # mid-query (r2 ADVICE). Supersede therefore QUEUES paths into
+    # gc_pending.json; ``vacuum`` deletes them later, after a grace
+    # period, skipping anything the current commit still references.
+    def _gc_file(self) -> str:
+        return os.path.join(self.index_dir, "gc_pending.json")
+
+    def gc_queue(self, paths: list[str]) -> None:
+        try:
+            with open(self._gc_file()) as f:
+                pending = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            pending = []
+        import time
+
+        now = time.time()
+        known = {e["path"] for e in pending}
+        for p in paths:
+            if p not in known and os.path.exists(p):
+                pending.append({"path": p, "queued_at": now})
+        tmp = self._gc_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pending, f, indent=2)
+        os.replace(tmp, self._gc_file())
+
+    def _live_paths(self) -> set[str]:
+        """Every path the CURRENT commit references — never vacuumed
+        even if queued (defense against a buggy queue entry)."""
+        live = {self.table_dir(t, self.versions().get(t, 0)) for t in TABLES}
+        live.add(self._meta_file(self.versions().get("index_meta", 0)))
+        for d in self.postings_dirs():
+            live.add(d)
+        return live
+
+    def vacuum(self, grace_s: float = 0.0) -> list[str]:
+        """Delete queued superseded paths older than ``grace_s``
+        seconds. Returns the paths actually removed. Run this from a
+        maintenance entry point once in-flight readers are known to be
+        newer than the grace window (the Iceberg expire_snapshots
+        analog)."""
+        import shutil
+        import time
+
+        try:
+            with open(self._gc_file()) as f:
+                pending = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return []
+        self._versions = None  # re-resolve the committed pointer
+        live = self._live_paths()
+        now = time.time()
+        removed, kept = [], []
+        for e in pending:
+            if e["path"] in live:
+                continue  # referenced again (or never superseded): drop entry
+            if now - e["queued_at"] >= grace_s:
+                if os.path.isdir(e["path"]):
+                    shutil.rmtree(e["path"], ignore_errors=True)
+                elif os.path.exists(e["path"]):
+                    os.remove(e["path"])
+                removed.append(e["path"])
+            else:
+                kept.append(e)
+        tmp = self._gc_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(kept, f, indent=2)
+        os.replace(tmp, self._gc_file())
+        return removed
+
+    def postings_dirs(self) -> list[str]:
+        """Directories holding the committed postings partitions (one
+        entry until snapshot-versioned postings land)."""
+        return [self.path("postings")]
 
     def completed_shards(self, spark) -> set[int]:
         """Shards with a checkpoint-ledger row (resume = skip these)."""

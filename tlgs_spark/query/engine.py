@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..indexer.codec import decode_postings, decode_postings_batch, decode_varints
 from ..indexer.storage import IndexStorage
-from ..tokenizer import tokenize_query
+from ..tokenizer import s_stem, tokenize_query
 from .parser import SearchFilter, eval_filter_row, parse_search_query
 from .scorer import TermData, _exact_scores, _topk_order, search_and, search_or
 from .snippet import make_snippet
@@ -162,8 +162,12 @@ class SearchIndex:
         on the build-time first_turn_terms table (df-sized result, not
         corpus-sized). Legacy indexes without the table derive it with
         one distributed tokenize pass, still collecting only the
-        matching conv_ids."""
-        t = term.lower()
+        matching conv_ids. The filter term goes through the SAME
+        analyzer as the stored terms (lowercase + stem — the table
+        holds tokenize_tokens output, which stems; the reference's
+        intitle terms go through the same tsquery stemmer as body
+        terms, search.cpp:441,445)."""
+        t = s_stem(term.lower())
         hit = self._first_convs_cache.get(t)
         if hit is not None:
             return hit
@@ -402,7 +406,9 @@ class SearchIndex:
         # predicate only ever tests membership of the FILTER terms, so
         # the per-row token set is reconstructed from those sets
         conv_sets = (
-            {term.lower(): self.first_turn_convs(term) for term, _ in filt.infirst}
+            # keys are the ANALYZED (lowered + stemmed) filter terms —
+            # eval_filter_row stems its membership probes the same way
+            {s_stem(term.lower()): self.first_turn_convs(term) for term, _ in filt.infirst}
             if filt.infirst
             else {}
         )
@@ -635,7 +641,7 @@ class SearchIndex:
             for i, (term, _) in enumerate(filt.infirst):
                 flags = (
                     self._first_terms_df()
-                    .filter(F.col("term") == term.lower())
+                    .filter(F.col("term") == s_stem(term.lower()))
                     .select("conv_id")
                     .distinct()
                     .withColumn(f"_inf{i}", F.lit(True))

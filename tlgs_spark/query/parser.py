@@ -173,8 +173,14 @@ def eval_filter_row(
         if not group([conv_id == c for c, _ in filt.conv], [n for _, n in filt.conv]):
             return False
     if filt.infirst:
+        # first_text_terms holds ANALYZED terms (the tokenizer stems),
+        # so the filter term goes through the same analyzer — the
+        # reference runs intitle terms through the identical tsquery
+        # stemmer as body terms (search.cpp:441,445)
+        from ..tokenizer import s_stem
+
         if not group(
-            [term.lower() in first_text_terms for term, _ in filt.infirst],
+            [s_stem(term.lower()) in first_text_terms for term, _ in filt.infirst],
             [n for _, n in filt.infirst],
         ):
             return False

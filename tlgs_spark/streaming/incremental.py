@@ -38,6 +38,8 @@ from ..indexer.build import build_index
 from ..indexer.storage import IndexStorage
 
 # tables recomputed by every incremental update → staged as new versions
+# (index_meta is a versioned small file, not a parquet dir — same
+# pointer, special-cased in GC)
 _STAGED_TABLES = (
     "docs",
     "doc_lengths",
@@ -46,6 +48,7 @@ _STAGED_TABLES = (
     "first_turn_terms",
     "term_stats",
     "ledger",
+    "index_meta",
 )
 
 
@@ -68,6 +71,7 @@ def incremental_update(
     index_dir: str,
     n_shards: int | None = None,
     hygiene: bool | None = None,
+    gc: str = "defer",
 ) -> dict:
     """Bring ``index_dir`` up to date with ``transcripts``.
 
@@ -84,9 +88,11 @@ def incremental_update(
     3. Stage a ledger carrying the unchanged shards as 'reused' rows;
        rebuild only the changed shards in place (dynamic partition
        overwrite touches exactly those partitions).
-    4. Commit the version pointer (one small-file write) and GC the
-       superseded version dirs + any postings partitions beyond the
-       new shard grid.
+    4. Commit the version pointer (one small-file write). Superseded
+       version dirs are queued in gc_pending.json — ``gc="defer"``
+       (default) leaves deletion to a later ``IndexStorage.vacuum``
+       call so pre-update readers keep working; ``gc="now"`` vacuums
+       immediately (the old eager behavior).
     Returns {"changed": [...], "reused": [...]}.
     """
     st_old = IndexStorage(index_dir)
@@ -124,6 +130,13 @@ def incremental_update(
     if new_meta["shard_size"] != meta["shard_size"]:
         # geometry changed (corpus grew past the old shard grid) →
         # everything rebuilds; still correct, just not incremental
+        old_sigs = {}
+    elif meta.get("tokenizer") != new_meta.get("tokenizer"):
+        # analyzer guard (r2 ADVICE): shard signatures key on TEXT
+        # only, so reusing postings built under a different tokenizer
+        # spec would mix analyzers inside one index (reused shards in
+        # old terms, rebuilt shards + queries in new terms — silent
+        # missed matches). Force a full rebuild instead.
         old_sigs = {}
     else:
         old = shard_signatures(
@@ -176,16 +189,27 @@ def incremental_update(
         if d.startswith("field_") and os.path.isdir(os.path.join(index_dir, d))
     ]
 
-    # metadata-level cutover + GC of superseded versions / stale
-    # partitions (plain DELETEs — valid object-store operations,
-    # unlike directory rename)
+    # metadata-level cutover; superseded version dirs are QUEUED for
+    # deferred deletion instead of removed at commit (r2 ADVICE: a
+    # SearchIndex opened pre-update holds the old resolved paths and
+    # must keep working until vacuum's grace window passes)
     st_new.commit_versions(staged)
-    for t in _STAGED_TABLES:
-        prev = st_old.table_dir(t, committed.get(t, 0))
-        shutil.rmtree(prev, ignore_errors=True)
+    superseded = [
+        st_old._meta_file(committed.get("index_meta", 0))
+        if t == "index_meta"
+        else st_old.table_dir(t, committed.get(t, 0))
+        for t in _STAGED_TABLES
+    ]
+    st_new.gc_queue(superseded)
+    # postings partitions beyond the new shard grid must go NOW: the
+    # postings table is an unversioned dir scan, so a new reader would
+    # otherwise pick up the stale shards (snapshot-versioned postings
+    # move this to the deferred queue too)
     post_dir = st_new.path("postings")
     for s in range(new_meta["n_shards"], old_n_shards):
         shutil.rmtree(os.path.join(post_dir, f"shard={s}"), ignore_errors=True)
+    if gc == "now":
+        st_new.vacuum(0.0)
 
     if fields:
         from ..indexer.build import build_field_index

@@ -5,8 +5,9 @@ Reference semantics: PostgreSQL ``to_tsvector('english', ...)`` —
 lowercase, split on non-word, drop stopwords
 (tlgs/crawler/crawler.cpp:556-558); queries use the same analyzer with
 implicit AND (``plainto_tsquery``, search.cpp:441). We freeze a
-deterministic, dependency-free equivalent (no stemmer — the spec is
-ours to pin; rank-identity is proven against *this* spec's oracle):
+deterministic, dependency-free equivalent (spec v2, stemmed — the
+spec is ours to pin; rank-identity is proven against *this* spec's
+oracle):
 
 1. optional hygiene pass: drop separator / ASCII-art / box-drawing
    lines (analog of tlgsutils/utils.cpp:25-60 isAsciiArt and
@@ -39,6 +40,13 @@ from collections import Counter
 
 TOKEN_RE = re.compile(r"[a-z0-9]+")
 MAX_TOKEN_LEN = 64
+
+# Analyzer spec version, stamped into index_meta at build time and
+# checked by incremental_update: an index whose postings were built
+# under a different analyzer cannot reuse shards verbatim (the reused
+# segments would hold differently-analyzed terms than the rebuilt
+# ones — a silently mixed-analyzer index).
+ANALYZER_VERSION = "tlgs_spark.tokenizer v2 (s-stem)"
 
 # Classic minimal English stopword list (fixed forever — part of the spec).
 STOPWORDS = frozenset(

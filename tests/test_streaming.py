@@ -36,12 +36,12 @@ def test_incremental_update_rebuilds_only_changed_shards(spark, tmp_path):
     fresh = str(tmp_path / "fresh")
     build_index(spark, _spark_df(spark, pdf2), fresh, n_shards=6, lineage="v2")
     a = (
-        spark.read.parquet(os.path.join(idx, "postings"))
+        IndexStorage(idx).read(spark, "postings")
         .select("shard", "term", "df", "postings")
         .toPandas().sort_values(["shard", "term"]).reset_index(drop=True)
     )
     b = (
-        spark.read.parquet(os.path.join(fresh, "postings"))
+        IndexStorage(fresh).read(spark, "postings")
         .select("shard", "term", "df", "postings")
         .toPandas().sort_values(["shard", "term"]).reset_index(drop=True)
     )

@@ -770,7 +770,7 @@ def _build_index_impl(
             """Data-file bytes under the shard partition dir (skips
             hidden/_SUCCESS/.crc bookkeeping). None ⇒ not a local
             filesystem — caller falls back to the Spark-side sum."""
-            d = _os.path.join(st.path("postings"), f"shard={shard}")
+            d = st.postings_shard_dir(shard)
             try:
                 return sum(
                     e.stat().st_size
@@ -784,7 +784,7 @@ def _build_index_impl(
         if any(v is None for v in bytes_map.values()):
             # non-local index dir: one Spark pass that does read blobs
             rows = (
-                spark.read.parquet(st.path("postings"))
+                st.read(spark, "postings")
                 .filter(F.col("shard").isin(batch))
                 .groupBy("shard")
                 .agg(F.sum(F.length("postings")).alias("b"))
@@ -792,7 +792,7 @@ def _build_index_impl(
             )
             bytes_map = {int(r.shard): int(r.b) for r in rows}
         agg_rows = (
-            spark.read.parquet(st.path("postings"))
+            st.read(spark, "postings")
             .select("shard", "df")
             .filter(F.col("shard").isin(batch))
             .groupBy("shard")
@@ -850,7 +850,7 @@ def _build_index_impl(
         built > 0 or not st.exists("term_stats") or int(stats_row.n_terms) < 0
     ):
         term_stats = (
-            spark.read.parquet(st.path("postings"))
+            st.read(spark, "postings")
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         )

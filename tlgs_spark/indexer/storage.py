@@ -53,12 +53,23 @@ class IndexStorage:
     resolving the committed ones, then flips the pointer with ONE
     small-file write (``commit_versions``) — the object-store-safe
     replacement for the r1 staging-dir ``os.rename`` swap (rename is
-    not atomic — or is a full copy — on object stores). The postings
-    table is never versioned: unchanged shard partitions are reused
-    as METADATA (untouched files), changed ones are rewritten in
-    place under dynamic partition overwrite. Snapshot isolation for
-    those partition rewrites is the one gap — that's the Iceberg
-    swap point documented above.
+    not atomic — or is a full copy — on object stores).
+
+    The postings table is SNAPSHOT-VERSIONED at partition granularity
+    (the Iceberg manifest idea, scaled down): each postings version
+    carries a manifest file mapping shard → the partition dir that
+    holds its segment. An incremental update writes CHANGED shards
+    into a fresh ``postings__v{n}`` dir (never touching committed
+    files), carries unchanged shards by manifest reference into the
+    new manifest, and flips both with the same pointer commit. A
+    reader opened on the old pointer keeps scanning exactly its
+    snapshot's files until ``vacuum`` retires them after a grace
+    period — the MVCC behavior the reference gets from PostgreSQL
+    (crawler runs concurrently with the server, crawler.cpp:132-139).
+    A fresh build needs no manifest: version 0 resolves to a plain
+    scan of the bare ``postings`` dir. Field sub-indexes
+    (``field_*/``) are derived caches rebuilt in place post-commit —
+    re-open them after an update.
     """
 
     def __init__(self, index_dir: str, staged_versions: dict[str, int] | None = None):
@@ -101,6 +112,9 @@ class IndexStorage:
         return self.table_dir(table, v)
 
     def exists(self, table: str) -> bool:
+        if table == "postings":
+            srcs = self.postings_sources()
+            return any(os.path.isdir(base) for base, _ in srcs)
         p = self.path(table)
         return os.path.isdir(p) and (
             os.path.exists(os.path.join(p, "_SUCCESS"))
@@ -108,7 +122,97 @@ class IndexStorage:
         )
 
     def read(self, spark, table: str):
+        if table == "postings":
+            return self.read_postings(spark)
         return spark.read.parquet(self.path(table))
+
+    # --- postings manifest (partition-granular snapshot) ---
+    def _postings_manifest_file(self, version: int) -> str:
+        name = (
+            "postings_manifest.json"
+            if version == 0
+            else f"postings_manifest__v{version}.json"
+        )
+        return os.path.join(self.index_dir, name)
+
+    def postings_version(self) -> int:
+        v = self._staged.get("postings")
+        if v is None:
+            v = self.versions().get("postings", 0)
+        return v
+
+    def read_postings_manifest(self) -> dict[int, str] | None:
+        """shard → index_dir-relative partition dir for the resolved
+        postings version; None ⇒ no manifest (plain dir scan of the
+        version's base dir — every fresh build)."""
+        try:
+            with open(self._postings_manifest_file(self.postings_version())) as f:
+                return {int(k): v for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return None
+
+    def write_postings_manifest(self, mapping: dict[int, str]) -> None:
+        f_ = self._postings_manifest_file(self.postings_version())
+        tmp = f_ + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in sorted(mapping.items())}, f, indent=2)
+        os.replace(tmp, f_)
+
+    def postings_sources(self) -> list[tuple[str, list[int] | None]]:
+        """[(base_dir, shard_ids | None)] — the physical scan plan of
+        the resolved postings snapshot, grouped by base dir so each
+        group reads with one ``basePath`` (hive partition column
+        intact). ``None`` shards ⇒ whole-dir scan (no manifest)."""
+        man = self.read_postings_manifest()
+        if man is None:
+            return [(self.table_dir("postings", self.postings_version()), None)]
+        by_base: dict[str, list[int]] = {}
+        for shard, rel in man.items():
+            base = os.path.join(self.index_dir, os.path.dirname(rel))
+            by_base.setdefault(base, []).append(shard)
+        return [(b, sorted(s)) for b, s in sorted(by_base.items())]
+
+    def read_postings(self, spark):
+        """Manifest-aware postings scan: per base dir, read exactly
+        the referenced shard partitions (basePath keeps the hive
+        ``shard`` column); union across base dirs. One base dir — the
+        common case — stays a single plain parquet scan."""
+        srcs = self.postings_sources()
+        dfs = []
+        for base, shards in srcs:
+            if shards is None:
+                dfs.append(spark.read.parquet(base))
+            else:
+                # a shard whose doc range produced zero postings has no
+                # partition dir at all — legitimately absent, skip it
+                paths = [
+                    p
+                    for s in shards
+                    if os.path.isdir(p := os.path.join(base, f"shard={s}"))
+                ]
+                if paths:
+                    dfs.append(spark.read.option("basePath", base).parquet(*paths))
+        if not dfs:
+            return spark.createDataFrame(
+                [],
+                "shard int, term string, df long, cf long, max_tfn double, "
+                "block_max array<float>, block_last array<bigint>, postings binary",
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def postings_shard_dir(self, shard: int) -> str:
+        """The partition dir that holds (or will hold) ``shard`` under
+        the resolved snapshot — manifest entry if present, else the
+        version's base dir."""
+        man = self.read_postings_manifest()
+        if man is not None and shard in man:
+            return os.path.join(self.index_dir, man[shard])
+        return os.path.join(
+            self.table_dir("postings", self.postings_version()), f"shard={shard}"
+        )
 
     def write(self, df, table: str, mode: str = "overwrite", partition_by: list[str] | None = None):
         w = df.write.mode(mode)
@@ -196,9 +300,20 @@ class IndexStorage:
         live = self._live_paths()
         now = time.time()
         removed, kept = [], []
+
+        def _referenced(p: str) -> bool:
+            # p is live itself, or still CONTAINS a live path (a base
+            # dir with at least one referenced shard partition)
+            sep = os.sep
+            return any(p == l or l.startswith(p + sep) for l in live)
+
         for e in pending:
-            if e["path"] in live:
-                continue  # referenced again (or never superseded): drop entry
+            if _referenced(e["path"]):
+                # still referenced by the current commit (e.g. an old
+                # base dir holding reused shards): keep the entry so a
+                # later vacuum retries once it frees up
+                kept.append(e)
+                continue
             if now - e["queued_at"] >= grace_s:
                 if os.path.isdir(e["path"]):
                     shutil.rmtree(e["path"], ignore_errors=True)
@@ -214,9 +329,16 @@ class IndexStorage:
         return removed
 
     def postings_dirs(self) -> list[str]:
-        """Directories holding the committed postings partitions (one
-        entry until snapshot-versioned postings land)."""
-        return [self.path("postings")]
+        """The EXACT directories the committed postings snapshot
+        references: per-shard manifest entries, or the bare version
+        dir when no manifest exists. (Deliberately no parent dirs —
+        vacuum skips any queued path that still CONTAINS a live one,
+        so a base dir with one live shard survives while its
+        superseded sibling shard dirs can go.)"""
+        man = self.read_postings_manifest()
+        if man is None:
+            return [self.table_dir("postings", self.postings_version())]
+        return sorted({os.path.join(self.index_dir, rel) for rel in man.values()})
 
     def completed_shards(self, spark) -> set[int]:
         """Shards with a checkpoint-ledger row (resume = skip these)."""

@@ -223,12 +223,17 @@ class SearchIndex:
 
     def _arrow_lookup(self, table: str, keys: list, columns: list[str],
                       partitioning: str | None = None, key_field: str = "term"):
-        """Point lookup rows where key_field ∈ keys via a cached pyarrow
-        dataset; None ⇒ use the Spark fallback. A failed dataset open
-        (non-local index dir) is cached so later queries don't re-pay
-        directory discovery, and is logged once; read errors surface —
-        a corrupt footer should fail loudly, not silently degrade to
-        the 8×-slower Spark path forever."""
+        """Point lookup rows where key_field ∈ keys via cached pyarrow
+        datasets; None ⇒ use the Spark fallback. The postings table is
+        snapshot-versioned at partition granularity, so it may resolve
+        to SEVERAL (base_dir, shard_ids) sources — one hive dataset
+        each, scans restricted to the manifest's shards, results
+        concatenated (pinned at first use, like every other resolved
+        path on this SearchIndex: the open index IS a snapshot). A
+        failed dataset open (non-local index dir) is cached so later
+        queries don't re-pay directory discovery, and is logged once;
+        read errors surface — a corrupt footer should fail loudly, not
+        silently degrade to the 8×-slower Spark path forever."""
         if not hasattr(self, "_arrow_cache"):
             self._arrow_cache: dict = {}
         if table not in self._arrow_cache:
@@ -236,9 +241,23 @@ class SearchIndex:
                 import pyarrow.dataset as ds_mod
 
                 self._ds_mod = ds_mod
-                self._arrow_cache[table] = ds_mod.dataset(
-                    self.st.path(table), format="parquet", partitioning=partitioning
-                )
+                if table == "postings":
+                    self._arrow_cache[table] = [
+                        (
+                            ds_mod.dataset(base, format="parquet", partitioning=partitioning),
+                            shards,
+                        )
+                        for base, shards in self.st.postings_sources()
+                    ]
+                else:
+                    self._arrow_cache[table] = [
+                        (
+                            ds_mod.dataset(
+                                self.st.path(table), format="parquet", partitioning=partitioning
+                            ),
+                            None,
+                        )
+                    ]
             except (ImportError, OSError, ValueError) as e:
                 import warnings
 
@@ -247,12 +266,20 @@ class SearchIndex:
                     f"({e.__class__.__name__}: {e}); using Spark scans"
                 )
                 self._arrow_cache[table] = None
-        ds = self._arrow_cache[table]
-        if ds is None:
+        sources = self._arrow_cache[table]
+        if sources is None:
             return None
-        return ds.to_table(
-            filter=self._ds_mod.field(key_field).isin(keys), columns=columns
-        )
+        tables = []
+        for ds, shards in sources:
+            flt = self._ds_mod.field(key_field).isin(keys)
+            if shards is not None:
+                flt = flt & self._ds_mod.field("shard").isin(shards)
+            tables.append(ds.to_table(filter=flt, columns=columns))
+        if len(tables) == 1:
+            return tables[0]
+        import pyarrow as pa
+
+        return pa.concat_tables(tables)
 
     def _term_df_map(self, terms: list[str]) -> dict[str, int]:
         """term → exact global df, via a direct pyarrow lookup on the

@@ -39,7 +39,9 @@ from ..indexer.storage import IndexStorage
 
 # tables recomputed by every incremental update → staged as new versions
 # (index_meta is a versioned small file, not a parquet dir — same
-# pointer, special-cased in GC)
+# pointer, special-cased in GC; postings is the partition-granular
+# snapshot: changed shards land in the staged version dir, reused
+# shards are carried by manifest reference)
 _STAGED_TABLES = (
     "docs",
     "doc_lengths",
@@ -49,6 +51,7 @@ _STAGED_TABLES = (
     "term_stats",
     "ledger",
     "index_meta",
+    "postings",
 )
 
 
@@ -151,6 +154,28 @@ def incremental_update(
     reused = sorted(s for s in new_sigs if old_sigs.get(s) == new_sigs[s])
     changed = sorted(s for s in new_sigs if s not in set(reused))
 
+    # staged postings manifest — the snapshot-isolation core: reused
+    # shards keep pointing at their COMMITTED partition dirs (files
+    # untouched), changed shards point into the fresh staged version
+    # dir the rebuild below writes. Written before the rebuild so the
+    # rebuild's finalize (term_stats rollup) reads the correct union.
+    old_man = st_old.read_postings_manifest()
+    old_base_rel = os.path.relpath(
+        st_old.table_dir("postings", committed.get("postings", 0)), index_dir
+    )
+
+    def _old_entry(s: int) -> str:
+        if old_man is not None and s in old_man:
+            return old_man[s]
+        return f"{old_base_rel}/shard={s}"
+
+    new_base_rel = os.path.relpath(
+        st_new.table_dir("postings", staged["postings"]), index_dir
+    )
+    manifest = {s: _old_entry(s) for s in reused}
+    manifest.update({s: f"{new_base_rel}/shard={s}" for s in changed})
+    st_new.write_postings_manifest(manifest)
+
     # staged ledger: committed rows for REUSED shards only (marked), so
     # resume skips exactly them; changed shards get fresh 'built' rows
     # from the rebuild below — no double-counted ledger metrics
@@ -199,15 +224,24 @@ def incremental_update(
         if t == "index_meta"
         else st_old.table_dir(t, committed.get(t, 0))
         for t in _STAGED_TABLES
+        if t != "postings"
     ]
+    # postings retire at PARTITION granularity: the old dirs of changed
+    # shards, any shards beyond the new grid, the old manifest file,
+    # and the old base dir itself (vacuum holds it while any reused
+    # shard inside is still referenced by the new manifest)
+    superseded += [
+        os.path.join(index_dir, _old_entry(s))
+        for s in changed
+        if s < old_n_shards or (old_man is not None and s in old_man)
+    ]
+    superseded += [
+        os.path.join(index_dir, _old_entry(s))
+        for s in range(new_meta["n_shards"], old_n_shards)
+    ]
+    superseded.append(st_old._postings_manifest_file(committed.get("postings", 0)))
+    superseded.append(st_old.table_dir("postings", committed.get("postings", 0)))
     st_new.gc_queue(superseded)
-    # postings partitions beyond the new shard grid must go NOW: the
-    # postings table is an unversioned dir scan, so a new reader would
-    # otherwise pick up the stale shards (snapshot-versioned postings
-    # move this to the deferred queue too)
-    post_dir = st_new.path("postings")
-    for s in range(new_meta["n_shards"], old_n_shards):
-        shutil.rmtree(os.path.join(post_dir, f"shard={s}"), ignore_errors=True)
     if gc == "now":
         st_new.vacuum(0.0)
 

@@ -6,10 +6,16 @@
   SURVEY.md §2 + the training-pipeline ops (dedup / similarity /
   text analysis) — see tlgs_spark/entry_queries.py.
 - ``oracle_sql()``: DuckDB-runnable ANSI SQL mirror for every entry
-  that is SQL-expressible — 50 of 53 since round 2 (incl. the real
+  that is SQL-expressible — 49 of 50 since round 3 (incl. the real
   index+scorer path, fixed-iteration HITS/SALSA, the gemtext
-  extraction chain, simhash and the snippet spec); rows-only by
-  design: recall-based ANN and the seeded-RNG multimodal plumbing.
+  extraction chain, simhash, the snippet spec, and IVF ANN via
+  fitted-centroid literals); the one rows-only entry is the seeded-RNG
+  multimodal plumbing, whose payloads have no SQL twin by design.
+  The registry was consolidated to exactly 50 entries in round 3
+  (text-stats family merged into text_quality, frame plan merged into
+  multimodal_features) because the driver's sweep records at most 50
+  rows (r1: 47/47, r2: first 50 of 53 in registry order) — at 50,
+  every implemented operator gets a driver-side correctness row.
 """
 
 from __future__ import annotations

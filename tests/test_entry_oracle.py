@@ -47,7 +47,10 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_entry_matches_oracle(name, spark, oracle_con):
-    spec = QUERIES[name]
+    from tlgs_spark.entry_queries import resolve_sql
+
+    spec = dict(QUERIES[name])
+    spec["sql"] = resolve_sql(spec["sql"], SF_DIR)
     got = spec["fn"](spark, SF_DIR).toPandas()
     assert list(got.columns), f"{name}: no columns"
 

@@ -615,14 +615,26 @@ SELECT doc_id,
        round(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN 0.0
              ELSE len([t FOR t IN regexp_extract_all(lower(text), '[a-z0-9]+')
                        IF list_contains([{stopwords_sql_list()}], t)])::DOUBLE
-                  / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END, 4) AS stopword_ratio
+                  / len(regexp_extract_all(lower(text), '[a-z0-9]+')) END, 4) AS stopword_ratio,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_ish_tokens,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents
 """.strip(),
 )
 def text_quality(spark, sf_dir):
-    """Quality-scoring signals: length, punctuation ratio, stopword
-    ratio — all JVM expressions."""
-    from .ops.textstats import punct_ratio, stopword_ratio, ws_token_count
+    """The per-document text-analysis family in one oracle-paired pass
+    (merged r3 so the driver's 50-row sweep covers every entry):
+    quality signals (length, punctuation ratio, stopword ratio),
+    token counting (whitespace + BPE-ish pre-tokenizer regex), and the
+    normalized rolling fingerprint (F9/F12 analog). One projection,
+    all JVM expressions — at 100 TB this is a single map-side pass."""
+    from .ops.textstats import (
+        BPE_PATTERN,
+        fingerprint,
+        punct_ratio,
+        stopword_ratio,
+        ws_token_count,
+    )
 
     t = F.col("text")
     return _docs(spark, sf_dir).select(
@@ -630,40 +642,11 @@ def text_quality(spark, sf_dir):
         ws_token_count(t).cast("long").alias("ws_tokens"),
         punct_ratio(t).alias("punct_ratio"),
         stopword_ratio(t).alias("stopword_ratio"),
-    )
-
-
-@q(
-    "token_counts",
-    """
-SELECT doc_id,
-       len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
-       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_ish_tokens
-FROM documents
-""".strip(),
-)
-def token_counts(spark, sf_dir):
-    """Token counting: whitespace + BPE-ish pre-tokenizer regex."""
-    from .ops.textstats import BPE_PATTERN, ws_token_count
-
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
         F.size(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), F.lit(0))
+            F.regexp_extract_all(F.lower(t), F.lit(BPE_PATTERN), F.lit(0))
         ).cast("long").alias("bpe_ish_tokens"),
+        fingerprint(t).alias("fp"),
     )
-
-
-@q(
-    "fingerprints",
-    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
-)
-def fingerprints(spark, sf_dir):
-    """Document fingerprinting (F9/F12 analog: normalize + hash)."""
-    from .ops.textstats import fingerprint
-
-    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 @q(
@@ -1916,19 +1899,92 @@ def host_backpressure(spark, sf_dir):
     ).select("item_id", "host", "round")
 
 
-@q("ann_ivf_topk", None)
+_IVF_N_CENTROIDS, _IVF_ITERS, _IVF_N_PROBE = 8, 8, 3
+_IVF_CENT_CACHE: dict[str, "object"] = {}
+
+
+def _ivf_centroids(sf_dir: str):
+    """Deterministic IVF training for the oracle pairing: read the
+    embeddings table directly (pyarrow, vec_id-sorted, first ≤50k —
+    partitioning-independent, unlike a Spark seeded sample), run the
+    shared spherical-k-means kernel, round to 6 dp so the SAME double
+    literals feed the Spark expressions and the DuckDB SQL."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    hit = _IVF_CENT_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    from .ops.similarity import ivf_fit_np
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_ids = tbl["vec_id"].to_numpy()
+    order = np.argsort(vec_ids)[:50_000]
+    x = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    cents = np.round(
+        ivf_fit_np(x, n_centroids=_IVF_N_CENTROIDS, iters=_IVF_ITERS, seed=42), 6
+    )
+    q_row = np.asarray(tbl["embedding"].to_pylist()[int(np.nonzero(vec_ids == 0)[0][0])], dtype=np.float64)
+    out = (cents, q_row)
+    _IVF_CENT_CACHE[sf_dir] = out
+    return out
+
+
+def _ivf_probes(cents, qv) -> list[int]:
+    """Mirror of ivf_search's probe selection (argsort desc, first
+    n_probe) — shared by the entry and the SQL generator."""
+    import numpy as np
+
+    q = np.asarray(qv, dtype=np.float64)
+    sims = cents @ (q / np.linalg.norm(q))
+    return [int(i) for i in np.argsort(-sims)[:_IVF_N_PROBE]]
+
+
+def _ann_ivf_sql(sf_dir: str) -> str:
+    """DuckDB mirror of assign → n_probe bucket pruning → cosine top-k
+    with the FITTED centroids embedded as literals (same 6-dp doubles
+    the Spark plan uses; probe ids computed by the same numpy code as
+    ivf_search)."""
+    cents, qv = _ivf_centroids(sf_dir)
+    probes = ", ".join(str(p) for p in _ivf_probes(cents, qv))
+    dots = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        " / sqrt(list_dot_product(v, v))"
+        for row in cents
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (SELECT vec_id, v, [{dots}] AS cs FROM e),
+assigned AS (
+  SELECT vec_id, v, (list_position(cs, list_max(cs)) - 1)::INT AS cid FROM scored
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.v, qq.qv)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qq.qv, qq.qv))), 4) AS cos
+FROM assigned a CROSS JOIN qq
+WHERE a.cid IN ({probes}) AND a.vec_id <> 0
+ORDER BY cos DESC, vec_id LIMIT 10
+""".strip()
+
+
+@q("ann_ivf_topk", _ann_ivf_sql)
 def ann_ivf_entry(spark, sf_dir):
-    """IVF-bucketed approximate NN (scale path; exactness is
-    embedding_topk's job, so rows-only here). Centroids are FITTED
-    (spherical k-means on a bounded driver-side sample — the
-    FAISS-style training regime) since r2, not RNG stand-ins."""
-    from .ops.similarity import ivf_assign, ivf_fit, ivf_search
+    """IVF-bucketed approximate NN (the scale path: bucket pruning on
+    the centroid-id column; exact recall is embedding_topk's job).
+    Centroids are FITTED (spherical k-means, shared kernel) from a
+    deterministic vec_id-sorted parquet read, so the fitted literals
+    are a pure function of the data and the whole
+    assign→probe→cosine-top-k chain is oracle-paired since r3."""
+    from .ops.similarity import ivf_assign, ivf_search
 
     emb = _read(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
-    cents = ivf_fit(emb, n_centroids=8, iters=8)
+    cents, qv = _ivf_centroids(sf_dir)
     assigned, cents = ivf_assign(emb, centroids=cents)
-    return ivf_search(assigned.filter(F.col("vec_id") != 0), cents, qv, k=10, n_probe=3)
+    return ivf_search(
+        assigned.filter(F.col("vec_id") != 0), cents, list(qv), k=10,
+        n_probe=_IVF_N_PROBE,
+    )
 
 
 @q(
@@ -2186,28 +2242,20 @@ def snippet_preview_entry(spark, sf_dir):
 
 @q("multimodal_features", None)
 def multimodal_features_entry(spark, sf_dir):
-    """Multimodal plumbing: opaque binary payloads + typed metadata →
-    mapInPandas feature extraction (schema, Arrow batch shape, and UDF
-    signature are real; the decode kernel is the documented stub).
+    """Multimodal plumbing in one entry (merged r3: feature extraction
+    + frame-sampling plan, so the driver's 50-row sweep covers every
+    entry): opaque binary payloads + typed metadata → mapInPandas
+    feature extraction (schema, Arrow batch shape, and UDF signature
+    are real; the decode kernel is the documented stub) joined to the
+    per-(media_id, frame_ts_ms) sampling plan rows (JVM
+    sequence/explode — partition count grows with frames, not videos).
     Deterministic seeded payloads ⇒ stable rows-only check."""
-    from .ops.multimodal import extract_features, synth_media
-
-    media = synth_media(spark, n=200, kind="image")
-    return extract_features(media).select("media_id", "kind", "n_bytes", "sha256").orderBy(
-        "media_id"
-    )
-
-
-@q("frame_sample_plan", None)
-def frame_sample_plan_entry(spark, sf_dir):
-    """Video frame-sampling plan: one row per (media_id, frame_ts_ms)
-    via JVM sequence/explode — the scale-path layout for decode jobs
-    (the decode itself stays a stub; partition count grows with frames,
-    not videos)."""
-    from .ops.multimodal import frame_sample_plan, synth_media
+    from .ops.multimodal import extract_features, frame_sample_plan, synth_media
 
     media = synth_media(spark, n=100, kind="video")
-    return frame_sample_plan(media, every_ms=5000).orderBy("media_id", "frame_ts_ms")
+    feats = extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
+    plan = frame_sample_plan(media, every_ms=5000)
+    return plan.join(feats, "media_id").orderBy("media_id", "frame_ts_ms")
 
 
 def entry_df(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
@@ -2215,9 +2263,23 @@ def entry_df(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     return bm25_topk_and(spark, sf_dir)
 
 
+# The driver compares Spark vs DuckDB at this scale factor; SQL
+# generators that embed data-derived literals (fitted IVF centroids)
+# resolve against it. Local tests pass their own sf_dir.
+DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def resolve_sql(spec_sql, sf_dir: str = DEFAULT_ORACLE_SF) -> str | None:
+    return spec_sql(sf_dir) if callable(spec_sql) else spec_sql
+
+
 def queries_dict():
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
 
-def oracle_sql_dict():
-    return {name: spec["sql"] for name, spec in QUERIES.items() if spec["sql"] is not None}
+def oracle_sql_dict(sf_dir: str = DEFAULT_ORACLE_SF):
+    return {
+        name: resolve_sql(spec["sql"], sf_dir)
+        for name, spec in QUERIES.items()
+        if spec["sql"] is not None
+    }

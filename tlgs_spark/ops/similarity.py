@@ -52,30 +52,15 @@ def cosine_topk(
     return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
-def ivf_fit(
-    emb: DataFrame,
-    n_centroids: int = 16,
-    vec_col: str = "embedding",
-    sample_size: int = 50_000,
-    iters: int = 10,
-    seed: int = 42,
+def ivf_fit_np(
+    x: np.ndarray, n_centroids: int = 16, iters: int = 10, seed: int = 42
 ) -> np.ndarray:
-    """Fit IVF centroids with spherical Lloyd's k-means on a BOUNDED
-    driver-side sample — the FAISS-style training regime: train on
-    ≤ sample_size vectors (one sampled collect, never corpus-sized),
-    assign the full corpus distributively afterwards. Deterministic:
-    seeded sample, seeded init, fixed iteration count; empty clusters
-    reseed from the point farthest from its centroid. Returns unit
-    row-vectors (n_centroids × dim)."""
-    n = emb.count()
-    frac = min(1.0, (sample_size * 1.2) / max(n, 1))  # oversample, then cap
-    pdf = (
-        emb.select(_as_double(F.col(vec_col)).alias("v"))
-        .sample(withReplacement=False, fraction=frac, seed=seed)
-        .limit(sample_size)
-        .toPandas()
-    )
-    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    """The spherical Lloyd's k-means kernel (shared by the Spark-sampled
+    fit and the parquet-direct fit the oracle uses). Deterministic:
+    seeded init, fixed iteration count; empty clusters reseed from the
+    point farthest from its centroid. Returns unit row-vectors
+    (n_centroids × dim)."""
+    x = np.asarray(x, dtype=np.float64)
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.where(nrm > 0, nrm, 1.0)
     rng = np.random.default_rng(seed)
@@ -99,6 +84,33 @@ def ivf_fit(
         pad /= np.linalg.norm(pad, axis=1, keepdims=True)
         cents = np.vstack([cents, pad])
     return cents
+
+
+def ivf_fit(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 50_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit IVF centroids with spherical Lloyd's k-means on a BOUNDED
+    driver-side sample — the FAISS-style training regime: train on
+    ≤ sample_size vectors (one sampled collect, never corpus-sized),
+    assign the full corpus distributively afterwards. Deterministic
+    given a fixed input partitioning (Spark's seeded sample is
+    per-partition); for partitioning-independent determinism fit from
+    a sorted parquet read via :func:`ivf_fit_np` instead."""
+    n = emb.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n, 1))  # oversample, then cap
+    pdf = (
+        emb.select(_as_double(F.col(vec_col)).alias("v"))
+        .sample(withReplacement=False, fraction=frac, seed=seed)
+        .limit(sample_size)
+        .toPandas()
+    )
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    return ivf_fit_np(x, n_centroids=n_centroids, iters=iters, seed=seed)
 
 
 def ivf_assign(

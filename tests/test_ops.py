@@ -293,6 +293,35 @@ def test_merge_url_duplicates_sequential(spark):
     assert out[3].n_merged == 2 and out[3].score == 9.0
 
 
+def test_merge_url_duplicates_caps_oversized_groups(spark):
+    """A boilerplate content-hash group above max_group passes through
+    UNMERGED in bounded time (no O(group²) straggler); bounded groups
+    still merge."""
+    import time
+
+    from tlgs_spark.ops.dedup import merge_url_duplicates
+
+    n = 10_000
+    rows = [(i, f"gemini://h{i}.example/p{i}", 7, 100, float(i % 97)) for i in range(n)]
+    rows += [  # a small mergeable group rides along
+        (n + 1, "gemini://a.example/x", 8, 100, 1.0),
+        (n + 2, "gemini://a.example/y", 8, 100, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, content_hash long, size long, score double"
+    )
+    t0 = time.monotonic()
+    out = merge_url_duplicates(df).toPandas()
+    elapsed = time.monotonic() - t0
+    big = out[out.id < n + 1]
+    assert len(big) == n and (big.n_merged == 1).all()  # passed through
+    small = out[out.id >= n + 1].set_index("id")
+    assert list(small.index) == [n + 2] and small.loc[n + 2].n_merged == 2
+    # the distinct-URL pairwise loop on 10k rows would take minutes;
+    # the capped path is seconds even on a loaded box
+    assert elapsed < 60, f"oversized group took {elapsed:.1f}s — cap not applied?"
+
+
 def test_polite_schedule_caps_and_breaks(spark):
     from tlgs_spark.ops.politeness import polite_schedule
 

@@ -404,6 +404,7 @@ def merge_url_duplicates(
     hash_col: str = "content_hash",
     size_col: str = "size",
     score_col: str = "score",
+    max_group: int = 200,
 ) -> DataFrame:
     """The full W4 merge, faithful to the reference's sequential
     algorithm (search.cpp:565-625): results are visited in rank order
@@ -417,11 +418,28 @@ def merge_url_duplicates(
 
     Runs per content-hash group via applyInPandas — the sequential
     loop touches only one bounded group at a time, so the operator
-    stays shuffle-partitioned by hash at any scale. → the surviving
-    rows (id, url, score, n_merged)."""
+    stays shuffle-partitioned by hash at any scale. Groups larger than
+    ``max_group`` pass through UNMERGED (every row survives,
+    n_merged=1): the inner loop is O(group²) worst case, so a
+    boilerplate content-hash with 10^5 members would otherwise become
+    one quadratic Python straggler task — the same explicit skew cap
+    as ``url_merge_pairs``/the LSH bucket caps, and the same
+    drop-dont-die bias (a giant equal-hash group is boilerplate, not
+    content worth merging). → the surviving rows
+    (id, url, score, n_merged)."""
     import pandas as pd
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_group:
+            out = pdf.sort_values(["score", "id"], ascending=[False, True])
+            return pd.DataFrame(
+                {
+                    "id": out["id"].to_numpy(),
+                    "url": out["url"].to_numpy(),
+                    "score": out["score"].to_numpy(),
+                    "n_merged": 1,
+                }
+            )
         pdf = pdf.sort_values(["score", "id"], ascending=[False, True])
         kept: list[dict] = []
         for r in pdf.itertuples(index=False):

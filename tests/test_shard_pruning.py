@@ -1,0 +1,84 @@
+"""Term→shard scan pruning + the single-stage distributed scorer.
+
+term_stats carries a shard-presence list for selective terms
+(build-time, ≤ TERM_SHARDS_MAX shards); search_df intersects (AND) /
+unions (OR) the lists and prunes the postings scan to those hive
+partitions. Dense terms (NULL list) scan everything, and the
+single-stage mapInPandas scorer still matches the driver path.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tlgs_spark.indexer.build import TERM_SHARDS_MAX, build_index
+from tlgs_spark.indexer.storage import IndexStorage
+from tlgs_spark.query.engine import SearchIndex
+
+
+def _build(spark, tmp_path):
+    rows = []
+    # 12 convs × 10 turns; a unique marker term lives ONLY in conv 3
+    for c in range(12):
+        for t in range(10):
+            text = f"alpha tok{t:02d} beta common"
+            if c == 3 and t == 0:
+                text += " rareterm"
+            rows.append((f"c{c:04d}", t, "user", text, None))
+    sdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    ).withColumn("ts", F.current_timestamp())
+    idx = str(tmp_path / "idx_prune")
+    build_index(spark, sdf, idx, n_shards=6)
+    return idx
+
+
+def test_term_stats_carries_bounded_shard_lists(spark, tmp_path):
+    idx = _build(spark, tmp_path)
+    ts = IndexStorage(idx).read(spark, "term_stats").toPandas().set_index("term")
+    assert "shards" in ts.columns
+    # rareterm: exactly one shard listed
+    assert list(ts.loc["rareterm"].shards) == [0] or len(ts.loc["rareterm"].shards) == 1
+    # dense term: list present only because n_shards(6) <= TERM_SHARDS_MAX;
+    # its list covers every shard
+    assert TERM_SHARDS_MAX >= 6
+    assert len(ts.loc["common"].shards) == 6
+
+
+def test_query_shards_and_pruned_plan(spark, tmp_path):
+    idx = _build(spark, tmp_path)
+    si = SearchIndex(spark, idx)
+    info = si._term_info(["rareterm", "common", "nosuchterm"])
+    assert info["rareterm"][1] is not None and len(info["rareterm"][1]) == 1
+    rare_shard = info["rareterm"][1][0]
+    # AND with a dense term intersects down to the rare term's shard
+    assert si._query_shards(["rareterm", "common"], info, "and") == [rare_shard]
+    # OR unions; missing terms are skipped
+    assert si._query_shards(["rareterm", "nosuchterm"], info, "or") == [rare_shard]
+    # the pruned plan carries the shard predicate (hive partition
+    # pruning) and still matches the driver path
+    plan = si.search_df("rareterm common", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert f"shard#" in plan and str(rare_shard) in plan
+    res = si.search_df("rareterm common", k=5).toPandas()
+    drv = si.search("rareterm common", k=5)
+    assert list(res.doc_id) == list(drv.doc_id)
+    assert len(res) == 1  # only conv 3 turn 0 has rareterm
+
+
+def test_empty_intersection_short_circuits(spark, tmp_path):
+    idx = _build(spark, tmp_path)
+    si = SearchIndex(spark, idx)
+    # fake info with disjoint shard lists → AND prunes to nothing
+    info = {"a": (1, [0]), "b": (1, [3])}
+    assert si._query_shards(["a", "b"], info, "and") == []
+
+
+def test_single_stage_path_matches_grouped_path(spark, tmp_path):
+    idx = _build(spark, tmp_path)
+    si = SearchIndex(spark, idx)
+    assert si._one_file_per_shard
+    queries = [("common alpha", "and"), ("tok00 tok05", "or"), ("rareterm", "and")]
+    fast = {q: si.search_df(q, k=8, mode=m).toPandas() for q, m in queries}
+    si._ofps = False  # force the grouped fallback
+    for q, m in queries:
+        slow = si.search_df(q, k=8, mode=m).toPandas()
+        pd.testing.assert_frame_equal(fast[q], slow)

@@ -56,6 +56,11 @@ POSTINGS_SCHEMA = (
 )
 NORMS_SCHEMA = "shard int, base long, n long, dls binary"
 
+# term_stats keeps an explicit shard list only for terms present in at
+# most this many shards (scan pruning for selective queries; NULL for
+# the Zipf head, which every shard contains anyway)
+TERM_SHARDS_MAX = 64
+
 # worker-process-global stem memo (see _tokenize_batch_arrays)
 _STEM_MEMO: dict[str, str] = {}
 
@@ -849,10 +854,29 @@ def _build_index_impl(
     if claim_owner is None and max_shards_to_build != 0 and st.exists("postings") and (
         built > 0 or not st.exists("term_stats") or int(stats_row.n_terms) < 0
     ):
+        # term_stats carries the term→shard presence list for terms
+        # living in few shards (selective-query scan pruning in
+        # search_df); common terms get NULL = "everywhere" so the
+        # column stays bounded at TERM_SHARDS_MAX ints — a Zipf-head
+        # term in a million-shard index must not materialize a
+        # million-entry array (at that scale a per-term bloom over
+        # shard ids would replace the list; the NULL contract already
+        # allows it).
         term_stats = (
             st.read(spark, "postings")
             .groupBy("term")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.count("*").alias("_nsh"),
+                F.sort_array(F.collect_set("shard")).alias("_sh"),
+            )
+            .select(
+                "term",
+                "df",
+                "cf",
+                F.when(F.col("_nsh") <= TERM_SHARDS_MAX, F.col("_sh")).alias("shards"),
+            )
         )
         st.write(term_stats.sortWithinPartitions("term"), "term_stats")
         totals = st.read(spark, "term_stats").agg(

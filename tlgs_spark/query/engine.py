@@ -281,14 +281,99 @@ class SearchIndex:
 
         return pa.concat_tables(tables)
 
-    def _term_df_map(self, terms: list[str]) -> dict[str, int]:
-        """term → exact global df, via a direct pyarrow lookup on the
-        term-sorted term_stats files (Spark-scan fallback)."""
-        tbl = self._arrow_lookup("term_stats", terms, ["term", "df"])
+    def _term_info(self, terms: list[str]) -> dict[str, tuple[int, list | None]]:
+        """term → (exact global df, shard-presence list or None) via a
+        direct pyarrow lookup on the term-sorted term_stats files
+        (Spark-scan fallback). The shard list exists only for terms in
+        ≤ TERM_SHARDS_MAX shards (build-time contract); None means
+        'assume everywhere' — which also covers legacy indexes whose
+        term_stats predate the column."""
+        has_shards = "shards" in self._term_stats_df.columns
+        cols = ["term", "df"] + (["shards"] if has_shards else [])
+        tbl = self._arrow_lookup("term_stats", terms, cols)
         if tbl is not None:
-            return dict(zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist())))
+            dfs = [int(x) for x in tbl["df"].to_pylist()]
+            shl = tbl["shards"].to_pylist() if has_shards else [None] * len(dfs)
+            return {
+                t: (d, list(s) if s is not None else None)
+                for t, d, s in zip(tbl["term"].to_pylist(), dfs, shl)
+            }
         rows = self._term_stats_df.filter(F.col("term").isin(terms)).collect()
-        return {r.term: int(r.df) for r in rows}
+        return {
+            r.term: (int(r.df), list(r.shards) if has_shards and r.shards is not None else None)
+            for r in rows
+        }
+
+    def _term_df_map(self, terms: list[str]) -> dict[str, int]:
+        return {t: d for t, (d, _) in self._term_info(terms).items()}
+
+    def _query_shards(self, terms: list[str], info: dict, mode: str) -> list[int] | None:
+        """Scan-pruning shard set for the query: AND = a matching doc's
+        shard must hold postings for EVERY term → intersect the
+        presence lists; OR = union (only when every present term has
+        one). None = no pruning (some term is 'everywhere')."""
+        if mode == "and":
+            allowed: set | None = None
+            for t in terms:
+                sh = info.get(t, (0, None))[1]
+                if sh is not None:
+                    s = set(sh)
+                    allowed = s if allowed is None else (allowed & s)
+            return sorted(allowed) if allowed is not None else None
+        present = [t for t in terms if t in info]
+        if present and all(info[t][1] is not None for t in present):
+            out: set = set()
+            for t in present:
+                out |= set(info[t][1])
+            return sorted(out)
+        return None
+
+    @property
+    def _one_file_per_shard(self) -> bool:
+        """Gate for the single-stage distributed scorer: every shard
+        partition is exactly ONE local parquet file smaller than the
+        scan split size, so a scan task always holds COMPLETE shards
+        and per-shard scoring needs no shuffle. Checked once per open
+        index (it's a property of the snapshot)."""
+        if not hasattr(self, "_ofps"):
+            import os
+
+            try:
+                split = int(self.spark.conf.get("spark.sql.files.maxPartitionBytes"))
+            except Exception:
+                split = 128 * 1024 * 1024
+            ok = True
+            for base, shards in self.st.postings_sources():
+                if not os.path.isdir(base):
+                    continue
+                dirs = (
+                    [os.path.join(base, f"shard={s}") for s in shards]
+                    if shards is not None
+                    else [
+                        os.path.join(base, d)
+                        for d in os.listdir(base)
+                        if d.startswith("shard=")
+                    ]
+                )
+                for d in dirs:
+                    if not os.path.isdir(d):
+                        continue  # zero-posting shard: no partition dir
+                    try:
+                        files = [
+                            e
+                            for e in os.scandir(d)
+                            if e.is_file() and not e.name.startswith((".", "_"))
+                        ]
+                    except OSError:
+                        ok = False
+                        break
+                    if len(files) > 1 or any(f.stat().st_size >= split for f in files):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            self._ofps = ok
+        return self._ofps
 
     def term_data(self, terms: list[str]) -> list[TermData]:
         if not hasattr(self, "_term_cache"):
@@ -593,9 +678,27 @@ class SearchIndex:
         return self._ftt_df
 
     def search_df(self, query: str, k: int = 10, mode: str = "and") -> DataFrame:
-        """Spark-plan search: per-shard scoring via applyInPandas,
-        post-rank filters as a join against docs, then global top-k
-        merge. Returns a DataFrame(doc_id, score)."""
+        """Spark-plan search: per-shard scoring, post-rank filters as a
+        join against docs, then global top-k merge. Returns a
+        DataFrame(doc_id, score).
+
+        Two physical strategies, same semantics (both oracle-gated):
+
+        - **single-stage** (default when every shard partition is one
+          unsplit local file and the dl broadcast fits): the postings
+          scan itself feeds ``mapInPandas``; each scan task holds only
+          COMPLETE shards, so per-shard scoring happens inside the scan
+          with NO shuffle, and the global top-k is a
+          TakeOrderedAndProject. One stage, ~scan-task-count tasks —
+          the applyInPandas shuffle cost (~1.5 s fixed at 256 shards)
+          is gone.
+        - **grouped** fallback: ``groupBy(shard).applyInPandas`` (multi
+          file shards, norms-join dl delivery, non-local index).
+
+        Scan pruning: selective terms carry a shard-presence list in
+        term_stats; AND intersects, OR unions — a one-shard term scans
+        one partition, not n_shards (hive partition pruning).
+        """
         text_query, filt = parse_search_query(query)
         terms = tokenize_query(text_query)
         if not terms:
@@ -603,7 +706,8 @@ class SearchIndex:
         # exact global df per term (idf must be identical on every
         # shard); point lookup via pyarrow like term_rows — a Spark job
         # here costs ~1 s of scheduling for a handful of rows
-        df_map = self._term_df_map(terms)
+        info = self._term_info(terms)
+        df_map = {t: d for t, (d, _) in info.items()}
         if mode == "and" and len(df_map) < len(terms):
             return self.spark.createDataFrame([], "doc_id long, score double")
         n_docs, avgdl, shard_size = self.n_docs, self.avgdl, self.shard_size
@@ -611,6 +715,11 @@ class SearchIndex:
         fetch_k = k if filt.is_empty() else max(k * 10, 1000)
 
         posts = self._postings_df.filter(F.col("term").isin(terms))
+        allowed = self._query_shards(q_terms, info, mode)
+        if allowed is not None:
+            if not allowed:
+                return self.spark.createDataFrame([], "doc_id long, score double")
+            posts = posts.filter(F.col("shard").isin(allowed))
         # doc-length delivery: a per-query broadcast JOIN of the norms
         # blobs re-broadcasts ~tens of MB on EVERY query (~1.7 s). For
         # corpora whose dl array fits a broadcast variable, broadcast it
@@ -626,14 +735,8 @@ class SearchIndex:
             b_dl = None
             joined = posts.join(F.broadcast(self._norms_df), "shard")
 
-        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            if b_dl is not None:
-                dl_global = b_dl.value
-            else:
-                base = int(pdf["base"].iloc[0])
-                dls_shard = decode_varints(bytes(pdf["dls"].iloc[0])).astype(np.int64)
-                dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
-                dl_global[base:] = dls_shard  # scorer indexes by global doc_id
+        def _score_one(pdf: pd.DataFrame, dl_global) -> pd.DataFrame:
+            """Score ONE complete shard's postings rows."""
             shard0 = int(pdf["shard"].iloc[0])
             base = shard0 * shard_size
             tds = []
@@ -657,9 +760,38 @@ class SearchIndex:
             ids, sc = fn(tds, dl_global, n_docs, avgdl, fetch_k)
             return pd.DataFrame({"doc_id": ids, "score": sc})
 
-        local = joined.groupBy("shard").applyInPandas(
-            score_shard, schema="doc_id long, score double"
-        )
+        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            if b_dl is not None:
+                dl_global = b_dl.value
+            else:
+                base = int(pdf["base"].iloc[0])
+                dls_shard = decode_varints(bytes(pdf["dls"].iloc[0])).astype(np.int64)
+                dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
+                dl_global[base:] = dls_shard  # scorer indexes by global doc_id
+            return _score_one(pdf, dl_global)
+
+        if use_dl_bc and self._one_file_per_shard:
+            # single-stage: score inside the scan. A scan task's rows
+            # cover only whole shards (one unsplit file each), so
+            # grouping by shard within the task is exact.
+            def score_stream(batches):
+                accs = list(batches)
+                if not accs:
+                    return
+                allr = pd.concat(accs, ignore_index=True)
+                if not len(allr):
+                    return
+                dl_global = b_dl.value
+                for _, g in allr.groupby("shard", sort=False):
+                    yield _score_one(g, dl_global)
+
+            local = posts.select("shard", "term", "block_max", "postings").mapInPandas(
+                score_stream, schema="doc_id long, score double"
+            )
+        else:
+            local = joined.groupBy("shard").applyInPandas(
+                score_shard, schema="doc_id long, score double"
+            )
         if not filt.is_empty():
             meta_cols = self.st.read(self.spark, "docs").select(
                 "doc_id", "conv_id", "role", "tool", "size"

@@ -1101,49 +1101,78 @@ LIMIT 20
 def bm25f_title_weighted(spark, sf_dir):
     """W1: field-weighted scoring — title×50 + body (ts_rank_cd(title)*50
     + ts_rank_cd(body), search.cpp:438-442). 'Title' = first 5 tokens
-    (the transcript analog of the page heading)."""
-    docs = _docs(spark, sf_dir)
-    terms = ["spark", "window"]
+    (the transcript analog of the page heading).
 
-    titles = docs.select(
+    The body field reuses the session-persisted _token_stats; the title
+    side is ONE fully-lazy JVM plan — explode/stem/aggregate with the
+    field's n_docs/avgdl carried as broadcast COLUMNS (the SQL oracle's
+    t_s CTE rendered as a crossJoin), so the whole entry is a single
+    Spark action with no driver round-trip. (r1/r2 flagged the per-call
+    title re-tokenize; at bench scale the fix is fewer actions, not
+    caching — the REAL persisted-field answer is build_field_index /
+    search_fielded, which serves the same scoring from a second
+    inverted index.)"""
+    terms = ["spark", "window"]
+    st = _token_stats(spark, sf_dir)
+
+    # ---- body: cached tf/dl/df + Python-scalar stats (free, shared) --
+    body_m = (
+        st["tf"].filter(F.col("term").isin(terms))
+        .join(F.broadcast(st["dft"].filter(F.col("term").isin(terms))), "term")
+        .join(st["dl"], "doc_id")
+    )
+    b_idf = F.log(F.lit(1.0) + (F.lit(st["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    b_tfn = F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(st["avgdl"]))
+    )
+    body = (
+        body_m.withColumn("contrib", b_idf * b_tfn)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("body_score"), F.count("*").alias("nm"))
+        .filter(F.col("nm") == len(terms))
+    )
+
+    # ---- title: lazy JVM tokenize (explode → stem → filter), stats as
+    # broadcast columns — mirrors the oracle's t_* CTE chain exactly --
+    docs = st["docs"]
+    t_raw = docs.select(
         "doc_id",
-        F.array_join(
+        F.explode(
             F.slice(
                 F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)),
                 1,
                 5,
-            ),
-            " ",
-        ).alias("text"),
+            )
+        ).alias("term"),
+    ).filter((F.length("term") <= 64) & (~F.col("term").isin(_STOP)))
+    t_toks = t_raw.select("doc_id", F.expr(stem_sql_case("term")).alias("term"))
+    t_tf = t_toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    t_dl = (
+        docs.select("doc_id")
+        .join(t_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")), "doc_id", "left")
+        .fillna(0, subset=["dl"])
+    )
+    t_stats = t_dl.agg(
+        F.count("*").alias("t_n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("t_avgdl"),
+    )
+    t_dft = t_tf.groupBy("term").agg(F.count("*").alias("df"))
+    t_m = (
+        t_tf.filter(F.col("term").isin(terms))
+        .join(F.broadcast(t_dft.filter(F.col("term").isin(terms))), "term")
+        .join(t_dl, "doc_id")
+        .crossJoin(F.broadcast(t_stats))
+    )
+    t_idf = F.log(F.lit(1.0) + (F.col("t_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    t_tfn = F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("t_avgdl"))
+    )
+    title = (
+        t_m.withColumn("contrib", t_idf * t_tfn)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("title_score"))
     )
 
-    def field_scores(field_docs, label, cached=None):
-        if cached is not None:  # body field IS the main corpus — reuse
-            tf, dl = cached["tf"], cached["dl"]
-            n_docs, avgdl, dft = cached["n_docs"], cached["avgdl"], cached["dft"]
-        else:
-            tf = _tf(field_docs)
-            dl = _dl(field_docs, tf)
-            n_docs, total = dl.agg(F.count("*"), F.sum("dl")).collect()[0]
-            avgdl = float(total) / n_docs
-            dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-        m = (
-            tf.filter(F.col("term").isin(terms))
-            .join(F.broadcast(dft.filter(F.col("term").isin(terms))), "term")
-            .join(dl, "doc_id")
-        )
-        idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        tfn = F.col("tf") * 2.2 / (
-            F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl))
-        )
-        return m.withColumn("contrib", idf * tfn).groupBy("doc_id").agg(
-            F.sum("contrib").alias(label), F.count("*").alias("nm")
-        )
-
-    body = field_scores(docs, "body_score", cached=_token_stats(spark, sf_dir)).filter(
-        F.col("nm") == len(terms)
-    )
-    title = field_scores(titles, "title_score").select("doc_id", "title_score")
     combined = (
         body.join(title, "doc_id", "left")
         .withColumn(
@@ -1153,6 +1182,7 @@ def bm25f_title_weighted(spark, sf_dir):
         .select("doc_id", "score")
     )
     return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
 
 
 # single source of truth for the synthetic URL cases — rendered once as

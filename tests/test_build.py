@@ -106,14 +106,14 @@ def test_resume_produces_identical_index(spark, tmp_path):
     assert m2["shards_built"] == 3  # only the pending shards
     a = (
         spark.read.parquet(os.path.join(full_dir, "postings"))
-        .select("shard", "term", "df", "max_tfn", "postings")
+        .select("shard", "term", "df", "postings", "dls")
         .toPandas()
         .sort_values(["shard", "term"])
         .reset_index(drop=True)
     )
     b = (
         spark.read.parquet(os.path.join(part_dir, "postings"))
-        .select("shard", "term", "df", "max_tfn", "postings")
+        .select("shard", "term", "df", "postings", "dls")
         .toPandas()
         .sort_values(["shard", "term"])
         .reset_index(drop=True)

@@ -21,11 +21,12 @@ def test_build_shard_matches_naive_reference():
     pdf = pd.DataFrame(rows, columns=["doc_id", "term", "tf"]).sample(
         frac=1, random_state=1
     )
-    avgdl = 57.3
-    out = _build_shard(pdf.copy(), shard_size, avgdl)
+    out = _build_shard(pdf.copy(), shard_size)
 
     ref = pdf.sort_values(["term", "doc_id"])
     dl = ref.groupby("doc_id")["tf"].sum()
+    norms_rows = out[out["term"].isnull()]
+    out = out[out["term"].notnull()]
     assert sorted(out["term"]) == sorted(ref["term"].unique())
     for _, r in out.iterrows():
         g = ref[ref.term == r["term"]]
@@ -33,24 +34,36 @@ def test_build_shard_matches_naive_reference():
         t = g.tf.to_numpy()
         assert bytes(r["postings"]) == encode_postings(d, t, base=base)
         assert r["df"] == len(d)
-        dls = dl.loc[d].to_numpy().astype(float)
-        tfn = t * (bm25.K1 + 1) / (t + bm25.K1 * (1 - bm25.B + bm25.B * dls / avgdl))
-        assert abs(r["max_tfn"] - tfn.max()) < 1e-12
+        dls = dl.loc[d].to_numpy()
         nb = (len(d) + 127) // 128
-        assert len(r["block_max"]) == nb and len(r["block_last"]) == nb
+        # format 2: per-block (max tf, min dl) integer bounds
+        assert len(r["block_tfmax"]) == nb and len(r["block_dlmin"]) == nb
+        assert len(r["block_last"]) == nb
         for b in range(nb):
-            blk = tfn[b * 128 : (b + 1) * 128]
-            assert float(r["block_max"][b]) >= blk.max()  # admissible bound
+            sl = slice(b * 128, (b + 1) * 128)
+            assert r["block_tfmax"][b] == t[sl].max()
+            assert r["block_dlmin"][b] == dls[sl].min()
             assert r["block_last"][b] == d[min((b + 1) * 128, len(d)) - 1]
         dd, tt = decode_postings(bytes(r["postings"]), base=base)
         assert (dd == d).all() and (tt == t).all()
+    # the norms pseudo row: one per shard, dls blob == exact doc lengths
+    assert len(norms_rows) == 1
+    nr = norms_rows.iloc[0]
+    from tlgs_spark.indexer.codec import decode_varints
+
+    dls_arr = decode_varints(bytes(nr["dls"]))
+    assert len(dls_arr) == shard_size and nr["block_last"][0] == base
+    assert int(nr["cf"]) == int(ref["tf"].sum())
+    for doc, want in dl.items():
+        assert dls_arr[doc - base] == want
 
 
 def test_single_term_shard():
     pdf = pd.DataFrame({"doc_id": [10, 11, 12], "term": ["x"] * 3, "tf": [1, 2, 3]})
-    out = _build_shard(pdf, 100, 2.0)
-    assert len(out) == 1
-    d, t = decode_postings(bytes(out["postings"].iloc[0]), base=0)
+    out = _build_shard(pdf, 100)
+    out_t = out[out["term"].notnull()]
+    assert len(out_t) == 1 and len(out) == 2  # + the norms pseudo row
+    d, t = decode_postings(bytes(out_t["postings"].iloc[0]), base=0)
     assert d.tolist() == [10, 11, 12] and t.tolist() == [1, 2, 3]
 
 

@@ -216,31 +216,62 @@ _ENGINE_IDX_CACHE: dict[tuple[int, str], object] = {}
 
 
 def _engine_index(spark: SparkSession, sf_dir: str):
-    """Build (once per session × sf_dir) a REAL index over the
-    documents table — through assign_doc_ids → tokenize → delta-gap +
-    varint postings → block-max metadata — and open it with
-    SearchIndex. conv_id = zero-padded doc_id makes the builder's
-    (conv_id, turn_idx) rank equal the table's doc_id, so engine
-    results and the DuckDB oracle address identical documents."""
+    """Open (building at most once per corpus version) a REAL index
+    over the documents table — through assign_doc_ids → tokenize →
+    delta-gap + varint postings → block-max metadata — via SearchIndex.
+    conv_id = zero-padded doc_id makes the builder's (conv_id,
+    turn_idx) rank equal the table's doc_id, so engine results and the
+    DuckDB oracle address identical documents.
+
+    The built index is cached ON DISK keyed by a fingerprint of the
+    source parquet (path, size, mtime) + analyzer version: the ~30
+    Spark jobs of a full build cost ~10 s per bench session for a
+    5k-doc corpus, which polluted the recorded entry time with harness
+    cost (r2 VERDICT). A fingerprint mismatch (driver regenerated the
+    test data, analyzer spec bumped) rebuilds from scratch."""
     key = (id(spark), sf_dir)
     hit = _ENGINE_IDX_CACHE.get(key)
     if hit is not None:
         return hit
+    import hashlib
+    import json
+    import os
+    import shutil
     import tempfile
 
     from .indexer.build import build_index
     from .query.engine import SearchIndex
+    from .tokenizer import ANALYZER_VERSION
 
-    idx = tempfile.mkdtemp(prefix="tlgs_entry_engine_idx_")
-    transcripts = _docs(spark, sf_dir).select(
-        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
-        F.lit(0).alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.col("text"),
-        F.lit(None).cast("string").alias("tool"),
-        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    src = f"{sf_dir}/documents.parquet"
+    st_ = os.stat(src)
+    fp = json.dumps(
+        {"src": os.path.abspath(src), "size": st_.st_size,
+         "mtime_ns": st_.st_mtime_ns, "analyzer": ANALYZER_VERSION, "n_shards": 8},
+        sort_keys=True,
     )
-    build_index(spark, transcripts, idx, n_shards=8, lineage=f"entry:{sf_dir}")
+    tag = hashlib.sha256(fp.encode()).hexdigest()[:16]
+    idx = os.path.join(tempfile.gettempdir(), f"tlgs_entry_engine_idx_{tag}")
+    fp_file = os.path.join(idx, "_entry_fingerprint.json")
+    ok = False
+    try:
+        with open(fp_file) as f:
+            ok = f.read() == fp
+    except OSError:
+        ok = False
+    if not ok:
+        shutil.rmtree(idx, ignore_errors=True)
+        transcripts = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        )
+        build_index(spark, transcripts, idx, n_shards=8, lineage=f"entry:{sf_dir}")
+        with open(fp_file, "w") as f:  # written LAST: marks a complete build
+            f.write(fp)
     si = SearchIndex(spark, idx)
     _ENGINE_IDX_CACHE[key] = si
     return si

@@ -50,9 +50,23 @@ from ..tokenizer import (
 from .codec import encode_varints
 from .storage import IndexStorage
 
+# postings format 2 (meta["postings_format"]): block bounds are stored
+# as per-block (max tf, min dl) INTEGERS instead of a precomputed
+# tf_norm float — the bound tfn(max_tf, min_dl) is computed at query
+# time from avgdl (tfn is increasing in tf, decreasing in dl, so it
+# dominates every element of the block: still admissible, WAND still
+# exact). This removes the builder's dependency on global avgdl, which
+# lets ONE tokenize pass produce postings + doc lengths together — the
+# v1 build tokenized the whole corpus twice (a full extra pass at
+# 100 TB). The shard's doc lengths ride along as one term=NULL pseudo
+# row per shard (dls = varint blob, cf = Σdl, block_last = [base]);
+# finalize extracts them into the norms/doc_lengths/collection_stats
+# tables with column-pruned metadata scans.
+POSTINGS_FORMAT = 2
 POSTINGS_SCHEMA = (
-    "shard int, term string, df long, cf long, max_tfn double, "
-    "block_max array<float>, block_last array<long>, postings binary"
+    "shard int, term string, df long, cf long, "
+    "block_tfmax array<long>, block_dlmin array<long>, "
+    "block_last array<long>, postings binary, dls binary"
 )
 NORMS_SCHEMA = "shard int, base long, n long, dls binary"
 
@@ -70,7 +84,10 @@ _STEM_MEMO: dict[str, str] = {}
 # ---------------------------------------------------------------------------
 
 def assign_doc_ids(
-    df: DataFrame, partitions: int | None = None, cleanup: list | None = None
+    df: DataFrame,
+    partitions: int | None = None,
+    cleanup: list | None = None,
+    meta_out: dict | None = None,
 ) -> DataFrame:
     """Add dense ``doc_id`` = global rank of (conv_id, turn_idx).
 
@@ -103,6 +120,8 @@ def assign_doc_ids(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
+    if meta_out is not None:
+        meta_out["n_docs"] = acc  # the count pass already knows the total
 
     # numbering stays ENTIRELY JVM: monotonically_increasing_id lays
     # out (partition_id << 33) | in-partition record index, so the
@@ -293,14 +312,18 @@ def tokenize_tokens(docs: DataFrame, hygiene: bool = False, with_dl: bool = Fals
 # per-shard segment build (applyInPandas body)
 # ---------------------------------------------------------------------------
 
-def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFrame:
+def _build_shard(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
     """All (doc_id, term, tf) rows of ONE shard → one postings row per
-    term: delta+varint postings, per-128-block max tf_norm (float32,
-    rounded up — admissible bound), block last-doc skip pointers.
+    term (delta+varint postings, per-128-block (max tf, min dl) integer
+    bounds, block last-doc skip pointers) + ONE term=NULL norms pseudo
+    row carrying the shard's doc-length array as a varint blob
+    (cf = Σdl, block_last = [base]). No global statistic is needed —
+    tf_norm bounds are derived from (max_tf, min_dl) + avgdl at query
+    time — so the build tokenizes the corpus exactly once.
 
     Fully vectorized: the whole shard's interleaved (gap, tf) stream is
     varint-encoded in ONE NumPy pass and sliced per term by byte
-    offsets; block maxes/lasts come from ufunc.reduceat over global
+    offsets; block bounds/lasts come from ufunc.reduceat over global
     block boundaries. The only Python loop assembles output rows.
     """
     shard = int(pdf["doc_id"].iloc[0]) // shard_size
@@ -313,9 +336,7 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFra
     # shard-local doc lengths (every posting of a doc lives in its shard)
     dl_lookup = np.zeros(shard_size, dtype=np.int64)
     np.add.at(dl_lookup, doc_ids - base, tfs)
-    dls = dl_lookup[doc_ids - base].astype(np.float64)
-
-    tfn = tfs * (bm25.K1 + 1.0) / (tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl))
+    dls = dl_lookup[doc_ids - base]
 
     terms = pdf["term"].to_numpy()
     bound = np.nonzero(terms[1:] != terms[:-1])[0] + 1
@@ -338,9 +359,8 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFra
     byte_ends = np.cumsum(term_bytes)
     byte_starts = byte_ends - term_bytes
 
-    # per-term max tfn + collection frequency (Σ tf) — cf rolls up into
-    # term_stats after the build, saving a full token-stream aggregate
-    max_tfn = np.maximum.reduceat(tfn, starts)
+    # collection frequency (Σ tf) — cf rolls up into term_stats after
+    # the build, saving a full token-stream aggregate
     cf = np.add.reduceat(tfs, starts)
 
     # global block boundaries: within each term, blocks of BLOCK_SIZE
@@ -348,13 +368,10 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFra
     pos_in_seg = np.arange(n_all) - np.repeat(starts, seg_len)
     is_block_start = (pos_in_seg % bs) == 0
     bstarts = np.nonzero(is_block_start)[0]
-    bmax = np.maximum.reduceat(tfn, bstarts)
+    btfmax = np.maximum.reduceat(tfs, bstarts)
+    bdlmin = np.minimum.reduceat(dls, bstarts)
     bends = np.concatenate((bstarts[1:], [n_all])) - 1
     blast_all = doc_ids[bends]
-    # float32 upward rounding keeps the bound admissible
-    bmax32 = bmax.astype(np.float32)
-    low = bmax32.astype(np.float64) < bmax
-    bmax32[low] = np.nextafter(bmax32[low], np.float32(np.inf))
     nb_per_term = (seg_len + bs - 1) // bs
     nb_ends = np.cumsum(nb_per_term)
     nb_starts = nb_ends - nb_per_term
@@ -367,40 +384,54 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int, avgdl: float) -> pd.DataFra
                 terms[starts[i]],
                 int(seg_len[i]),
                 int(cf[i]),
-                float(max_tfn[i]),
-                bmax32[nb_starts[i] : nb_ends[i]],
+                btfmax[nb_starts[i] : nb_ends[i]],
+                bdlmin[nb_starts[i] : nb_ends[i]],
                 blast_all[nb_starts[i] : nb_ends[i]],
                 buf[byte_starts[i] : byte_ends[i]],
+                None,
             )
         )
-    return pd.DataFrame(
-        rows,
-        columns=["shard", "term", "df", "cf", "max_tfn", "block_max", "block_last",
-                 "postings"],
+    # the norms pseudo row: term NULL, df = slot count, cf = Σdl (an
+    # exact long — collection totals sum these), block_last = [base]
+    rows.append(
+        (
+            shard,
+            None,
+            int(shard_size),
+            int(dl_lookup.sum()),
+            None,
+            None,
+            np.asarray([base], dtype=np.int64),
+            None,
+            encode_varints(dl_lookup),
+        )
     )
+    return pd.DataFrame(rows, columns=_POSTINGS_COLS)
 
 
-_POSTINGS_COLS = ["shard", "term", "df", "cf", "max_tfn", "block_max", "block_last",
-                  "postings"]
+_POSTINGS_COLS = ["shard", "term", "df", "cf", "block_tfmax", "block_dlmin",
+                  "block_last", "postings", "dls"]
 
 
 def _build_shard_from_docs(
-    pdf: pd.DataFrame, shard_size: int, avgdl: float, hygiene: bool
+    pdf: pd.DataFrame, shard_size: int, hygiene: bool
 ) -> pd.DataFrame:
     """One shard's DOCS (doc_id, text) → its postings rows: tokenize
     in-place with the frozen batch tokenizer, then delegate to
     _build_shard. Shuffling raw docs by shard moves ~3× fewer bytes
     than shuffling the exploded (doc_id, term, tf) stream, and the
-    token stream never has to be persisted between phases —
-    re-tokenizing inside the builder is cheap, perfectly-scaling CPU,
-    which beats materializing a corpus-sized intermediate at any
-    cluster size."""
+    token stream never has to be persisted between phases — the ONE
+    tokenize pass happens here, where its output is consumed."""
     doc_k, codes_k, u = _tokenize_batch_arrays(pdf["text"], hygiene)
-    if codes_k.size == 0:  # all-stopword/empty shard: no postings rows
-        dt = {"shard": "int64", "term": "object", "df": "int64", "cf": "int64",
-              "max_tfn": "float64", "block_max": "object", "block_last": "object",
-              "postings": "object"}
-        return pd.DataFrame({c: pd.Series(dtype=dt[c]) for c in _POSTINGS_COLS})
+    if codes_k.size == 0:  # all-stopword/empty shard: norms row only
+        shard = int(pdf["doc_id"].iloc[0]) // shard_size
+        base = shard * shard_size
+        return pd.DataFrame(
+            [(shard, None, int(shard_size), 0, None, None,
+              np.asarray([base], dtype=np.int64), None,
+              encode_varints(np.zeros(shard_size, dtype=np.int64)))],
+            columns=_POSTINGS_COLS,
+        )
     key = doc_k.astype(np.int64) * len(u) + codes_k
     uk, counts = np.unique(key, return_counts=True)
     tok_pdf = pd.DataFrame(
@@ -410,18 +441,7 @@ def _build_shard_from_docs(
             "tf": counts,
         }
     )
-    return _build_shard(tok_pdf, shard_size, avgdl)
-
-
-def _build_norms(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
-    shard = int(pdf["shard"].iloc[0])
-    base = shard * shard_size
-    dls = np.zeros(shard_size, dtype=np.int64)
-    dls[pdf["doc_id"].to_numpy(np.int64) - base] = pdf["dl"].to_numpy(np.int64)
-    # trim trailing zeros beyond last real doc in final shard
-    return pd.DataFrame(
-        {"shard": [shard], "base": [base], "n": [shard_size], "dls": [encode_varints(dls)]}
-    )
+    return _build_shard(tok_pdf, shard_size)
 
 
 # ---------------------------------------------------------------------------
@@ -477,22 +497,22 @@ def build_index(
     shard_batch: int | None = None,
     lineage: str = "",
     max_shards_to_build: int | None = None,
-    reuse_from: str | None = None,
     storage: IndexStorage | None = None,
     force_shards: set[int] | None = None,
     claim_owner: str | None = None,
     shard_size: int | None = None,
 ) -> dict:
-    """Full build: docs → tokens → stats/norms → per-shard postings.
+    """Full build: docs → per-shard postings (+ doc lengths in the
+    same pass) → finalize (norms/doc_lengths/collection_stats/
+    term_stats extracted from postings metadata).
 
     ``resume=True`` skips shards already in the checkpoint ledger.
     ``max_shards_to_build`` lets tests simulate a mid-build kill.
-    ``reuse_from`` points at an EXISTING index whose per-text doc
-    lengths are reused by content hash (the crawler.cpp:424-429
-    change-detection short-circuit lifted to the dl pass): only docs
-    whose text_hash is new get re-tokenized for lengths. Exactness is
-    unaffected — dl is a pure function of (text, hygiene), keyed here
-    by xxhash64(text) exactly as the reference keys its skip logic.
+    The crawler.cpp:424-429 change-detection analog lives at SHARD
+    granularity in streaming/incremental.py: unchanged shards are
+    carried by manifest reference, so neither their text nor their dls
+    are ever touched again (format 2 removed the separate dl pass the
+    old per-text reuse used to accelerate).
     ``storage`` lets the incremental path pass an IndexStorage with
     STAGED table versions (see storage.py) so recomputed tables land
     in new version dirs while readers keep the committed ones.
@@ -521,7 +541,7 @@ def build_index(
     try:
         return _build_index_impl(
             spark, transcripts, index_dir, n_shards, hygiene, resume,
-            shard_batch, lineage, max_shards_to_build, reuse_from,
+            shard_batch, lineage, max_shards_to_build,
             storage, force_shards, claim_owner, shard_size,
         )
     finally:
@@ -538,7 +558,6 @@ def _build_index_impl(
     shard_batch: int | None,
     lineage: str,
     max_shards_to_build: int | None,
-    reuse_from: str | None = None,
     storage: IndexStorage | None = None,
     force_shards: set[int] | None = None,
     claim_owner: str | None = None,
@@ -555,32 +574,42 @@ def _build_index_impl(
         phases[name] = round(phases.get(name, 0.0) + (now - _pt), 3)
         _pt = now
 
-    # -- phase 1: prepare (docs, doc_lengths, stats, norms) --
-    if not (resume and st.exists("docs") and st.exists("collection_stats")):
-        # capture the COMMITTED meta of the reuse source BEFORE any
-        # write of our own meta: on the incremental path reuse_from ==
-        # index_dir, and reading it after write_meta would hand the
-        # hygiene/analyzer guard the just-written values — the guard
-        # would always pass (r2 ADVICE). With index_meta versioned this
-        # read resolves the committed file, but capturing up front also
-        # protects the standalone reuse_from path (unversioned builds).
-        reuse_meta: dict | None = None
-        if reuse_from is not None:
-            try:
-                reuse_meta = IndexStorage(reuse_from).read_meta()
-            except FileNotFoundError:
-                reuse_meta = None
+    # -- phase 1: prepare (docs, meta, first_turn_terms) --
+    # first_turn_terms is the LAST prepare artifact, so its presence
+    # marks a completed prepare for resume purposes
+    if not (resume and st.exists("docs") and st.exists("first_turn_terms")):
         _persisted: list = []
-        docs = assign_doc_ids(transcripts, cleanup=_persisted).withColumn(
+        _meta_out: dict = {}
+        docs = assign_doc_ids(transcripts, cleanup=_persisted, meta_out=_meta_out).withColumn(
             "size", F.length("text")
         ).withColumn("text_hash", F.xxhash64("text"))
-        st.write(docs, "docs")
-        _mark("docs_write")
-        for h in _persisted:  # docs are on disk now; drop the ranged cache
-            h.unpersist()
+        # The numbered corpus is needed by FOUR consumers (the docs
+        # parquet write, the dl pass, first_turn_terms, and — on the
+        # reuse path — the hash join). Persist it once and run the
+        # parquet write in a BACKGROUND thread: the write is IO-heavy,
+        # the tokenize passes are CPU-heavy, and Spark's scheduler
+        # interleaves the two jobs across the same cores — the dl pass
+        # cost hides inside the write instead of following it. The
+        # persist also removes three parquet re-reads (decompressing
+        # the full text column each time). At cluster scale
+        # MEMORY_AND_DISK spills instead of OOMing.
+        import threading
 
-        docs_r = st.read(spark, "docs")
-        n_docs = docs_r.count()
+        from pyspark import StorageLevel
+
+        docs.persist(StorageLevel.MEMORY_AND_DISK)
+        _write_err: list = []
+
+        def _write_docs():
+            try:
+                st.write(docs, "docs")
+            except BaseException as e:  # surfaced after join below
+                _write_err.append(e)
+
+        _wr = threading.Thread(target=_write_docs, name="docs_write")
+        _wr.start()
+        docs_r = docs  # every prepare-phase read comes from the cache
+        n_docs = _meta_out["n_docs"]  # known from the assign count pass
         _mark("docs_count")
         if shard_size is not None:
             # explicit geometry (incremental updates pin the ORIGINAL
@@ -602,76 +631,12 @@ def _build_index_impl(
                 "block_size": bm25.BLOCK_SIZE,
                 "lineage": lineage,
                 "tokenizer": ANALYZER_VERSION,
+                "postings_format": POSTINGS_FORMAT,
             }
         )
-
-        # dl pass: ONLY per-doc lengths leave the tokenizer (one tiny
-        # row per doc) — the (doc, term, tf) stream is never
-        # materialized or shuffled; the shard builder re-derives it
-        # locally where it's consumed
-        dl_df = None
-        if reuse_from is not None:
-            old = IndexStorage(reuse_from)
-            if (
-                old.exists("docs")
-                and old.exists("doc_lengths")
-                and reuse_meta is not None
-                and reuse_meta.get("hygiene", False) == hygiene
-                # dl is a pure function of (text, analyzer): reuse only
-                # when the committed index was built under the SAME
-                # analyzer spec (s_stem preserves token counts, but a
-                # future spec need not — be strict, not clever)
-                and reuse_meta.get("tokenizer") == ANALYZER_VERSION
-            ):
-                # all joins stay SLIM (hash/id/dl columns only — never
-                # shuffle text); the fresh set re-joins the docs table
-                # by id, which AQE runtime-broadcasts when it's the
-                # expected ~1% of the corpus. Reuse keys on
-                # (xxhash64(text), length(text)): hash alone matches the
-                # reference's skip-logic key, but a 64-bit collision at
-                # multi-billion-doc scale would silently assign a wrong
-                # dl — the free extra length match shrinks those odds to
-                # same-length collisions only.
-                old_map = (
-                    old.read(spark, "docs")
-                    .select("doc_id", "text_hash", "size")
-                    .join(old.read(spark, "doc_lengths"), "doc_id")
-                    .select("text_hash", "size", "dl")
-                    .dropDuplicates(["text_hash", "size"])
-                )
-                slim = docs_r.select("doc_id", "text_hash", "size").join(
-                    old_map, ["text_hash", "size"], "left"
-                )
-                known = slim.filter(F.col("dl").isNotNull()).select("doc_id", "dl")
-                fresh_ids = slim.filter(F.col("dl").isNull()).select("doc_id")
-                fresh = docs_r.select("doc_id", "text").join(fresh_ids, "doc_id")
-                dl_df = known.unionByName(
-                    tokenize_doc_lengths(fresh, hygiene=hygiene)
-                )
-        if dl_df is None:
-            dl_df = tokenize_doc_lengths(docs_r, hygiene=hygiene)
-        st.write(dl_df, "doc_lengths")
-        _mark("tokenize_dl")
-        # collection stats — exact (north rule: no approx). n_terms /
-        # n_postings are finalized from the postings table after phase
-        # 2 (-1 marks "build in flight"); avgdl is what scoring needs
-        # and is final here.
-        stats = (
-            st.read(spark, "doc_lengths")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("dl").alias("total_dl"),
-            )
-            .select(
-                "n_docs",
-                "total_dl",
-                F.lit(-1).cast("long").alias("n_terms"),
-                F.lit(-1).cast("long").alias("n_postings"),
-                (F.col("total_dl") / F.col("n_docs")).alias("avgdl"),
-            )
-        )
-        st.write(stats, "collection_stats")
-        _mark("collection_stats")
+        # (format 2: no separate dl pass — doc lengths fall out of the
+        # postings pass as per-shard norms pseudo rows; norms /
+        # doc_lengths / collection_stats are extracted at finalize)
         # first_turn_terms: (conv_id, term) for every conversation's
         # turn-0 text — the precomputed infirst:/intitle flag table
         # (search.cpp:206-207). Serving must NOT collect corpus-sized
@@ -693,23 +658,19 @@ def _build_index_impl(
         )
         st.write(ftt.sort("term"), "first_turn_terms")
         _mark("first_turn_terms")
-        shard_sz = shard_size
-        norms = (
-            st.read(spark, "doc_lengths")
-            .withColumn("shard", (F.col("doc_id") / F.lit(shard_sz)).cast("int"))
-            .groupBy("shard")
-            .applyInPandas(lambda p: _build_norms(p, shard_sz), schema=NORMS_SCHEMA)
-        )
-        st.write(norms, "norms")
-        _mark("norms")
-        # keep `tokens` persisted — phase 2 reuses it (one tokenize pass
-        # per build instead of two)
+        # wait out whatever of the docs write the prepare passes didn't
+        # already hide, then drop the caches (phase 2 reads the parquet)
+        _wr.join()
+        _mark("docs_write")
+        if _write_err:
+            raise _write_err[0]
+        docs.unpersist()
+        for h in _persisted:
+            h.unpersist()
 
     meta = st.read_meta()
     n_shards = meta["n_shards"]
     shard_size = meta["shard_size"]
-    stats_row = st.read(spark, "collection_stats").collect()[0]
-    avgdl = float(stats_row.avgdl)
 
     # -- phase 2: postings, shard-batched + resumable --
     done = st.completed_shards(spark) if resume else set()
@@ -756,7 +717,7 @@ def _build_index_impl(
             )
             .groupBy("shard")
             .applyInPandas(
-                lambda p: _build_shard_from_docs(p, shard_size, avgdl, hygiene),
+                lambda p: _build_shard_from_docs(p, shard_size, hygiene),
                 schema=POSTINGS_SCHEMA,
             )
         )
@@ -798,8 +759,8 @@ def _build_index_impl(
             bytes_map = {int(r.shard): int(r.b) for r in rows}
         agg_rows = (
             st.read(spark, "postings")
-            .select("shard", "df")
-            .filter(F.col("shard").isin(batch))
+            .select("shard", "term", "df")
+            .filter(F.col("shard").isin(batch) & F.col("term").isNotNull())
             .groupBy("shard")
             .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
             .collect()
@@ -837,23 +798,76 @@ def _build_index_impl(
         _mark("ledger_metrics")
         built += len(batch)
 
-    # -- finalize: term_stats + exact n_terms/n_postings from the
-    # postings table (metadata columns only — no blob reads, no token
-    # pass). Idempotent; re-run on resume so a build killed between
-    # postings and finalize self-heals. The n_terms<0 arm covers the
-    # kill window BETWEEN the term_stats write and the collection_stats
-    # rewrite (term_stats exists, built==0, placeholder still -1), and
-    # the no-change incremental path (all shards reused ⇒ built==0).
-    # max_shards_to_build == 0 is the incremental PREPARE pass: the
-    # (unversioned) postings table still holds pre-update segments, so
-    # finalizing here would roll stats over stale postings — the
-    # resume build that follows always finalizes instead.
-    # claim mode: concurrent builders must not race the term_stats /
-    # collection_stats rewrite — the caller runs one final
+    # -- finalize: norms / doc_lengths / collection_stats extracted
+    # from the per-shard pseudo rows, term_stats + exact
+    # n_terms/n_postings from the postings metadata columns (no real
+    # blob reads, no token pass). Idempotent; re-run on resume so a
+    # build killed between postings and finalize self-heals (missing
+    # norms/term_stats/collection_stats, or a n_terms<0 placeholder,
+    # all trigger it). max_shards_to_build == 0 is the incremental
+    # PREPARE pass: postings aren't staged yet, so the resume build
+    # that follows finalizes instead. claim mode: concurrent builders
+    # must not race these rewrites — the caller runs one final
     # resume-without-claims pass, which finalizes exactly once.
-    if claim_owner is None and max_shards_to_build != 0 and st.exists("postings") and (
-        built > 0 or not st.exists("term_stats") or int(stats_row.n_terms) < 0
-    ):
+    needs_finalize = False
+    if claim_owner is None and max_shards_to_build != 0 and st.exists("postings"):
+        if (
+            built > 0
+            or not st.exists("term_stats")
+            or not st.exists("collection_stats")
+            or not st.exists("norms")
+        ):
+            needs_finalize = True
+        else:
+            needs_finalize = (
+                int(st.read(spark, "collection_stats").collect()[0].n_terms) < 0
+            )
+    if needs_finalize:
+        from .codec import decode_varints
+
+        nrows = (
+            st.read(spark, "postings")
+            .filter(F.col("term").isNull())
+            .select(
+                "shard",
+                F.col("block_last")[0].alias("base"),
+                F.col("df").alias("n"),
+                F.col("cf").alias("sum_dl"),
+                "dls",
+            )
+        )
+        st.write(nrows.select("shard", "base", "n", "dls"), "norms")
+        total_dl = int(
+            st.read(spark, "postings")
+            .filter(F.col("term").isNull())
+            .agg(F.sum("cf"))
+            .collect()[0][0]
+            or 0
+        )
+        n_docs_total = int(meta["n_docs"])
+
+        def _dl_rows(batches):
+            for pdf in batches:
+                for base, blob in zip(pdf["base"], pdf["dls"]):
+                    arr = decode_varints(bytes(blob)).astype(np.int64)
+                    hi = min(len(arr), n_docs_total - int(base))
+                    if hi <= 0:
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.arange(int(base), int(base) + hi, dtype=np.int64),
+                            "dl": arr[:hi],
+                        }
+                    )
+
+        dl_df = (
+            st.read(spark, "norms")
+            .select("base", "dls")
+            .mapInPandas(_dl_rows, schema="doc_id long, dl long")
+        )
+        st.write(dl_df, "doc_lengths")
+        _mark("finalize_norms")
+    if needs_finalize:
         # term_stats carries the term→shard presence list for terms
         # living in few shards (selective-query scan pruning in
         # search_df); common terms get NULL = "everywhere" so the
@@ -864,6 +878,7 @@ def _build_index_impl(
         # allows it).
         term_stats = (
             st.read(spark, "postings")
+            .filter(F.col("term").isNotNull())
             .groupBy("term")
             .agg(
                 F.sum("df").alias("df"),
@@ -882,14 +897,16 @@ def _build_index_impl(
         totals = st.read(spark, "term_stats").agg(
             F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
         ).collect()[0]
-        srow = st.read(spark, "collection_stats").collect()[0]  # collect, THEN overwrite
+        # exact collection stats (north rule: no approx): totals are
+        # exact longs summed from the per-shard pseudo rows; avgdl is
+        # the same IEEE double division the oracle performs
         stats_final = spark.createDataFrame(
             [(
-                int(srow.n_docs),
-                int(srow.total_dl),
+                n_docs_total,
+                total_dl,
                 int(totals.n_terms),
                 int(totals.n_postings or 0),
-                float(srow.avgdl),
+                float(total_dl) / n_docs_total,
             )],
             "n_docs long, total_dl long, n_terms long, n_postings long, avgdl double",
         )

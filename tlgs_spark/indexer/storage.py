@@ -18,9 +18,14 @@ Tables (Iceberg DDL equivalent):
     collection_stats (n_docs BIGINT, total_dl BIGINT, avgdl DOUBLE,
                       n_terms BIGINT, n_postings BIGINT)
     postings         (shard INT, term STRING, df BIGINT, cf BIGINT,
-                      max_tfn DOUBLE, block_max ARRAY<FLOAT>,
-                      block_last ARRAY<BIGINT>,
-                      postings BINARY)                   PARTITIONED BY (shard)
+                      block_tfmax ARRAY<BIGINT>, block_dlmin ARRAY<BIGINT>,
+                      block_last ARRAY<BIGINT>, postings BINARY,
+                      dls BINARY)                        PARTITIONED BY (shard)
+                     -- format 2: one term=NULL pseudo row per shard
+                     -- carries the doc-length varint blob (dls),
+                     -- cf = Σdl, block_last = [base]; norms /
+                     -- doc_lengths / collection_stats derive from it
+                     -- at finalize
     ledger           (shard INT, status STRING, n_terms BIGINT, n_postings BIGINT,
                       bytes_postings BIGINT, elapsed_s DOUBLE,
                       postings_per_sec DOUBLE, skew_factor DOUBLE,
@@ -195,8 +200,9 @@ class IndexStorage:
         if not dfs:
             return spark.createDataFrame(
                 [],
-                "shard int, term string, df long, cf long, max_tfn double, "
-                "block_max array<float>, block_last array<bigint>, postings binary",
+                "shard int, term string, df long, cf long, "
+                "block_tfmax array<long>, block_dlmin array<long>, "
+                "block_last array<long>, postings binary, dls binary",
             )
         out = dfs[0]
         for d in dfs[1:]:

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import bm25
 from ..indexer.codec import decode_postings, decode_postings_batch, decode_varints
 from ..indexer.storage import IndexStorage
 from ..tokenizer import s_stem, tokenize_query
@@ -63,6 +64,11 @@ class SearchIndex:
         self.n_docs = int(row.n_docs)
         self.avgdl = float(row.avgdl)
         self.shard_size = int(self.meta["shard_size"])
+        # postings format 1 stored per-block tf_norm float bounds;
+        # format 2 stores per-block (max tf, min dl) ints and the
+        # bound tfn(max_tf, min_dl, avgdl) is computed here at query
+        # time (admissible: tfn is increasing in tf, decreasing in dl)
+        self.postings_format = int(self.meta.get("postings_format", 1))
         self._dl: np.ndarray | None = None
         self._meta_cache: dict[int, tuple] = {}
         self._first_convs_cache: dict[str, frozenset] = {}
@@ -205,6 +211,31 @@ class SearchIndex:
 
     # ---------------- postings access ----------------
 
+    @property
+    def _block_cols(self) -> list[str]:
+        return (
+            ["block_tfmax", "block_dlmin"] if self.postings_format >= 2 else ["block_max"]
+        )
+
+    def _block_bounds(self, row) -> np.ndarray:
+        """Per-block admissible tf_norm upper bound (float64) from a
+        postings row, under either format. Format 2 computes
+        tfn(max_tf, min_dl, avgdl) and pads it by 1e-12 relative — the
+        same monotone formula evaluated at the block's extremes
+        dominates every element up to float rounding, and the pad
+        swallows that rounding (WAND stays exact, pruning loss
+        negligible)."""
+        if self.postings_format >= 2:
+            t = np.asarray(row["block_tfmax"], dtype=np.float64)
+            d = np.asarray(row["block_dlmin"], dtype=np.float64)
+            if t.size == 0:
+                return t
+            b = t * (bm25.K1 + 1.0) / (
+                t + bm25.K1 * (1.0 - bm25.B + bm25.B * d / self.avgdl)
+            )
+            return b * (1.0 + 1e-12)
+        return np.asarray(row["block_max"], dtype=np.float64)
+
     def term_rows(self, terms: list[str]) -> pd.DataFrame:
         """Point-lookup the terms' postings rows. Serving path: direct
         pyarrow dataset scan (row-group pruning on the term-sorted
@@ -214,7 +245,7 @@ class SearchIndex:
         path (search_df) keeps the Spark scan — there the 256 tasks ARE
         the parallelism."""
         tbl = self._arrow_lookup(
-            "postings", terms, ["term", "shard", "df", "block_max", "postings"],
+            "postings", terms, ["term", "shard", "df", *self._block_cols, "postings"],
             partitioning="hive",
         )
         if tbl is not None:
@@ -406,8 +437,9 @@ class SearchIndex:
             blobs = [bytes(b) for b in g["postings"]]
             doc_ids, tfs = decode_postings_batch(blobs, dfs, bases)
             bm_l, bsz_l = [], []
-            for df_s, bm in zip(dfs, g["block_max"]):
-                bm_l.append(np.asarray(bm, dtype=np.float64))
+            for df_s, (_, row) in zip(dfs, g.iterrows()):
+                bm = self._block_bounds(row)
+                bm_l.append(bm)
                 nb = len(bm)
                 sizes = np.full(nb, 128, dtype=np.int64)
                 if nb:
@@ -735,6 +767,23 @@ class SearchIndex:
             b_dl = None
             joined = posts.join(F.broadcast(self._norms_df), "shard")
 
+        # executor-side block-bound derivation: a plain closure over
+        # scalars only (capturing `self` would drag the SparkSession
+        # into the pickled function)
+        fmt = self.postings_format
+
+        def _bounds(r) -> np.ndarray:
+            if fmt >= 2:
+                t = np.asarray(r["block_tfmax"], dtype=np.float64)
+                d = np.asarray(r["block_dlmin"], dtype=np.float64)
+                if t.size == 0:
+                    return t
+                b = t * (bm25.K1 + 1.0) / (
+                    t + bm25.K1 * (1.0 - bm25.B + bm25.B * d / avgdl)
+                )
+                return b * (1.0 + 1e-12)
+            return np.asarray(r["block_max"], dtype=np.float64)
+
         def _score_one(pdf: pd.DataFrame, dl_global) -> pd.DataFrame:
             """Score ONE complete shard's postings rows."""
             shard0 = int(pdf["shard"].iloc[0])
@@ -751,7 +800,7 @@ class SearchIndex:
                                         np.zeros(0, np.int64)))
                     continue
                 d, tf = decode_postings(bytes(r["postings"]), base=base)
-                bm = np.asarray(r["block_max"], dtype=np.float64)
+                bm = _bounds(r)
                 sizes = np.full(len(bm), 128, dtype=np.int64)
                 if len(bm):
                     sizes[-1] = len(d) - 128 * (len(bm) - 1)
@@ -785,9 +834,9 @@ class SearchIndex:
                 for _, g in allr.groupby("shard", sort=False):
                     yield _score_one(g, dl_global)
 
-            local = posts.select("shard", "term", "block_max", "postings").mapInPandas(
-                score_stream, schema="doc_id long, score double"
-            )
+            local = posts.select(
+                "shard", "term", *self._block_cols, "postings"
+            ).mapInPandas(score_stream, schema="doc_id long, score double")
         else:
             local = joined.groupBy("shard").applyInPandas(
                 score_shard, schema="doc_id long, score double"

@@ -11,10 +11,11 @@ index tables):
 - the checkpoint ledger records rebuilt shards with lineage
   "incremental:<reason>"
 
-Stats/norms/doc_lengths are always recomputed (cheap single pass) —
-df/avgdl are global and must stay exact (north rule), so any text
-change anywhere invalidates them; postings (the expensive artifact)
-are what change detection protects.
+Stats/norms/doc_lengths are re-DERIVED from the postings metadata at
+finalize (the per-shard norms pseudo rows) — df/avgdl are global and
+must stay exact (north rule), so any text change anywhere invalidates
+them, but deriving them reads only metadata columns: unchanged shards'
+TEXT is never touched again.
 
 Object-store-safe since r2: no staging-directory copy, no os.rename.
 Recomputed tables land in NEW version dirs (storage.py version
@@ -83,10 +84,10 @@ def incremental_update(
     doc-range geometry — growth appends trailing shards, so interior
     shards stay signature-reusable).
 
-    1. Prepare the new docs/doc_lengths/stats/norms into STAGED table
-       versions (full prepare pass — global stats must be exact; doc
-       lengths for unchanged texts reuse the committed index by
-       content hash, so only changed/new docs re-tokenize).
+    1. Prepare the new docs/meta/first_turn_terms into STAGED table
+       versions; norms/doc_lengths/collection_stats are extracted at
+       finalize from the postings union, so only changed shards ever
+       re-tokenize.
     2. Diff per-shard signatures committed vs staged.
     3. Stage a ledger carrying the unchanged shards as 'reused' rows;
        rebuild only the changed shards in place (dynamic partition
@@ -110,13 +111,14 @@ def incremental_update(
     staged = {t: committed.get(t, 0) + 1 for t in _STAGED_TABLES}
     st_new = IndexStorage(index_dir, staged_versions=staged)
 
-    # full prepare, but defer ALL postings (max_shards_to_build=0);
-    # doc lengths for unchanged texts come from the committed index by
-    # content hash (reuse_from) — only changed/new docs re-tokenize
-    # PIN the original shard_size: a grown corpus appends trailing
-    # shards instead of re-gridding, so interior shards whose doc
-    # ranges are untouched keep their signatures (append-mostly
-    # updates reuse almost everything — the 10^12-turn regime)
+    # prepare pass: docs/meta/first_turn_terms only (max_shards_to_
+    # build=0 defers all postings; norms/stats/doc_lengths are
+    # finalize products extracted from the postings union, so
+    # unchanged shards' text is never touched again). PIN the original
+    # shard_size: a grown corpus appends trailing shards instead of
+    # re-gridding, so interior shards whose doc ranges are untouched
+    # keep their signatures (append-mostly updates reuse almost
+    # everything — the 10^12-turn regime)
     build_index(
         spark,
         transcripts,
@@ -125,7 +127,6 @@ def incremental_update(
         resume=False,
         max_shards_to_build=0,
         lineage="incremental:prepare",
-        reuse_from=index_dir,
         storage=st_new,
         shard_size=meta["shard_size"],
     )
@@ -134,12 +135,17 @@ def incremental_update(
         # geometry changed (corpus grew past the old shard grid) →
         # everything rebuilds; still correct, just not incremental
         old_sigs = {}
-    elif meta.get("tokenizer") != new_meta.get("tokenizer"):
-        # analyzer guard (r2 ADVICE): shard signatures key on TEXT
-        # only, so reusing postings built under a different tokenizer
-        # spec would mix analyzers inside one index (reused shards in
-        # old terms, rebuilt shards + queries in new terms — silent
-        # missed matches). Force a full rebuild instead.
+    elif (
+        meta.get("tokenizer") != new_meta.get("tokenizer")
+        or meta.get("hygiene", False) != new_meta.get("hygiene", False)
+        or meta.get("postings_format") != new_meta.get("postings_format")
+    ):
+        # analyzer/hygiene/format guard (r2 ADVICE + r3): shard
+        # signatures key on TEXT only, so reusing postings built under
+        # a different tokenizer spec, hygiene setting, or physical
+        # postings format would mix incompatible segments inside one
+        # index (silent missed matches, or unreadable block metadata).
+        # Force a full rebuild instead.
         old_sigs = {}
     else:
         old = shard_signatures(

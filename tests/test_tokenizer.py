@@ -104,3 +104,48 @@ def test_tokens_cte_matches_python_tokenize(lines):
         f"WITH {tokens_cte_sql()} SELECT term, tf FROM tf"
     ).fetchall()
     assert Counter(dict(rows)) == Counter(term_freqs(text))
+
+
+def test_stemmer_divergence_contract():
+    """Pin the DELIBERATE divergence between spec v2 (Harman
+    S-stemmer: plural/singular only) and PG's 'english' Snowball
+    config (which also conflates derivational forms). See the
+    tokenizer module docstring: this is the frozen contract, and any
+    spec change must bump ANALYZER_VERSION."""
+    from tlgs_spark.tokenizer import s_stem, tokenize
+
+    # what the spec DOES normalize (plural/singular)
+    assert s_stem("windows") == "window"
+    assert s_stem("queries") == "query"
+    assert s_stem("branches") == "branche"  # -es rule drops one 's' only
+    assert s_stem("classes") == "classe"
+    assert s_stem("boss") == "boss"  # -ss guard
+    assert s_stem("virus") == "virus"  # -us guard
+    # what the spec deliberately does NOT do (PG english would):
+    # derivational suffixes stay distinct terms
+    assert s_stem("running") == "running"  # PG: run
+    assert s_stem("connection") == "connection"  # PG: connect
+    assert s_stem("quickly") == "quickly"  # PG: quick
+    # the retrieval consequence, pinned end-to-end at analyzer level:
+    # a "run" query cannot match a "running" document...
+    assert set(tokenize("run")).isdisjoint(tokenize("running fast"))
+    # ...while the plural gap IS closed
+    assert set(tokenize("window")) & set(tokenize("many windows"))
+
+
+def test_stemmer_divergence_retrieval(spark, search_index):
+    """Engine-level pin of the divergence: plural query forms hit the
+    singular-stemmed index; derivational forms do not create matches
+    that the analyzer did not promise."""
+    from tlgs_spark.query.engine import EmptyQueryError
+    from tlgs_spark.tokenizer import tokenize_query
+
+    si = search_index
+    # plural and singular queries resolve to the same analyzed terms,
+    # hence the same ranked results
+    a = si.search("tok0000 tok0001", k=5, mode="and")
+    b = si.search("tok0000s tok0001s", k=5, mode="and")
+    assert list(a.doc_id) == list(b.doc_id)
+    # derivational variants are different terms end to end
+    assert tokenize_query("running") == ["running"]
+    assert tokenize_query("runs") == ["run"]

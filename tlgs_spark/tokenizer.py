@@ -28,6 +28,20 @@ oracle):
    tokenizer, the JVM expression twin, and plain-SQL DuckDB oracles
    (a full Snowball run needs the fts extension, unavailable here).
 
+   **Divergence contract (deliberate, frozen):** the S-stemmer
+   handles plural/singular ONLY. Derivational forms that PG's
+   'english' (Snowball) config conflates are DISTINCT terms here:
+   "running" ≠ "run", "connection" ≠ "connect", "quickly" ≠ "quick".
+   A user porting queries from the reference will see those misses;
+   the trade is a spec with one SQL-renderable authority shared by
+   every execution path and every oracle, versus a 1200-rule stemmer
+   with no DuckDB twin (rank-identity would become unverifiable).
+   The exact divergence surface is pinned by
+   tests/test_tokenizer.py::test_stemmer_divergence_contract; any
+   future spec v3 (e.g. a bounded derivational rule set) must bump
+   ANALYZER_VERSION so incremental updates rebuild rather than mix
+   analyzers.
+
 Everything here must stay in lock-step with :func:`tokens_cte_sql` /
 :func:`stem_sql_case`, which render the same pipeline as ANSI SQL for
 the DuckDB oracle.

@@ -116,6 +116,28 @@ def main():
         pair_effs = sorted(
             round(p[1]["turns_per_sec"] / p[0]["turns_per_sec"] / 4.0, 3) for p in pairs
         )
+        # cross-run history: every raw pair ever measured accumulates
+        # in-repo so the scaling gate's evidence includes the all-runs
+        # raw-pair median, not only this window's max-estimator
+        hist_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_scaling_history.jsonl"
+        )
+        try:
+            with open(hist_file, "a") as f:
+                for p in pairs:
+                    f.write(json.dumps({
+                        "t": time.time(), "n": p[0]["turns_per_sec"],
+                        "4n": p[1]["turns_per_sec"],
+                        "eff": round(p[1]["turns_per_sec"] / p[0]["turns_per_sec"] / 4.0, 3),
+                    }) + "\n")
+            with open(hist_file) as f:
+                hist = sorted(json.loads(l)["eff"] for l in f if l.strip())
+            extra_hist = {
+                "history_n_pairs": len(hist),
+                "history_pair_median": hist[len(hist) // 2],
+            }
+        except OSError:
+            extra_hist = {}
         extra["scaling"] = {
             "cores_n": 2, "cores_4n": 8,
             "turns_per_sec_n": lo["turns_per_sec"],
@@ -135,6 +157,7 @@ def main():
                 }
                 for p in pairs
             ],
+            **extra_hist,
         }
     else:
         hi = run_build(min(8, CPUS), corpus_path, index_dir, n_shards, 1)
@@ -177,10 +200,12 @@ def main():
     inc = incremental_update(spark, edited, inc_idx)
     inc_s = round(time.time() - t0, 3)
     # reported as context, not a headline timing: at bench scale (2.1M
-    # docs, ~60 s full build) the mandatory-exact prepare (docs rewrite
-    # + global stats) dominates, so wall-clock doesn't show the win —
-    # the reuse fraction does (postings, the expensive artifact, skip
-    # rebuilding for unchanged shards; dl reuses by content hash)
+    # docs, ~60 s full build) the mandatory-exact prepare (docs
+    # rewrite) dominates, so wall-clock doesn't show the win — the
+    # reuse fraction does (postings, the expensive artifact, are
+    # carried by manifest reference for unchanged shards, and since
+    # format 2 the global stats re-derive from postings metadata
+    # without touching unchanged text at all)
     extra["incremental"] = {
         "elapsed_s": inc_s,
         "shards_changed": len(inc["changed"]),

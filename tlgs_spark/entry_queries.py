@@ -2331,7 +2331,16 @@ DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"
 
 
 def resolve_sql(spec_sql, sf_dir: str = DEFAULT_ORACLE_SF) -> str | None:
-    return spec_sql(sf_dir) if callable(spec_sql) else spec_sql
+    """SQL generators may embed data-derived literals (fitted IVF
+    centroids), which needs the parquet at ``sf_dir``. If it's absent
+    the ONE entry degrades to rows-only (None) instead of poisoning
+    the whole oracle dict."""
+    if not callable(spec_sql):
+        return spec_sql
+    try:
+        return spec_sql(sf_dir)
+    except OSError:
+        return None
 
 
 def queries_dict():

@@ -583,21 +583,17 @@ def _build_index_impl(
         docs = assign_doc_ids(transcripts, cleanup=_persisted, meta_out=_meta_out).withColumn(
             "size", F.length("text")
         ).withColumn("text_hash", F.xxhash64("text"))
-        # The numbered corpus is needed by FOUR consumers (the docs
-        # parquet write, the dl pass, first_turn_terms, and — on the
-        # reuse path — the hash join). Persist it once and run the
-        # parquet write in a BACKGROUND thread: the write is IO-heavy,
-        # the tokenize passes are CPU-heavy, and Spark's scheduler
-        # interleaves the two jobs across the same cores — the dl pass
-        # cost hides inside the write instead of following it. The
-        # persist also removes three parquet re-reads (decompressing
-        # the full text column each time). At cluster scale
-        # MEMORY_AND_DISK spills instead of OOMing.
+        # The numbered corpus feeds two consumers (the docs parquet
+        # write and first_turn_terms); both recompute the CHEAP
+        # projection (broadcast offset join + length/xxhash64) on top
+        # of the ranged cache assign_doc_ids already persisted —
+        # re-caching `docs` itself would duplicate the corpus in
+        # memory for no read savings. The parquet write runs in a
+        # BACKGROUND thread: it is IO-heavy, first_turn_terms is
+        # CPU-heavy, and the scheduler interleaves the two jobs across
+        # idle cores.
         import threading
 
-        from pyspark import StorageLevel
-
-        docs.persist(StorageLevel.MEMORY_AND_DISK)
         _write_err: list = []
 
         def _write_docs():
@@ -664,7 +660,6 @@ def _build_index_impl(
         _mark("docs_write")
         if _write_err:
             raise _write_err[0]
-        docs.unpersist()
         for h in _persisted:
             h.unpersist()
 

@@ -362,7 +362,12 @@ def index_status(spark, index_dir: str) -> dict:
 
     st = IndexStorage(index_dir)
     meta = st.read_meta()
-    stats = st.read(spark, "collection_stats").collect()[0].asDict()
+    # collection_stats is a finalize product since postings format 2 —
+    # a status probe against an in-flight build reports it as pending
+    if st.exists("collection_stats"):
+        stats = st.read(spark, "collection_stats").collect()[0].asDict()
+    else:
+        stats = {"status": "pending finalize"}
     done = st.completed_shards(spark)
     pending = [s for s in range(meta["n_shards"]) if s not in done]
     out = {

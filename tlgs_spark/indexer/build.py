@@ -75,6 +75,14 @@ NORMS_SCHEMA = "shard int, base long, n long, dls binary"
 # the Zipf head, which every shard contains anyway)
 TERM_SHARDS_MAX = 64
 
+# Fresh builds attach doc_ids with a BROADCAST of the ranked
+# (conv_id, turn_idx) -> doc_id map when the corpus is small enough
+# for the map to fit per-executor (~30 B/doc: 50M docs ≈ 1.5 GB).
+# Past the cap the build falls back to range-shuffling the full rows
+# (assign_doc_ids), which has no driver/executor-memory envelope —
+# same ids either way (dense rank over unique keys).
+FUSED_ASSIGN_MAX_DOCS = 50_000_000
+
 # worker-process-global stem memo (see _tokenize_batch_arrays)
 _STEM_MEMO: dict[str, str] = {}
 
@@ -444,6 +452,179 @@ def _build_shard_from_docs(
     return _build_shard(tok_pdf, shard_size)
 
 
+def _build_shard_table(table, shard_size: int, hygiene: bool):
+    """Arrow-native twin of ``_build_shard_from_docs`` — identical
+    rows in identical order (pinned by test_build_vectorized), but the
+    hot path never round-trips through pandas object columns:
+
+    - (term, doc) aggregation AND the (term, doc_id) sort collapse
+      into ONE ``np.unique`` over the flipped key
+      ``code * shard_size + (doc_id - base)`` (stemmed-term codes are
+      already in lexicographic order because np.unique sorted the
+      vocabulary), replacing the pandas string mergesort;
+    - the output block/postings columns are built zero-copy:
+      ``pa.ListArray.from_arrays`` over the reduceat outputs and a
+      binary array whose data buffer IS the batch varint buffer —
+      no per-term Python loop, no object-array DataFrame for Spark
+      to re-convert.
+    """
+    import pyarrow as pa
+
+    doc_ids_np = table.column("doc_id").to_numpy()
+    txt = table.column("text").to_pandas()
+    doc_k, codes_k, su = _tokenize_batch_arrays(txt, hygiene)
+    shard = int(doc_ids_np[0]) // shard_size
+    base = shard * shard_size
+
+    def _pseudo(dl_lookup: np.ndarray) -> "pa.Table":
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int32()),
+                "term": pa.nulls(1, pa.string()),
+                "df": pa.array([int(shard_size)], pa.int64()),
+                "cf": pa.array([int(dl_lookup.sum())], pa.int64()),
+                "block_tfmax": pa.nulls(1, pa.list_(pa.int64())),
+                "block_dlmin": pa.nulls(1, pa.list_(pa.int64())),
+                "block_last": pa.array([[base]], pa.list_(pa.int64())),
+                "postings": pa.nulls(1, pa.binary()),
+                "dls": pa.array([encode_varints(dl_lookup)], pa.binary()),
+            }
+        )
+
+    if codes_k.size == 0:  # all-stopword/empty shard: norms row only
+        return _pseudo(np.zeros(shard_size, dtype=np.int64))
+
+    dl_lookup = np.bincount(
+        doc_ids_np[doc_k] - base, minlength=shard_size
+    ).astype(np.int64)
+    key = codes_k * shard_size + (doc_ids_np[doc_k] - base)
+    uk, counts = np.unique(key, return_counts=True)
+    term_code = uk // shard_size
+    doc_ids = uk % shard_size + base
+    tfs = counts.astype(np.int64)
+    n_all = uk.size
+    dls = dl_lookup[doc_ids - base]
+
+    bound = np.nonzero(term_code[1:] != term_code[:-1])[0] + 1
+    starts = np.concatenate(([0], bound))
+    ends = np.concatenate((bound, [n_all]))
+    seg_len = ends - starts
+    n_terms = starts.size
+
+    prev = np.empty(n_all, dtype=np.int64)
+    prev[1:] = doc_ids[:-1]
+    prev[starts] = base
+    gaps = doc_ids - prev
+
+    inter = np.empty(n_all * 2, dtype=np.uint64)
+    inter[0::2] = gaps.astype(np.uint64)
+    inter[1::2] = tfs.astype(np.uint64)
+    buf, vlen = encode_varints(inter, return_lengths=True)
+    term_bytes = np.add.reduceat(vlen, starts * 2)
+    byte_ends = np.cumsum(term_bytes)
+    cf = np.add.reduceat(tfs, starts)
+
+    bs = bm25.BLOCK_SIZE
+    pos_in_seg = np.arange(n_all) - np.repeat(starts, seg_len)
+    bstarts = np.nonzero((pos_in_seg % bs) == 0)[0]
+    btfmax = np.maximum.reduceat(tfs, bstarts)
+    bdlmin = np.minimum.reduceat(dls, bstarts)
+    bends = np.concatenate((bstarts[1:], [n_all])) - 1
+    blast_all = doc_ids[bends]
+    nb_per_term = (seg_len + bs - 1) // bs
+    nb_ends = np.cumsum(nb_per_term)
+
+    list_offs = pa.array(np.concatenate(([0], nb_ends)).astype(np.int32))
+
+    def _list_arr(vals: np.ndarray) -> "pa.Array":
+        return pa.ListArray.from_arrays(list_offs, pa.array(vals, pa.int64()))
+
+    post_offs = np.concatenate(([0], byte_ends)).astype(np.int32)
+    postings_arr = pa.Array.from_buffers(
+        pa.binary(),
+        n_terms,
+        [None, pa.py_buffer(post_offs.tobytes()), pa.py_buffer(buf)],
+    )
+    main = pa.table(
+        {
+            "shard": pa.array(np.full(n_terms, shard, dtype=np.int32)),
+            "term": pa.array(su[term_code[starts]].tolist(), pa.string()),
+            "df": pa.array(seg_len.astype(np.int64)),
+            "cf": pa.array(cf.astype(np.int64)),
+            "block_tfmax": _list_arr(btfmax),
+            "block_dlmin": _list_arr(bdlmin),
+            "block_last": _list_arr(blast_all),
+            "postings": postings_arr,
+            "dls": pa.nulls(n_terms, pa.binary()),
+        }
+    )
+    return pa.concat_tables([main, _pseudo(dl_lookup)])
+
+
+def _postings_stream(batches, shard_size: int, hygiene: bool, n_docs: int):
+    """mapInArrow kernel for the fresh-layout postings fast path: the
+    incoming scan stream is doc_id-sorted per file with every shard
+    wholly inside one file, so shards arrive as CONTIGUOUS runs —
+    split the stream at shard boundaries and build each shard as its
+    chunk completes. Each chunk is checked against the shard's exact
+    doc count (doc_ids are dense), so any layout violation (a split
+    file handing two tasks half a shard) raises instead of silently
+    emitting duplicate (shard, term) rows."""
+    import pyarrow as pa
+
+    pending: list = []
+    cur = -1
+
+    def _emit():
+        tbl = pa.Table.from_batches(pending)
+        expect = min(shard_size, n_docs - cur * shard_size)
+        if tbl.num_rows != expect:
+            raise RuntimeError(
+                f"postings stream: shard {cur} chunk has {tbl.num_rows} docs, "
+                f"expected {expect} — docs layout violated shard contiguity"
+            )
+        return _build_shard_table(tbl, shard_size, hygiene)
+
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        sh = b.column(0).to_numpy() // shard_size
+        cuts = np.nonzero(sh[1:] != sh[:-1])[0] + 1
+        seg_bounds = np.concatenate(([0], cuts, [len(sh)]))
+        for a, z in zip(seg_bounds[:-1], seg_bounds[1:]):
+            s = int(sh[a])
+            if s != cur and pending:
+                yield from _emit().to_batches()
+                pending = []
+            cur = s
+            pending.append(b.slice(a, z - a))
+    if pending:
+        yield from _emit().to_batches()
+
+
+def _docs_files_unsplit(spark: SparkSession, st: IndexStorage) -> bool:
+    """True when every docs data file is small enough that the parquet
+    scan will never split one across tasks (the shard-contiguity
+    precondition of ``_postings_stream``). Non-local dirs can't be
+    stat'ed cheaply → False (groupBy path)."""
+    import os
+
+    try:
+        limit_s = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        limit = int(str(limit_s).rstrip("b").rstrip("B") or 134217728)
+    except Exception:
+        limit = 134217728
+    try:
+        files = [
+            e
+            for e in os.scandir(st.path("docs"))
+            if e.is_file() and not e.name.startswith((".", "_"))
+        ]
+    except OSError:
+        return False
+    return bool(files) and all(e.stat().st_size < limit // 2 for e in files)
+
+
 # ---------------------------------------------------------------------------
 # concurrent-builder mutual exclusion (I4)
 # ---------------------------------------------------------------------------
@@ -575,37 +756,42 @@ def _build_index_impl(
         _pt = now
 
     # -- phase 1: prepare (docs, meta, first_turn_terms) --
-    # first_turn_terms is the LAST prepare artifact, so its presence
-    # marks a completed prepare for resume purposes
-    if not (resume and st.exists("docs") and st.exists("first_turn_terms")):
+    # prepare is complete only when BOTH artifacts carry _SUCCESS —
+    # docs and first_turn_terms are written by concurrent jobs, so
+    # either may exist partially after a mid-prepare kill
+    fresh_layout = False
+    if not (resume and st.complete("docs") and st.complete("first_turn_terms")):
         _persisted: list = []
         _meta_out: dict = {}
-        docs = assign_doc_ids(transcripts, cleanup=_persisted, meta_out=_meta_out).withColumn(
-            "size", F.length("text")
-        ).withColumn("text_hash", F.xxhash64("text"))
-        # The numbered corpus feeds two consumers (the docs parquet
-        # write and first_turn_terms); both recompute the CHEAP
-        # projection (broadcast offset join + length/xxhash64) on top
-        # of the ranged cache assign_doc_ids already persisted —
-        # re-caching `docs` itself would duplicate the corpus in
-        # memory for no read savings. The parquet write runs in a
-        # BACKGROUND thread: it is IO-heavy, first_turn_terms is
-        # CPU-heavy, and the scheduler interleaves the two jobs across
-        # idle cores.
-        import threading
-
-        _write_err: list = []
-
-        def _write_docs():
-            try:
-                st.write(docs, "docs")
-            except BaseException as e:  # surfaced after join below
-                _write_err.append(e)
-
-        _wr = threading.Thread(target=_write_docs, name="docs_write")
-        _wr.start()
-        docs_r = docs  # every prepare-phase read comes from the cache
+        # Rank the KEYS only — the text column never rides the rank
+        # shuffle (~30 B/row vs ~1 KB/row). assign_doc_ids applied to
+        # the key projection IS the (conv_id, turn_idx) → doc_id map:
+        # dense rank is a property of the keys alone, so the ids are
+        # identical to ranking the full rows.
+        key_map = assign_doc_ids(
+            transcripts.select("conv_id", "turn_idx"),
+            cleanup=_persisted,
+            meta_out=_meta_out,
+        )
         n_docs = _meta_out["n_docs"]  # known from the assign count pass
+        if n_docs <= FUSED_ASSIGN_MAX_DOCS:
+            numbered = transcripts.join(
+                F.broadcast(key_map), ["conv_id", "turn_idx"]
+            )
+        else:
+            # corpus too large for the per-executor map — fall back to
+            # range-shuffling the full rows (no memory envelope)
+            for h in _persisted:
+                h.unpersist()
+            _persisted.clear()
+            numbered = assign_doc_ids(
+                transcripts, cleanup=_persisted, meta_out=_meta_out
+            )
+        docs = numbered.select(
+            "doc_id", *[f.name for f in transcripts.schema.fields]
+        ).withColumn("size", F.length("text")).withColumn(
+            "text_hash", F.xxhash64("text")
+        )
         _mark("docs_count")
         if shard_size is not None:
             # explicit geometry (incremental updates pin the ORIGINAL
@@ -633,6 +819,31 @@ def _build_index_impl(
         # (format 2: no separate dl pass — doc lengths fall out of the
         # postings pass as per-shard norms pseudo rows; norms /
         # doc_lengths / collection_stats are extracted at finalize)
+        # ONE text shuffle for the whole build: hash-repartition by
+        # shard, sort each partition by doc_id, write. Because every
+        # shard lives wholly inside one write task (hash partitioning
+        # on shard) and each task writes one doc_id-sorted file, the
+        # written files satisfy the SHARD-CONTIGUITY contract the
+        # phase-2 scan-stream fast path needs — the postings build
+        # then streams straight out of this parquet (mapInArrow, no
+        # second shuffle, no cache). Caching the sharded frame instead
+        # was measured SLOWER at bench scale: the columnar-cache →
+        # Arrow re-serialization for the Python kernel cost more than
+        # the (column-pruned, 2-column) parquet re-read it saved, and
+        # concurrent jobs racing to materialize the cache serialized
+        # on per-partition cache locks.
+        import threading
+
+        sharded = docs.withColumn(
+            "shard", (F.col("doc_id") / F.lit(shard_size)).cast("int")
+        ).repartition(n_shards, F.col("shard"))
+        # The docs write runs in the FOREGROUND; first_turn_terms runs
+        # in a BACKGROUND thread off the SOURCE scan (turn_idx == 0
+        # pushes through the broadcast join into the parquet reader) —
+        # the write is IO-heavy, the tokenize is CPU-heavy, and the
+        # scheduler interleaves the two jobs across idle cores.
+        fresh_layout = True
+        _write_err: list = []
         # first_turn_terms: (conv_id, term) for every conversation's
         # turn-0 text — the precomputed infirst:/intitle flag table
         # (search.cpp:206-207). Serving must NOT collect corpus-sized
@@ -646,22 +857,29 @@ def _build_index_impl(
         # runtime-broadcasts it at bench scale, stays a partitioned
         # join at 10^12 turns); the global term-sort (for pyarrow
         # row-group pruning) is the other shuffle this table pays.
-        turn0 = docs_r.filter(F.col("turn_idx") == 0)
-        ftt = (
-            tokenize_tokens(turn0.select("doc_id", "text"), hygiene=hygiene)
-            .join(turn0.select("doc_id", "conv_id"), "doc_id")
-            .select("conv_id", "term")
-        )
-        st.write(ftt.sort("term"), "first_turn_terms")
-        _mark("first_turn_terms")
-        # wait out whatever of the docs write the prepare passes didn't
-        # already hide, then drop the caches (phase 2 reads the parquet)
-        _wr.join()
+        def _build_ftt():
+            try:
+                turn0 = docs.filter(F.col("turn_idx") == 0)
+                ftt = (
+                    tokenize_tokens(turn0.select("doc_id", "text"), hygiene=hygiene)
+                    .join(turn0.select("doc_id", "conv_id"), "doc_id")
+                    .select("conv_id", "term")
+                )
+                st.write(ftt.sort("term"), "first_turn_terms")
+            except BaseException as e:  # surfaced after join below
+                _write_err.append(e)
+
+        _th = threading.Thread(target=_build_ftt, name="first_turn_terms")
+        _th.start()
+        st.write(sharded.sortWithinPartitions("doc_id").drop("shard"), "docs")
         _mark("docs_write")
+        _th.join()
+        _mark("first_turn_terms")
         if _write_err:
             raise _write_err[0]
         for h in _persisted:
-            h.unpersist()
+            if h is not sharded:
+                h.unpersist()
 
     meta = st.read_meta()
     n_shards = meta["n_shards"]
@@ -681,6 +899,17 @@ def _build_index_impl(
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs_r = st.read(spark, "docs")
+    # Fresh build: the docs files written above are doc_id-sorted with
+    # every shard wholly inside one file, so postings stream straight
+    # out of the scan (mapInArrow splits the stream at shard
+    # boundaries) — no shuffle, no grouping machinery. Guarded by file
+    # size: a file parquet would SPLIT across scan tasks could hand
+    # each task half a shard, so oversized files (or a non-local docs
+    # dir we can't stat) fall back to the groupBy path, and the stream
+    # kernel additionally asserts each chunk holds its shard's exact
+    # doc count (doc_ids are dense) — layout violations fail loudly
+    # instead of producing duplicate (shard, term) rows.
+    stream_ok = fresh_layout and _docs_files_unsplit(spark, st)
     built = 0
     for i in range(0, len(pending), shard_batch):
         batch = pending[i : i + shard_batch]
@@ -698,24 +927,29 @@ def _build_index_impl(
             cond = cond | (
                 (F.col("doc_id") >= a * shard_size) & (F.col("doc_id") < b * shard_size)
             )
-        # shuffle DOCS by shard (doc_id min/max pushdown prunes parquet
-        # row groups to the pending ranges) and tokenize inside the
-        # shard builder — raw text is ~3× fewer shuffle bytes than the
-        # exploded token stream, and nothing corpus-sized is persisted
-        # between phases
-        seg = (
-            docs_r.filter(cond)
-            .select(
-                "doc_id",
-                "text",
-                (F.col("doc_id") / F.lit(shard_size)).cast("int").alias("shard"),
-            )
-            .groupBy("shard")
-            .applyInPandas(
-                lambda p: _build_shard_from_docs(p, shard_size, hygiene),
+        # tokenize + encode inside the shard builder — raw text is ~3×
+        # fewer shuffle bytes than the exploded token stream (and on
+        # the fresh-layout stream path it never shuffles at all)
+        n_docs_total = meta["n_docs"]
+        if stream_ok:
+            seg = docs_r.filter(cond).select("doc_id", "text").mapInArrow(
+                lambda it: _postings_stream(it, shard_size, hygiene, n_docs_total),
                 schema=POSTINGS_SCHEMA,
             )
-        )
+        else:
+            seg = (
+                docs_r.filter(cond)
+                .select(
+                    "doc_id",
+                    "text",
+                    (F.col("doc_id") / F.lit(shard_size)).cast("int").alias("shard"),
+                )
+                .groupBy("shard")
+                .applyInArrow(
+                    lambda t: _build_shard_table(t, shard_size, hygiene),
+                    schema=POSTINGS_SCHEMA,
+                )
+            )
         seg.write.mode("overwrite").partitionBy("shard").parquet(st.path("postings"))
         _mark("postings")
         elapsed = time.time() - tb0

@@ -126,6 +126,15 @@ class IndexStorage:
             or any(f.endswith(".parquet") or f.startswith("shard=") for f in os.listdir(p))
         )
 
+    def complete(self, table: str) -> bool:
+        """Strict completion check: the table dir carries Spark's
+        _SUCCESS marker. ``exists`` accepts a partially-written dir
+        (any data file), which is the right laxity for incremental
+        probes but NOT for the prepare-phase resume marker — a build
+        killed mid-docs-write must re-run prepare."""
+        p = self.path(table)
+        return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
     def read(self, spark, table: str):
         if table == "postings":
             return self.read_postings(spark)

@@ -910,7 +910,21 @@ def _build_index_impl(
     # doc count (doc_ids are dense) — layout violations fail loudly
     # instead of producing duplicate (shard, term) rows.
     stream_ok = fresh_layout and _docs_files_unsplit(spark, st)
+    if stream_ok:
+        # One scan task per docs FILE: the default openCostInBytes
+        # (4 MB) packs small files into ~maxPartitionBytes splits —
+        # 256 per-shard files of a few MB collapse into a handful of
+        # scan tasks and the CPU-bound postings kernel runs on 4 cores
+        # of 32. Padding each file to the split capacity makes packing
+        # impossible (restored after the postings loop).
+        _open_cost0 = spark.conf.get("spark.sql.files.openCostInBytes", None)
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes",
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        )
     built = 0
+    _ledger_th = None  # in-flight background ledger append (see below)
+    _ledger_err: list = []
     for i in range(0, len(pending), shard_batch):
         batch = pending[i : i + shard_batch]
         tb0 = time.time()
@@ -953,12 +967,18 @@ def _build_index_impl(
         seg.write.mode("overwrite").partitionBy("shard").parquet(st.path("postings"))
         _mark("postings")
         elapsed = time.time() - tb0
+
         # per-shard checkpoint + metrics (north rule: lineage,
-        # postings/sec, skew). Column-pruned read: only (shard, df) —
-        # re-reading the posting blobs just to sum their lengths cost
-        # a full second pass over the index. bytes = on-disk parquet
-        # file sizes per shard partition (the operationally meaningful
-        # number anyway).
+        # postings/sec, skew) — runs on a BACKGROUND thread so the
+        # metadata agg + ledger append overlap the finalize jobs (both
+        # only read the postings this batch already committed; nothing
+        # in finalize depends on ledger rows). A crash before the join
+        # surfaces the error and leaves the shards unmarked, so resume
+        # rebuilds them — the same window the inline version had.
+        # Column-pruned read: only (shard, df) — re-reading the posting
+        # blobs just to sum their lengths cost a full second pass over
+        # the index. bytes = on-disk parquet file sizes per shard
+        # partition (the operationally meaningful number anyway).
         import os as _os
 
         def _shard_disk_bytes(shard: int) -> int | None:
@@ -975,57 +995,87 @@ def _build_index_impl(
             except OSError:
                 return None
 
-        bytes_map = {s: _shard_disk_bytes(s) for s in batch}
-        if any(v is None for v in bytes_map.values()):
-            # non-local index dir: one Spark pass that does read blobs
-            rows = (
+        def _ledger_batch(batch: list[int], elapsed: float) -> None:
+            t0 = time.time()
+            bytes_map = {s: _shard_disk_bytes(s) for s in batch}
+            if any(v is None for v in bytes_map.values()):
+                # non-local index dir: one Spark pass that does read blobs
+                rows = (
+                    st.read(spark, "postings")
+                    .filter(F.col("shard").isin(batch))
+                    .groupBy("shard")
+                    .agg(F.sum(F.length("postings")).alias("b"))
+                    .collect()
+                )
+                bytes_map = {int(r.shard): int(r.b) for r in rows}
+            agg_rows = (
                 st.read(spark, "postings")
-                .filter(F.col("shard").isin(batch))
+                .select("shard", "term", "df")
+                .filter(F.col("shard").isin(batch) & F.col("term").isNotNull())
                 .groupBy("shard")
-                .agg(F.sum(F.length("postings")).alias("b"))
+                .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
                 .collect()
             )
-            bytes_map = {int(r.shard): int(r.b) for r in rows}
-        agg_rows = (
-            st.read(spark, "postings")
-            .select("shard", "term", "df")
-            .filter(F.col("shard").isin(batch) & F.col("term").isNotNull())
-            .groupBy("shard")
-            .agg(F.count("*").alias("n_terms"), F.sum("df").alias("n_postings"))
-            .collect()
+            # every shard in the batch gets a ledger row — a shard whose
+            # doc range produced ZERO postings (all-stopword/empty texts)
+            # would otherwise never be marked built and resume would
+            # re-attempt it forever
+            by_shard = {
+                int(r.shard): (int(r.n_terms), int(r.n_postings)) for r in agg_rows
+            }
+            # skew denominator: mean postings over this batch's shards
+            # (the default one-batch build makes it the true build-wide mean)
+            mean_postings = sum(v[1] for v in by_shard.values()) / max(1, len(batch))
+            now = time.time()
+            led = spark.createDataFrame(
+                [
+                    (
+                        s,
+                        by_shard.get(s, (0, 0))[0],
+                        by_shard.get(s, (0, 0))[1],
+                        bytes_map.get(s) or 0,
+                        "built",
+                        float(elapsed),
+                        by_shard.get(s, (0, 0))[1] / max(elapsed, 1e-9),
+                        by_shard.get(s, (0, 0))[1] / max(mean_postings, 1e-9),
+                        lineage or meta.get("lineage", ""),
+                        now,
+                    )
+                    for s in batch
+                ],
+                "shard int, n_terms long, n_postings long, bytes_postings long, "
+                "status string, elapsed_s double, postings_per_sec double, "
+                "skew_factor double, lineage string, built_at double",
+            )
+            led.write.mode("append").parquet(st.path("ledger"))
+            phases["ledger_metrics"] = round(
+                phases.get("ledger_metrics", 0.0) + (time.time() - t0), 3
+            )
+
+        def _ledger_guarded(b: list[int], e: float) -> None:
+            try:
+                _ledger_batch(b, e)
+            except BaseException as exc:  # surfaced at the join
+                _ledger_err.append(exc)
+
+        import threading as _threading
+
+        if _ledger_th is not None:
+            _ledger_th.join()  # one ledger append in flight at a time
+        _ledger_th = _threading.Thread(
+            target=_ledger_guarded,
+            args=(list(batch), elapsed),
+            name="ledger_metrics",
         )
-        # every shard in the batch gets a ledger row — a shard whose
-        # doc range produced ZERO postings (all-stopword/empty texts)
-        # would otherwise never be marked built and resume would
-        # re-attempt it forever
-        by_shard = {int(r.shard): (int(r.n_terms), int(r.n_postings)) for r in agg_rows}
-        # skew denominator: mean postings over this batch's shards
-        # (the default one-batch build makes it the true build-wide mean)
-        mean_postings = sum(v[1] for v in by_shard.values()) / max(1, len(batch))
-        now = time.time()
-        led = spark.createDataFrame(
-            [
-                (
-                    s,
-                    by_shard.get(s, (0, 0))[0],
-                    by_shard.get(s, (0, 0))[1],
-                    bytes_map.get(s) or 0,
-                    "built",
-                    float(elapsed),
-                    by_shard.get(s, (0, 0))[1] / max(elapsed, 1e-9),
-                    by_shard.get(s, (0, 0))[1] / max(mean_postings, 1e-9),
-                    lineage or meta.get("lineage", ""),
-                    now,
-                )
-                for s in batch
-            ],
-            "shard int, n_terms long, n_postings long, bytes_postings long, "
-            "status string, elapsed_s double, postings_per_sec double, "
-            "skew_factor double, lineage string, built_at double",
-        )
-        led.write.mode("append").parquet(st.path("ledger"))
-        _mark("ledger_metrics")
+        _ledger_th.start()
+        _pt = time.time()  # ledger time is self-recorded by the thread
         built += len(batch)
+
+    if stream_ok:  # restore the split-packing default for later jobs
+        if _open_cost0 is None:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        else:
+            spark.conf.set("spark.sql.files.openCostInBytes", _open_cost0)
 
     # -- finalize: norms / doc_lengths / collection_stats extracted
     # from the per-shard pseudo rows, term_stats + exact
@@ -1054,48 +1104,68 @@ def _build_index_impl(
     if needs_finalize:
         from .codec import decode_varints
 
-        nrows = (
-            st.read(spark, "postings")
-            .filter(F.col("term").isNull())
-            .select(
-                "shard",
-                F.col("block_last")[0].alias("base"),
-                F.col("df").alias("n"),
-                F.col("cf").alias("sum_dl"),
-                "dls",
-            )
-        )
-        st.write(nrows.select("shard", "base", "n", "dls"), "norms")
-        total_dl = int(
-            st.read(spark, "postings")
-            .filter(F.col("term").isNull())
-            .agg(F.sum("cf"))
-            .collect()[0][0]
-            or 0
-        )
         n_docs_total = int(meta["n_docs"])
+        _fin_err: list = []
+        _fin_out: dict = {}
 
-        def _dl_rows(batches):
-            for pdf in batches:
-                for base, blob in zip(pdf["base"], pdf["dls"]):
-                    arr = decode_varints(bytes(blob)).astype(np.int64)
-                    hi = min(len(arr), n_docs_total - int(base))
-                    if hi <= 0:
-                        continue
-                    yield pd.DataFrame(
-                        {
-                            "doc_id": np.arange(int(base), int(base) + hi, dtype=np.int64),
-                            "dl": arr[:hi],
-                        }
+        def _norms_chain() -> None:
+            """norms → total_dl → doc_lengths, on a background thread
+            concurrent with the term_stats shuffle (both only READ the
+            committed postings; they write disjoint tables)."""
+            t0n = time.time()
+            try:
+                nrows = (
+                    st.read(spark, "postings")
+                    .filter(F.col("term").isNull())
+                    .select(
+                        "shard",
+                        F.col("block_last")[0].alias("base"),
+                        F.col("df").alias("n"),
+                        F.col("cf").alias("sum_dl"),
+                        "dls",
                     )
+                )
+                st.write(nrows.select("shard", "base", "n", "dls"), "norms")
+                _fin_out["total_dl"] = int(
+                    st.read(spark, "postings")
+                    .filter(F.col("term").isNull())
+                    .agg(F.sum("cf"))
+                    .collect()[0][0]
+                    or 0
+                )
 
-        dl_df = (
-            st.read(spark, "norms")
-            .select("base", "dls")
-            .mapInPandas(_dl_rows, schema="doc_id long, dl long")
-        )
-        st.write(dl_df, "doc_lengths")
-        _mark("finalize_norms")
+                def _dl_rows(batches):
+                    for pdf in batches:
+                        for base, blob in zip(pdf["base"], pdf["dls"]):
+                            arr = decode_varints(bytes(blob)).astype(np.int64)
+                            hi = min(len(arr), n_docs_total - int(base))
+                            if hi <= 0:
+                                continue
+                            yield pd.DataFrame(
+                                {
+                                    "doc_id": np.arange(
+                                        int(base), int(base) + hi, dtype=np.int64
+                                    ),
+                                    "dl": arr[:hi],
+                                }
+                            )
+
+                dl_df = (
+                    st.read(spark, "norms")
+                    .select("base", "dls")
+                    .mapInPandas(_dl_rows, schema="doc_id long, dl long")
+                )
+                st.write(dl_df, "doc_lengths")
+            except BaseException as e:  # surfaced after the join below
+                _fin_err.append(e)
+            phases["finalize_norms"] = round(
+                phases.get("finalize_norms", 0.0) + (time.time() - t0n), 3
+            )
+
+        import threading as _threading_fin
+
+        _fin_th = _threading_fin.Thread(target=_norms_chain, name="finalize_norms")
+        _fin_th.start()
     if needs_finalize:
         # term_stats carries the term→shard presence list for terms
         # living in few shards (selective-query scan pruning in
@@ -1126,6 +1196,10 @@ def _build_index_impl(
         totals = st.read(spark, "term_stats").agg(
             F.count("*").alias("n_terms"), F.sum("df").alias("n_postings")
         ).collect()[0]
+        _fin_th.join()
+        if _fin_err:
+            raise _fin_err[0]
+        total_dl = _fin_out["total_dl"]
         # exact collection stats (north rule: no approx): totals are
         # exact longs summed from the per-shard pseudo rows; avgdl is
         # the same IEEE double division the oracle performs
@@ -1141,6 +1215,11 @@ def _build_index_impl(
         )
         st.write(stats_final, "collection_stats")
         _mark("finalize_stats")
+
+    if _ledger_th is not None:
+        _ledger_th.join()
+    if _ledger_err:
+        raise _ledger_err[0]
 
     total = time.time() - t0
     return {

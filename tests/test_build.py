@@ -257,3 +257,29 @@ def test_concurrent_builders_disjoint_claims(spark, tmp_path):
          .select("shard", "term", "df", "postings").toPandas()
          .sort_values(["shard", "term"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_docs_layout_streamable_gate(spark, tmp_path):
+    """The attestation gate that routes the postings pass to the
+    shuffle-free stream kernel: True for a fresh build (the prepare
+    pass stamps docs_layout, so RESUMED builds inherit the fast
+    path), False for an index whose meta lacks the attestation. (The
+    session fixture index is the cached format-1 compat index, which
+    predates this layout — build fresh here.)"""
+    import json
+
+    from tlgs_spark.indexer.build import _docs_layout_streamable
+
+    idx = str(tmp_path / "idx_stream_gate")
+    build_index(spark, generate_spark(spark, 12, partitions=3), idx, n_shards=5)
+    st = IndexStorage(idx)
+    assert _docs_layout_streamable(spark, st)
+
+    # stale/absent attestation (e.g. a pre-format-2 index, or a writer
+    # that rewrote docs without the layout) -> gate must refuse
+    mf = os.path.join(idx, "index_meta.json")
+    meta = json.load(open(mf))
+    meta.pop("docs_layout")
+    json.dump(meta, open(mf, "w"))
+    st2 = IndexStorage(idx)
+    assert not _docs_layout_streamable(spark, st2)

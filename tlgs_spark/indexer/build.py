@@ -83,6 +83,11 @@ TERM_SHARDS_MAX = 64
 # same ids either way (dense rank over unique keys).
 FUSED_ASSIGN_MAX_DOCS = 50_000_000
 
+# index_meta "docs_layout" attestation: docs files are hash-partitioned
+# by shard, doc_id-sorted within each file (every shard whole and
+# contiguous inside one file) — the stream fast path's precondition
+DOCS_LAYOUT_SHARDED = "sharded_sorted_v1"
+
 # worker-process-global stem memo (see _tokenize_batch_arrays)
 _STEM_MEMO: dict[str, str] = {}
 
@@ -602,13 +607,29 @@ def _postings_stream(batches, shard_size: int, hygiene: bool, n_docs: int):
         yield from _emit().to_batches()
 
 
-def _docs_files_unsplit(spark: SparkSession, st: IndexStorage) -> bool:
-    """True when every docs data file is small enough that the parquet
-    scan will never split one across tasks (the shard-contiguity
-    precondition of ``_postings_stream``). Non-local dirs can't be
-    stat'ed cheaply → False (groupBy path)."""
+def _docs_layout_streamable(spark: SparkSession, st: IndexStorage) -> bool:
+    """True when the docs table satisfies the stream-kernel contract:
+
+    1. index_meta carries the ``docs_layout`` attestation — the prepare
+       pass (the only docs writer, fresh AND incremental) stamps it
+       when it writes the sharded+sorted layout, so RESUMED builds
+       inherit the fast path. Footer stats alone cannot prove the
+       contract: a file legitimately holds several NON-adjacent shards
+       (hash collisions), so file-level [min,max] envelopes overlap
+       even for valid layouts.
+    2. every data file is small enough that the scan never splits it
+       across tasks (a split file could hand each task half a shard).
+
+    Non-local dirs can't be stat'ed cheaply → False (groupBy fallback).
+    The stream kernel's exact per-shard doc-count check remains the
+    runtime backstop: a stale attestation fails loudly, never silently."""
     import os
 
+    try:
+        if st.read_meta().get("docs_layout") != DOCS_LAYOUT_SHARDED:
+            return False
+    except Exception:
+        return False
     try:
         limit_s = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         limit = int(str(limit_s).rstrip("b").rstrip("B") or 134217728)
@@ -622,7 +643,7 @@ def _docs_files_unsplit(spark: SparkSession, st: IndexStorage) -> bool:
         ]
     except OSError:
         return False
-    return bool(files) and all(e.stat().st_size < limit // 2 for e in files)
+    return bool(files) and all(e.stat().st_size < limit for e in files)
 
 
 # ---------------------------------------------------------------------------
@@ -759,7 +780,6 @@ def _build_index_impl(
     # prepare is complete only when BOTH artifacts carry _SUCCESS —
     # docs and first_turn_terms are written by concurrent jobs, so
     # either may exist partially after a mid-prepare kill
-    fresh_layout = False
     if not (resume and st.complete("docs") and st.complete("first_turn_terms")):
         _persisted: list = []
         _meta_out: dict = {}
@@ -814,6 +834,13 @@ def _build_index_impl(
                 "lineage": lineage,
                 "tokenizer": ANALYZER_VERSION,
                 "postings_format": POSTINGS_FORMAT,
+                # layout attestation (the Iceberg sort-order idea):
+                # docs is hash-partitioned by shard and doc_id-sorted
+                # within each file, i.e. every shard's rows are whole
+                # and contiguous inside ONE file. The postings stream
+                # fast path trusts this flag (any future writer that
+                # does not preserve the layout must drop it).
+                "docs_layout": DOCS_LAYOUT_SHARDED,
             }
         )
         # (format 2: no separate dl pass — doc lengths fall out of the
@@ -842,7 +869,6 @@ def _build_index_impl(
         # pushes through the broadcast join into the parquet reader) —
         # the write is IO-heavy, the tokenize is CPU-heavy, and the
         # scheduler interleaves the two jobs across idle cores.
-        fresh_layout = True
         _write_err: list = []
         # first_turn_terms: (conv_id, term) for every conversation's
         # turn-0 text — the precomputed infirst:/intitle flag table
@@ -899,17 +925,16 @@ def _build_index_impl(
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs_r = st.read(spark, "docs")
-    # Fresh build: the docs files written above are doc_id-sorted with
-    # every shard wholly inside one file, so postings stream straight
-    # out of the scan (mapInArrow splits the stream at shard
-    # boundaries) — no shuffle, no grouping machinery. Guarded by file
-    # size: a file parquet would SPLIT across scan tasks could hand
-    # each task half a shard, so oversized files (or a non-local docs
-    # dir we can't stat) fall back to the groupBy path, and the stream
-    # kernel additionally asserts each chunk holds its shard's exact
-    # doc count (doc_ids are dense) — layout violations fail loudly
-    # instead of producing duplicate (shard, term) rows.
-    stream_ok = fresh_layout and _docs_files_unsplit(spark, st)
+    # Stream fast path: when the docs layout provably keeps every
+    # shard whole inside one unsplit file (footer-validated — fresh
+    # builds write this layout, and RESUMED builds inherit it),
+    # postings stream straight out of the scan (mapInArrow splits the
+    # stream at shard boundaries) — no shuffle, no grouping machinery.
+    # The stream kernel additionally asserts each chunk holds its
+    # shard's exact doc count (doc_ids are dense) — a layout violation
+    # that slips past the footer check fails loudly instead of
+    # producing duplicate (shard, term) rows.
+    stream_ok = _docs_layout_streamable(spark, st)
     if stream_ok:
         # One scan task per docs FILE: the default openCostInBytes
         # (4 MB) packs small files into ~maxPartitionBytes splits —

@@ -233,6 +233,11 @@ class IndexStorage:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        if table == "docs":
+            # unique-per-row text dominates the table; the dictionary
+            # attempt always falls back, costing hash time for zero
+            # bytes (measured: identical file size, ~10% faster write)
+            w = w.option("parquet.enable.dictionary", "false")
         w.parquet(self.path(table))
 
     # --- config sidecar (shard geometry etc.) ---

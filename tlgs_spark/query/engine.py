@@ -860,69 +860,53 @@ class SearchIndex:
             )
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def search_df_fielded(
-        self,
-        query: str,
-        k: int = 10,
-        mode: str = "and",
-        title_weight: float = 50.0,
-        field: str = "first5",
-    ) -> DataFrame:
-        """Distributed rendering of search_fielded: body + title postings
-        for the query terms union into one per-shard group (doc-range
-        sharding puts ALL of a doc's postings — both fields — in one
-        shard, so the per-shard body intersection IS the global one
-        restricted to the shard), each shard scores body + w·title
-        exactly, and the global merge moves only n_shards×k rows.
-        Bit-identical to the driver path (same op order per doc)."""
-        text_query, _ = parse_search_query(query)
-        terms = tokenize_query(text_query)
-        if not terms:
-            raise EmptyQueryError(query)
-        ft = self.field_index(field)
-        df_map = self._term_df_map(terms)
-        tdf_map = ft._term_df_map(terms)
-        if mode == "and" and len(df_map) < len(terms):
-            return self.spark.createDataFrame([], "doc_id long, score double")
+    def exact_scores_df(self, terms: list[str], mode: str = "and") -> DataFrame:
+        """DataFrame(doc_id, score): EXACT BM25 scores for every doc
+        matching ``terms`` under ``mode`` — no top-k, no block-max
+        pruning (the building block of the fielded distributed path,
+        where another field's contribution can reorder any candidate).
+
+        Physical strategies mirror search_df: term→shard pruning on the
+        scan, then score INSIDE the scan (mapInPandas; scan tasks hold
+        complete shards) when every shard partition is one unsplit
+        local file and the dl broadcast fits — no shuffle at all —
+        else groupBy(shard).applyInPandas with dls delivered via the
+        norms join."""
+        info = self._term_info(terms)
+        dfm = {t: d for t, (d, _) in info.items()}
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms or (mode == "and" and len(dfm) < len(terms)):
+            return empty
         n_docs, avgdl, shard_size = self.n_docs, self.avgdl, self.shard_size
-        t_n_docs, t_avgdl = ft.n_docs, ft.avgdl
-        q_terms, w = list(terms), float(title_weight)
+        q_terms = list(terms)
 
-        cols = ["shard", "term", "postings"]
-        posts = self._postings_df.select(*cols, F.lit("body").alias("fld")).filter(
-            F.col("term").isin(terms)
-        ).unionByName(
-            ft._postings_df.select(*cols, F.lit("title").alias("fld")).filter(
-                F.col("term").isin(terms)
-            )
-        )
-        b_dl = self._dl_broadcast()
-        b_tdl = ft._dl_broadcast()
+        posts = self._postings_df.filter(F.col("term").isin(terms))
+        allowed = self._query_shards(q_terms, info, mode)
+        if allowed is not None:
+            if not allowed:
+                return empty
+            posts = posts.filter(F.col("shard").isin(allowed))
+        use_dl_bc = self.n_docs <= self.dl_broadcast_max_docs
+        b_dl = self._dl_broadcast() if use_dl_bc else None
 
-        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard0 = int(pdf["shard"].iloc[0])
-            base = shard0 * shard_size
-
-            def tds_of(fld: str, dfm: dict) -> list[TermData]:
-                rows = {r["term"]: r for _, r in pdf[pdf["fld"] == fld].iterrows()}
-                out = []
-                for t in q_terms:
-                    r = rows.get(t)
-                    if r is None:
-                        out.append(TermData(t, dfm.get(t, 0), np.zeros(0, np.int64),
-                                            np.zeros(0, np.int64), np.zeros(0, np.float64),
-                                            np.zeros(0, np.int64)))
-                        continue
-                    d, tf = decode_postings(bytes(r["postings"]), base=base)
-                    out.append(TermData(t, dfm.get(t, 0), d, tf,
-                                        np.zeros(0, np.float64), np.zeros(0, np.int64)))
-                return out
-
-            body_tds = tds_of("body", df_map)
+        def _score_one(pdf: pd.DataFrame, dl_global) -> pd.DataFrame:
+            base = int(pdf["shard"].iloc[0]) * shard_size
+            rows = {r["term"]: r for _, r in pdf.iterrows()}
+            tds = []
+            for t in q_terms:
+                r = rows.get(t)
+                if r is None:
+                    tds.append(TermData(t, dfm.get(t, 0), np.zeros(0, np.int64),
+                                        np.zeros(0, np.int64), np.zeros(0, np.float64),
+                                        np.zeros(0, np.int64)))
+                    continue
+                d, tf = decode_postings(bytes(r["postings"]), base=base)
+                tds.append(TermData(t, dfm.get(t, 0), d, tf,
+                                    np.zeros(0, np.float64), np.zeros(0, np.int64)))
             if mode == "and":
-                if any(td.doc_ids.size == 0 for td in body_tds):
+                if any(td.doc_ids.size == 0 for td in tds):
                     return pd.DataFrame({"doc_id": [], "score": []})
-                by_df = sorted(body_tds, key=lambda t: t.doc_ids.size)
+                by_df = sorted(tds, key=lambda t: t.doc_ids.size)
                 cand = by_df[0].doc_ids
                 for td in by_df[1:]:
                     pos = np.searchsorted(td.doc_ids, cand)
@@ -931,17 +915,84 @@ class SearchIndex:
                     if cand.size == 0:
                         return pd.DataFrame({"doc_id": [], "score": []})
             else:
-                nonempty = [td.doc_ids for td in body_tds if td.doc_ids.size]
+                nonempty = [td.doc_ids for td in tds if td.doc_ids.size]
                 if not nonempty:
                     return pd.DataFrame({"doc_id": [], "score": []})
                 cand = np.unique(np.concatenate(nonempty))
-            body = _exact_scores(cand, body_tds, b_dl.value, n_docs, avgdl)
-            title = _exact_scores(cand, tds_of("title", tdf_map), b_tdl.value,
-                                  t_n_docs, t_avgdl)
-            ids, sc = _topk_order(cand, body + w * title, k)
-            return pd.DataFrame({"doc_id": ids, "score": sc})
+            sc = _exact_scores(cand, tds, dl_global, n_docs, avgdl)
+            return pd.DataFrame({"doc_id": cand, "score": sc})
 
-        local = posts.groupBy("shard").applyInPandas(
+        if use_dl_bc and self._one_file_per_shard:
+            def score_stream(batches):
+                accs = list(batches)
+                if not accs:
+                    return
+                allr = pd.concat(accs, ignore_index=True)
+                if not len(allr):
+                    return
+                dl_global = b_dl.value
+                for _, g in allr.groupby("shard", sort=False):
+                    yield _score_one(g, dl_global)
+
+            return posts.select("shard", "term", "postings").mapInPandas(
+                score_stream, schema="doc_id long, score double"
+            )
+
+        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            if b_dl is not None:
+                dl_global = b_dl.value
+            else:
+                base = int(pdf["base"].iloc[0])
+                dls_shard = decode_varints(bytes(pdf["dls"].iloc[0])).astype(np.int64)
+                dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
+                dl_global[base:] = dls_shard
+            return _score_one(pdf, dl_global)
+
+        joined = posts if b_dl is not None else posts.join(
+            F.broadcast(self._norms_df), "shard"
+        )
+        return joined.groupBy("shard").applyInPandas(
             score_shard, schema="doc_id long, score double"
         )
-        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_df_fielded(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "and",
+        title_weight: float = 50.0,
+        field: str = "first5",
+    ) -> DataFrame:
+        """Distributed rendering of search_fielded as a composition of
+        two shuffle-free passes + one small join: the BODY pass scores
+        every candidate (the reference's WHERE uses search_vector only,
+        search.cpp:441), the TITLE pass scores every doc matching ANY
+        term in the title field, and score = body + w·title via a left
+        join (missing title ⇒ +0.0, exactly the 0.0 the fused kernel
+        added). Score-identical to the driver path: per-field sums run
+        in the same per-term order inside _exact_scores, and the
+        combine is the same mul-then-add on float64.
+
+        vs the previous union+groupBy plan: postings blobs never
+        shuffle (each pass scores inside its own index's scan when the
+        single-stage gate holds); the join moves one 16-byte row per
+        matching doc, and AND-mode candidate sets are intersection-
+        small. The global top-k is a TakeOrderedAndProject."""
+        text_query, _ = parse_search_query(query)
+        terms = tokenize_query(text_query)
+        if not terms:
+            raise EmptyQueryError(query)
+        ft = self.field_index(field)
+        w = float(title_weight)
+        body = self.exact_scores_df(terms, mode)
+        title = ft.exact_scores_df(terms, "or").withColumnRenamed("score", "_ts")
+        out = (
+            body.join(title, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.col("score") + F.lit(w) * F.coalesce(F.col("_ts"), F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+        )
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -84,12 +84,21 @@ def query_bench(spark, index_dir: str, rounds: int = 3) -> dict:
             si.search(q, k=10, mode=mode)
             (cold if r == 0 else warm).append((time.time() - t0) * 1000)
     cold_a, warm_a = np.array(cold), np.array(warm)
-    # distributed path on a few queries
-    dist = []
-    for q, mode in QUERY_SET[:3]:
-        t0 = time.time()
-        si.search_df(q, k=10, mode=mode).collect()
-        dist.append((time.time() - t0) * 1000)
+    # distributed path on a few queries; the first execution carries the
+    # one-time session costs a long-lived serving cluster pays once
+    # (python-worker pool spawn, postings file-index discovery), so it is
+    # reported separately as distributed_cold_ms — the steady-state number
+    # is the mean over the subsequent executions
+    dist, dist_cold = [], 0.0
+    for r in range(2):
+        for q, mode in QUERY_SET[:3]:
+            t0 = time.time()
+            si.search_df(q, k=10, mode=mode).collect()
+            ms = (time.time() - t0) * 1000
+            if r == 0 and not dist and not dist_cold:
+                dist_cold = ms
+            else:
+                dist.append(ms)
     return {
         "n_queries": len(QUERY_SET) * rounds,
         # cold = first execution (postings decode); warm = served from
@@ -102,6 +111,7 @@ def query_bench(spark, index_dir: str, rounds: int = 3) -> dict:
         "p50_ms": round(float(np.percentile(cold_a, 50)), 1),
         "p95_ms": round(float(np.percentile(cold_a, 95)), 1),
         "distributed_mean_ms": round(sum(dist) / len(dist), 1),
+        "distributed_cold_ms": round(dist_cold, 1),
     }
 
 

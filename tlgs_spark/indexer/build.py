@@ -30,6 +30,7 @@ Design (scale-first):
 from __future__ import annotations
 
 import math
+import os
 import time
 
 import numpy as np
@@ -87,6 +88,11 @@ FUSED_ASSIGN_MAX_DOCS = 50_000_000
 # by shard, doc_id-sorted within each file (every shard whole and
 # contiguous inside one file) — the stream fast path's precondition
 DOCS_LAYOUT_SHARDED = "sharded_sorted_v1"
+
+# postings-loop scan sizing: pack docs files into roughly this many
+# scan tasks per core — enough waves to absorb stragglers while paying
+# a small fixed per-task cost (see the openCost block in build_index)
+PACK_TASKS_PER_CORE = 4
 
 # worker-process-global stem memo (see _tokenize_batch_arrays)
 _STEM_MEMO: dict[str, str] = {}
@@ -936,17 +942,49 @@ def _build_index_impl(
     # producing duplicate (shard, term) rows.
     stream_ok = _docs_layout_streamable(spark, st)
     if stream_ok:
-        # One scan task per docs FILE: the default openCostInBytes
-        # (4 MB) packs small files into ~maxPartitionBytes splits —
-        # 256 per-shard files of a few MB collapse into a handful of
-        # scan tasks and the CPU-bound postings kernel runs on 4 cores
-        # of 32. Padding each file to the split capacity makes packing
-        # impossible (restored after the postings loop).
+        # Scan-split sizing for the postings loop. Two failure modes:
+        # the DEFAULT openCostInBytes (4 MB) packs the small per-shard
+        # files into a handful of splits and the CPU-bound kernel runs
+        # on a fraction of the cores (measured 54 s vs 25 s at 8
+        # cores); one-task-per-FILE (openCost = split capacity) fixes
+        # that but pays 256 tasks' fixed overhead (scheduling + Arrow
+        # stream setup + per-task write commit — measured ~4 s of a
+        # 15 s pass). Packing is safe at ANY level: a shard lives
+        # wholly inside one unsplit file, so however files group into
+        # tasks, the stream kernel still sees whole shards. So aim
+        # between the extremes: pick openCost so the packer yields
+        # ~PACK_TASKS_PER_CORE tasks per core (plenty of waves for
+        # stragglers, a fraction of the per-task overhead). When the
+        # file census isn't available (non-local dir) fall back to the
+        # no-pack pin — correct at any file count, never core-starved.
         _open_cost0 = spark.conf.get("spark.sql.files.openCostInBytes", None)
-        spark.conf.set(
-            "spark.sql.files.openCostInBytes",
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        max_pb = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+            .rstrip("bB")
+            or 134217728
         )
+        open_cost = max_pb  # no-pack fallback
+        try:
+            sizes = [
+                e.stat().st_size
+                for e in os.scandir(st.path("docs"))
+                if e.is_file() and not e.name.startswith((".", "_"))
+            ]
+        except OSError:
+            sizes = []
+        if sizes:
+            target_tasks = PACK_TASKS_PER_CORE * max(
+                1, spark.sparkContext.defaultParallelism
+            )
+            if len(sizes) > target_tasks:
+                avg = sum(sizes) // len(sizes)
+                # bin capacity max_pb holds k files of cost (avg+oc);
+                # k = n_files/target_tasks  =>  oc = cap*T/n - avg
+                open_cost = min(
+                    max_pb,
+                    max(1, max_pb * target_tasks // len(sizes) - avg),
+                )
+        spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
     built = 0
     _ledger_th = None  # in-flight background ledger append (see below)
     _ledger_err: list = []

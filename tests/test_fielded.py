@@ -66,6 +66,23 @@ def test_fielded_distributed_path_identity(query, mode, search_index, field_dir,
     assert [(r.doc_id, r.score) for r in rows] == exp
 
 
+@pytest.mark.parametrize("query,mode", QUERIES[:3])
+def test_fielded_distributed_norms_join_fallback(query, mode, search_index,
+                                                 field_dir, oracle_index,
+                                                 oracle_title_index):
+    """Past dl_broadcast_max_docs the fielded path delivers doc lengths
+    via the per-shard norms join (format-2 postings carry their own dls
+    pseudo-column — the join must not collide). Same results bit-for-bit."""
+    old = search_index.dl_broadcast_max_docs
+    try:
+        search_index.dl_broadcast_max_docs = 0  # force the join branch
+        exp = O.search_fielded(oracle_index, oracle_title_index, query, k=10, mode=mode)
+        rows = search_index.search_df_fielded(query, k=10, mode=mode).collect()
+        assert [(r.doc_id, r.score) for r in rows] == exp
+    finally:
+        search_index.dl_broadcast_max_docs = old
+
+
 def test_title_hit_outranks_body_only(search_index, field_dir, corpus_pdf):
     """A term appearing in a doc's first-5 tokens must outrank an
     equal-body-score doc without the title hit (weight 50 dominates)."""

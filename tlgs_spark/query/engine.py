@@ -765,7 +765,15 @@ class SearchIndex:
             joined = posts
         else:
             b_dl = None
-            joined = posts.join(F.broadcast(self._norms_df), "shard")
+            # project BEFORE the join: format-2 postings carry their own
+            # per-shard `dls` pseudo-column, which would collide with the
+            # norms table's `dls` (and the blobs are dead weight anyway)
+            joined = posts.select(
+                "shard", "term", *self._block_cols, "postings"
+            ).join(
+                F.broadcast(self._norms_df.select("shard", "base", "dls")),
+                "shard",
+            )
 
         # executor-side block-bound derivation: a plain closure over
         # scalars only (capturing `self` would drag the SparkSession
@@ -948,8 +956,11 @@ class SearchIndex:
                 dl_global[base:] = dls_shard
             return _score_one(pdf, dl_global)
 
-        joined = posts if b_dl is not None else posts.join(
-            F.broadcast(self._norms_df), "shard"
+        joined = posts if b_dl is not None else posts.select(
+            "shard", "term", "postings"
+        ).join(
+            F.broadcast(self._norms_df.select("shard", "base", "dls")),
+            "shard",
         )
         return joined.groupBy("shard").applyInPandas(
             score_shard, schema="doc_id long, score double"

@@ -45,6 +45,7 @@ TABLES = (
     "collection_stats",
     "postings",
     "ledger",
+    "first_turn_terms",
 )
 
 

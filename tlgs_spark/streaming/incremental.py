@@ -17,14 +17,15 @@ must stay exact (north rule), so any text change anywhere invalidates
 them, but deriving them reads only metadata columns: unchanged shards'
 TEXT is never touched again.
 
-Object-store-safe since r2: no staging-directory copy, no os.rename.
+Object-store-safe: no staging-directory copy, no os.rename.
 Recomputed tables land in NEW version dirs (storage.py version
-pointer) while readers keep the committed ones; unchanged postings
-partitions are reused as METADATA (their files are never touched);
-changed partitions are rewritten in place under dynamic partition
-overwrite; the cutover is one small-file pointer write. The remaining
-non-atomicity (a reader scanning a changed postings partition during
-its rewrite) is the documented Iceberg swap point in storage.py.
+pointer) while readers keep the committed ones. Postings are
+snapshot-versioned at partition granularity: changed shards land in
+the fresh staged version dir, unchanged shards are carried by
+manifest reference (their committed files are never touched), and the
+cutover is one small-file pointer write — a reader opened pre-update
+returns bit-identical results through the update; superseded
+partitions retire later via IndexStorage.vacuum.
 """
 
 from __future__ import annotations
@@ -90,8 +91,9 @@ def incremental_update(
        re-tokenize.
     2. Diff per-shard signatures committed vs staged.
     3. Stage a ledger carrying the unchanged shards as 'reused' rows;
-       rebuild only the changed shards in place (dynamic partition
-       overwrite touches exactly those partitions).
+       write a staged postings manifest (reused shards by reference to
+       their committed partition dirs) and rebuild only the changed
+       shards into the staged postings version dir.
     4. Commit the version pointer (one small-file write). Superseded
        version dirs are queued in gc_pending.json — ``gc="defer"``
        (default) leaves deletion to a later ``IndexStorage.vacuum``

@@ -129,6 +129,9 @@ def main():
                         "t": time.time(), "n": p[0]["turns_per_sec"],
                         "4n": p[1]["turns_per_sec"],
                         "eff": round(p[1]["turns_per_sec"] / p[0]["turns_per_sec"] / 4.0, 3),
+                        # ambient neighbor load at record time — pairs taken
+                        # under a loaded window are identifiable, not hidden
+                        "load": round(os.getloadavg()[0], 1),
                     }) + "\n")
             with open(hist_file) as f:
                 hist = sorted(json.loads(l)["eff"] for l in f if l.strip())

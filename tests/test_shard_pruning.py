@@ -82,3 +82,27 @@ def test_single_stage_path_matches_grouped_path(spark, tmp_path):
     for q, m in queries:
         slow = si.search_df(q, k=8, mode=m).toPandas()
         pd.testing.assert_frame_equal(fast[q], slow)
+
+
+def test_driver_path_pruned_lookup_identical(spark, tmp_path):
+    """The driver path (term_data → term_rows) restricts the postings
+    pyarrow scan to the union of the query terms' presence lists; the
+    fetched TermData must be complete (full per-term postings), so the
+    results — ids AND scores — match an unpruned twin exactly, and the
+    per-term cache stays valid across queries with different modes."""
+    idx = _build(spark, tmp_path)
+    si = SearchIndex(spark, idx)
+    si_full = SearchIndex(spark, idx)
+    si_full._query_shards = lambda *a, **k: None  # disable pruning
+    for q, m in [("rareterm", "and"), ("rareterm common", "and"),
+                 ("tok00 tok05", "or"), ("alpha", "or")]:
+        a = si.search(q, k=8, mode=m)
+        b = si_full.search(q, k=8, mode=m)
+        pd.testing.assert_frame_equal(a, b)
+    # cached TermData fetched under an AND query serves an OR query of
+    # the same term with full postings (the restriction is per-term
+    # coverage, not per-query intersection)
+    td = si.term_data(["rareterm"])[0]
+    assert td.df_global == 1
+    td_common = si.term_data(["common"])[0]
+    assert td_common.df_global == 120  # every turn

@@ -77,6 +77,7 @@ def query_bench(spark, index_dir: str, rounds: int = 3) -> dict:
     si.dl_of  # index-open warmup outside the timed region
     si._meta_lookup(np.array([0]))  # docs pyarrow dataset discovery
     si.term_rows(["__warmup__"])  # pyarrow dataset discovery (once per index)
+    si._term_info(["__warmup__"])  # term_stats dataset discovery (shard pruning)
     cold, warm = [], []
     for r in range(rounds):
         for q, mode in QUERY_SET:

@@ -236,24 +236,31 @@ class SearchIndex:
             return b * (1.0 + 1e-12)
         return np.asarray(row["block_max"], dtype=np.float64)
 
-    def term_rows(self, terms: list[str]) -> pd.DataFrame:
+    def term_rows(self, terms: list[str], shards: list[int] | None = None) -> pd.DataFrame:
         """Point-lookup the terms' postings rows. Serving path: direct
         pyarrow dataset scan (row-group pruning on the term-sorted
         files; ~0.3 s vs ~2.5 s through a Spark job whose 256-task
         scheduling dominates a point lookup). Falls back to the Spark
         scan if the index isn't on a local filesystem. The distributed
         path (search_df) keeps the Spark scan — there the 256 tasks ARE
-        the parallelism."""
+        the parallelism. `shards` restricts the scan to those hive
+        partitions (caller guarantees they cover every requested term's
+        full presence list — partial coverage would silently truncate
+        postings and corrupt the per-term cache)."""
         tbl = self._arrow_lookup(
             "postings", terms, ["term", "shard", "df", *self._block_cols, "postings"],
-            partitioning="hive",
+            partitioning="hive", shard_restrict=shards,
         )
         if tbl is not None:
             return tbl.to_pandas()
-        return self._postings_df.filter(F.col("term").isin(terms)).toPandas()
+        pdf = self._postings_df.filter(F.col("term").isin(terms))
+        if shards is not None:
+            pdf = pdf.filter(F.col("shard").isin(shards))
+        return pdf.toPandas()
 
     def _arrow_lookup(self, table: str, keys: list, columns: list[str],
-                      partitioning: str | None = None, key_field: str = "term"):
+                      partitioning: str | None = None, key_field: str = "term",
+                      shard_restrict: list | None = None):
         """Point lookup rows where key_field ∈ keys via cached pyarrow
         datasets; None ⇒ use the Spark fallback. The postings table is
         snapshot-versioned at partition granularity, so it may resolve
@@ -305,6 +312,10 @@ class SearchIndex:
             flt = self._ds_mod.field(key_field).isin(keys)
             if shards is not None:
                 flt = flt & self._ds_mod.field("shard").isin(shards)
+            if shard_restrict is not None:
+                # term-presence pruning (hive partition skip): only the
+                # fragments that can hold the requested terms are read
+                flt = flt & self._ds_mod.field("shard").isin(shard_restrict)
             tables.append(ds.to_table(filter=flt, columns=columns))
         if len(tables) == 1:
             return tables[0]
@@ -318,7 +329,27 @@ class SearchIndex:
         (Spark-scan fallback). The shard list exists only for terms in
         ≤ TERM_SHARDS_MAX shards (build-time contract); None means
         'assume everywhere' — which also covers legacy indexes whose
-        term_stats predate the column."""
+        term_stats predate the column. Results are cached per term
+        (term_stats is immutable for an open snapshot); absent terms
+        cache as df=0 so repeat misses don't re-scan."""
+        if not hasattr(self, "_tinfo_cache"):
+            self._tinfo_cache: dict[str, tuple[int, list | None]] = {}
+        missing = [t for t in terms if t not in self._tinfo_cache]
+        if missing:
+            fetched = self._term_info_uncached(missing)
+            if len(self._tinfo_cache) < 65536:
+                for t in missing:
+                    self._tinfo_cache[t] = fetched.get(t, (0, []))
+        else:
+            fetched = {}
+        out = {}
+        for t in terms:
+            d, sh = self._tinfo_cache.get(t) or fetched.get(t, (0, []))
+            if d > 0:
+                out[t] = (d, sh)
+        return out
+
+    def _term_info_uncached(self, terms: list[str]) -> dict[str, tuple[int, list | None]]:
         has_shards = "shards" in self._term_stats_df.columns
         cols = ["term", "df"] + (["shards"] if has_shards else [])
         tbl = self._arrow_lookup("term_stats", terms, cols)
@@ -421,7 +452,14 @@ class SearchIndex:
         return [by[t] for t in terms]
 
     def _term_data_uncached(self, terms: list[str]) -> list[TermData]:
-        pdf = self.term_rows(terms).sort_values(["term", "shard"])
+        # prune the postings lookup to the terms' own shard-presence
+        # union (mode-independent: each term's list covers ALL shards
+        # holding it, so the fetched postings — and the per-term cache —
+        # stay complete). A selective query reads a handful of hive
+        # partitions instead of all n_shards; one dense term (no list)
+        # disables pruning, and the full scan dominates anyway.
+        shards = self._query_shards(terms, self._term_info(terms), "or")
+        pdf = self.term_rows(terms, shards=shards).sort_values(["term", "shard"])
         groups = dict(tuple(pdf.groupby("term", sort=False)))
         out = []
         for t in terms:

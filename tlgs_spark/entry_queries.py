@@ -1981,11 +1981,15 @@ def _ivf_centroids(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     vec_ids = tbl["vec_id"].to_numpy()
     order = np.argsort(vec_ids)[:50_000]
-    x = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    emb = tbl["embedding"].to_pylist()  # one Arrow→Python conversion
+    x = np.asarray(emb, dtype=np.float64)[order]
     cents = np.round(
         ivf_fit_np(x, n_centroids=_IVF_N_CENTROIDS, iters=_IVF_ITERS, seed=42), 6
     )
-    q_row = np.asarray(tbl["embedding"].to_pylist()[int(np.nonzero(vec_ids == 0)[0][0])], dtype=np.float64)
+    q_idx = np.nonzero(vec_ids == 0)[0]
+    if q_idx.size == 0:
+        raise ValueError(f"no vec_id==0 query row in {sf_dir}/embeddings.parquet")
+    q_row = np.asarray(emb[int(q_idx[0])], dtype=np.float64)
     out = (cents, q_row)
     _IVF_CENT_CACHE[sf_dir] = out
     return out
@@ -2339,7 +2343,13 @@ def resolve_sql(spec_sql, sf_dir: str = DEFAULT_ORACLE_SF) -> str | None:
         return spec_sql
     try:
         return spec_sql(sf_dir)
-    except OSError:
+    except Exception as e:  # degrade THIS entry, never poison the dict
+        import warnings
+
+        warnings.warn(
+            f"oracle SQL generator failed ({e.__class__.__name__}: {e}); "
+            f"entry degrades to rows-only"
+        )
         return None
 
 
@@ -2348,8 +2358,14 @@ def queries_dict():
 
 
 def oracle_sql_dict(sf_dir: str = DEFAULT_ORACLE_SF):
-    return {
-        name: resolve_sql(spec["sql"], sf_dir)
-        for name, spec in QUERIES.items()
-        if spec["sql"] is not None
-    }
+    """Every value is a runnable SQL string — entries whose generator
+    degraded resolve to None and are DROPPED (rows-only), preserving
+    the pre-generator contract consumers rely on."""
+    out = {}
+    for name, spec in QUERIES.items():
+        if spec["sql"] is None:
+            continue
+        sql = resolve_sql(spec["sql"], sf_dir)
+        if sql is not None:
+            out[name] = sql
+    return out

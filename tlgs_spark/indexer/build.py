@@ -48,6 +48,7 @@ from ..tokenizer import (
     s_stem,
     stem_sql_case,
 )
+from ..utils import parse_byte_size
 from .codec import encode_varints
 from .storage import IndexStorage
 
@@ -463,7 +464,8 @@ def _build_shard_from_docs(
     return _build_shard(tok_pdf, shard_size)
 
 
-def _build_shard_table(table, shard_size: int, hygiene: bool):
+def _build_shard_table(table, shard_size: int, hygiene: bool,
+                       n_docs: int | None = None):
     """Arrow-native twin of ``_build_shard_from_docs`` — identical
     rows in identical order (pinned by test_build_vectorized), but the
     hot path never round-trips through pandas object columns:
@@ -486,6 +488,19 @@ def _build_shard_table(table, shard_size: int, hygiene: bool):
     doc_k, codes_k, su = _tokenize_batch_arrays(txt, hygiene)
     shard = int(doc_ids_np[0]) // shard_size
     base = shard * shard_size
+    if n_docs is not None:
+        # same loud contract as the stream kernel: doc_ids are dense, so
+        # a full-shard group holds exactly this many rows. Duplicate
+        # (conv_id, turn_idx) input keys multiply rows through the
+        # doc-id broadcast join and would otherwise silently double
+        # tf/dl here (the input contract requires unique keys).
+        expect = min(shard_size, n_docs - base)
+        if len(doc_ids_np) != expect:
+            raise RuntimeError(
+                f"shard {shard} group has {len(doc_ids_np)} docs, expected "
+                f"{expect} — duplicate (conv_id, turn_idx) keys in the input, "
+                f"or a corrupt docs table"
+            )
 
     def _pseudo(dl_lookup: np.ndarray) -> "pa.Table":
         return pa.table(
@@ -550,6 +565,15 @@ def _build_shard_table(table, shard_size: int, hygiene: bool):
     def _list_arr(vals: np.ndarray) -> "pa.Array":
         return pa.ListArray.from_arrays(list_offs, pa.array(vals, pa.int64()))
 
+    if byte_ends.size and int(byte_ends[-1]) >= (1 << 31):
+        # pa.binary() carries int32 offsets; a cast past 2^31 would wrap
+        # silently and write garbage blobs. A shard this large means the
+        # shard grid is mis-sized — fail loudly with the actionable knob.
+        raise ValueError(
+            f"shard {shard} postings buffer is {int(byte_ends[-1])} bytes "
+            f"(>= 2 GiB, the Arrow binary offset limit) — use a smaller "
+            f"shard_size / more shards"
+        )
     post_offs = np.concatenate(([0], byte_ends)).astype(np.int32)
     postings_arr = pa.Array.from_buffers(
         pa.binary(),
@@ -638,9 +662,16 @@ def _docs_layout_streamable(spark: SparkSession, st: IndexStorage) -> bool:
         return False
     try:
         limit_s = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        limit = int(str(limit_s).rstrip("b").rstrip("B") or 134217728)
     except Exception:
-        limit = 134217728
+        limit_s = None
+    # fail CLOSED on an unparseable split size ('64m' etc. is valid
+    # Spark syntax): assuming a default that overstates the real limit
+    # would pass a file the scan then splits — the kernel's count
+    # assert would catch it loudly, but the groupBy fallback is the
+    # graceful answer
+    limit = parse_byte_size(limit_s, default=-1)
+    if limit <= 0:
+        return False
     try:
         files = [
             e
@@ -929,6 +960,24 @@ def _build_index_impl(
     if claim_owner is not None:
         pending = [s for s in pending if _claim_shard(st, s, claim_owner)]
 
+    # Kill-window marker: this call is about to modify postings, so the
+    # committed finalize artifacts (term_stats/norms/collection_stats)
+    # are stale the moment the first batch lands. Rebuilding INTO an
+    # already-finalized index (resume=False / force_shards) and dying
+    # between the ledger append and finalize would otherwise leave a
+    # resume with built==0, every table present, and no signal that
+    # finalize must re-run — silently stale idf/norms. A -1 n_terms
+    # placeholder arms the finalize gate's self-heal for that window
+    # (fresh dirs don't need it: missing tables already trigger it).
+    if pending and st.exists("collection_stats"):
+        st.write(
+            spark.createDataFrame(
+                [(-1, -1, -1, -1, 0.0)],
+                "n_docs long, total_dl long, n_terms long, n_postings long, avgdl double",
+            ),
+            "collection_stats",
+        )
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs_r = st.read(spark, "docs")
     # Stream fast path: when the docs layout provably keeps every
@@ -958,10 +1007,13 @@ def _build_index_impl(
         # file census isn't available (non-local dir) fall back to the
         # no-pack pin — correct at any file count, never core-starved.
         _open_cost0 = spark.conf.get("spark.sql.files.openCostInBytes", None)
-        max_pb = int(
-            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-            .rstrip("bB")
-            or 134217728
+        # pure perf-sizing knob (packing estimate): an unparseable conf
+        # value falls back to Spark's documented default rather than
+        # crashing the build; the stream kernel's count assert guards
+        # correctness independently of this number
+        max_pb = parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+            default=134217728,
         )
         open_cost = max_pb  # no-pack fallback
         try:
@@ -1023,7 +1075,7 @@ def _build_index_impl(
                 )
                 .groupBy("shard")
                 .applyInArrow(
-                    lambda t: _build_shard_table(t, shard_size, hygiene),
+                    lambda t: _build_shard_table(t, shard_size, hygiene, n_docs_total),
                     schema=POSTINGS_SCHEMA,
                 )
             )
@@ -1165,6 +1217,35 @@ def _build_index_impl(
                 int(st.read(spark, "collection_stats").collect()[0].n_terms) < 0
             )
     if needs_finalize:
+        # Manifest reconcile for DIRECT builds into a previously
+        # incrementally-updated dir: the committed manifest may map
+        # shards to old version dirs, but this call (or a crashed
+        # predecessor whose ledger rows survived) rewrote them into the
+        # current version dir — without remapping, finalize and every
+        # reader keep resolving those shards to the superseded files
+        # (stale postings paired with the new docs table, silently).
+        # Remap exactly the shards that are provably complete in the
+        # current dir (built this call, or ledger-complete with a
+        # partition present); drop entries beyond the current grid.
+        # Runs BEFORE any postings read below, and before the ledger
+        # marks shards complete readers still see the old consistent
+        # snapshot. The incremental path (storage is not None) stages
+        # its own manifest — leave it alone.
+        if storage is None:
+            _man = st.read_postings_manifest()
+            if _man is not None:
+                _cur_base = st.table_dir("postings", st.postings_version())
+                _cur_rel = os.path.relpath(_cur_base, st.index_dir)
+                _complete = set(pending) | done
+                _fixed = {s: rel for s, rel in _man.items() if s < n_shards}
+                for s in range(n_shards):
+                    if s in _complete and os.path.isdir(
+                        os.path.join(_cur_base, f"shard={s}")
+                    ):
+                        _fixed[s] = f"{_cur_rel}/shard={s}"
+                if _fixed != _man:
+                    st.write_postings_manifest(_fixed)
+
         from .codec import decode_varints
 
         n_docs_total = int(meta["n_docs"])

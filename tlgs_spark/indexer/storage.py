@@ -198,13 +198,25 @@ class IndexStorage:
             if shards is None:
                 dfs.append(spark.read.parquet(base))
             else:
-                # a shard whose doc range produced zero postings has no
-                # partition dir at all — legitimately absent, skip it
-                paths = [
-                    p
-                    for s in shards
-                    if os.path.isdir(p := os.path.join(base, f"shard={s}"))
-                ]
+                # manifest-referenced shards MUST exist: manifests are
+                # format-2-era artifacts and every in-grid shard emits
+                # at least its norms pseudo row, so an absent dir means
+                # corruption (over-eager vacuum, manual deletion, a
+                # lost mount) — scanning around it would silently serve
+                # incomplete results and wrong global stats. On a
+                # non-local index dir the os-level check can't see the
+                # files; pass every path through and let Spark's own
+                # missing-path error be the loud failure.
+                paths = [os.path.join(base, f"shard={s}") for s in shards]
+                if os.path.isdir(self.index_dir):
+                    missing = [p for p in paths if not os.path.isdir(p)]
+                    if missing:
+                        raise FileNotFoundError(
+                            f"postings manifest references missing shard "
+                            f"partition(s): {missing[:5]}"
+                            f"{'...' if len(missing) > 5 else ''} "
+                            f"({len(missing)} of {len(shards)} under {base})"
+                        )
                 if paths:
                     dfs.append(spark.read.option("basePath", base).parquet(*paths))
         if not dfs:

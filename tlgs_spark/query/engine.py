@@ -39,6 +39,67 @@ from .scorer import TermData, _exact_scores, _topk_order, search_and, search_or
 from .snippet import make_snippet
 
 
+def block_bounds_arr(row, fmt: int, avgdl: float) -> np.ndarray:
+    """Per-block admissible tf_norm upper bound (float64) from a
+    postings row, under either format — THE single authority for the
+    bound (the driver path's method and every executor closure call
+    this one function, so the K1/B constants and the 1e-12 pad can
+    never fork between copies). Format 2 computes
+    tfn(max_tf, min_dl, avgdl) and pads it by 1e-12 relative: the same
+    monotone formula evaluated at the block's extremes dominates every
+    element up to float rounding, and the pad swallows that rounding
+    (WAND stays exact, pruning loss negligible)."""
+    if fmt >= 2:
+        t = np.asarray(row["block_tfmax"], dtype=np.float64)
+        d = np.asarray(row["block_dlmin"], dtype=np.float64)
+        if t.size == 0:
+            return t
+        b = t * (bm25.K1 + 1.0) / (
+            t + bm25.K1 * (1.0 - bm25.B + bm25.B * d / avgdl)
+        )
+        return b * (1.0 + 1e-12)
+    return np.asarray(row["block_max"], dtype=np.float64)
+
+
+def _stream_scorer(score_one, b_dl):
+    """mapInPandas kernel shared by search_df and exact_scores_df:
+    a scan task's rows cover only whole shards (one unsplit file each,
+    gated by _one_file_per_shard), so grouping by shard within the
+    task is exact. ``score_one(group_pdf, dl_global)`` does the
+    per-shard scoring."""
+
+    def score_stream(batches):
+        accs = list(batches)
+        if not accs:
+            return
+        allr = pd.concat(accs, ignore_index=True)
+        if not len(allr):
+            return
+        dl_global = b_dl.value
+        for _, g in allr.groupby("shard", sort=False):
+            yield score_one(g, dl_global)
+
+    return score_stream
+
+
+def _group_scorer(score_one, b_dl):
+    """groupBy(shard).applyInPandas twin of _stream_scorer: doc
+    lengths come from the broadcast when it fits, else from the
+    norms-join columns riding the group (per-shard dls blob)."""
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if b_dl is not None:
+            dl_global = b_dl.value
+        else:
+            base = int(pdf["base"].iloc[0])
+            dls_shard = decode_varints(bytes(pdf["dls"].iloc[0])).astype(np.int64)
+            dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
+            dl_global[base:] = dls_shard  # scorer indexes by global doc_id
+        return score_one(pdf, dl_global)
+
+    return score_shard
+
+
 class EmptyQueryError(ValueError):
     """Query has no text terms (filter-only queries are rejected, like
     the reference: doc_search.csp:28-29)."""
@@ -218,23 +279,7 @@ class SearchIndex:
         )
 
     def _block_bounds(self, row) -> np.ndarray:
-        """Per-block admissible tf_norm upper bound (float64) from a
-        postings row, under either format. Format 2 computes
-        tfn(max_tf, min_dl, avgdl) and pads it by 1e-12 relative — the
-        same monotone formula evaluated at the block's extremes
-        dominates every element up to float rounding, and the pad
-        swallows that rounding (WAND stays exact, pruning loss
-        negligible)."""
-        if self.postings_format >= 2:
-            t = np.asarray(row["block_tfmax"], dtype=np.float64)
-            d = np.asarray(row["block_dlmin"], dtype=np.float64)
-            if t.size == 0:
-                return t
-            b = t * (bm25.K1 + 1.0) / (
-                t + bm25.K1 * (1.0 - bm25.B + bm25.B * d / self.avgdl)
-            )
-            return b * (1.0 + 1e-12)
-        return np.asarray(row["block_max"], dtype=np.float64)
+        return block_bounds_arr(row, self.postings_format, self.avgdl)
 
     def term_rows(self, terms: list[str], shards: list[int] | None = None) -> pd.DataFrame:
         """Point-lookup the terms' postings rows. Serving path: direct
@@ -280,12 +325,31 @@ class SearchIndex:
 
                 self._ds_mod = ds_mod
                 if table == "postings":
+                    import os as _os
+
+                    srcs = self.st.postings_sources()
+                    for base, shards in srcs:
+                        if not _os.path.isdir(base):
+                            continue  # non-local dir: dataset() below decides
+                        missing = [
+                            s
+                            for s in (shards or [])
+                            if not _os.path.isdir(_os.path.join(base, f"shard={s}"))
+                        ]
+                        if missing:
+                            # same loud contract as read_postings: a
+                            # manifest-referenced shard with no dir is
+                            # corruption, not a legitimately empty shard
+                            raise FileNotFoundError(
+                                f"postings manifest references missing shard "
+                                f"partition(s) {missing[:5]} under {base}"
+                            )
                     self._arrow_cache[table] = [
                         (
                             ds_mod.dataset(base, format="parquet", partitioning=partitioning),
                             shards,
                         )
-                        for base, shards in self.st.postings_sources()
+                        for base, shards in srcs
                     ]
                 else:
                     self._arrow_cache[table] = [
@@ -296,6 +360,8 @@ class SearchIndex:
                             None,
                         )
                     ]
+            except FileNotFoundError:
+                raise  # manifest corruption — never degrade to a fallback scan
             except (ImportError, OSError, ValueError) as e:
                 import warnings
 
@@ -400,12 +466,19 @@ class SearchIndex:
         if not hasattr(self, "_ofps"):
             import os
 
+            from ..utils import parse_byte_size
+
             try:
-                split = int(self.spark.conf.get("spark.sql.files.maxPartitionBytes"))
+                split_s = self.spark.conf.get("spark.sql.files.maxPartitionBytes")
             except Exception:
-                split = 128 * 1024 * 1024
-            ok = True
-            for base, shards in self.st.postings_sources():
+                split_s = None
+            # fail CLOSED on an unparseable split size: guessing a
+            # default here could pass a file the scan actually splits,
+            # and a task holding half a shard scores wrong results —
+            # the grouped fallback is merely slower, never wrong
+            split = parse_byte_size(split_s, default=-1)
+            ok = split > 0
+            for base, shards in [] if not ok else self.st.postings_sources():
                 if not os.path.isdir(base):
                     continue
                 dirs = (
@@ -813,22 +886,10 @@ class SearchIndex:
                 "shard",
             )
 
-        # executor-side block-bound derivation: a plain closure over
-        # scalars only (capturing `self` would drag the SparkSession
-        # into the pickled function)
+        # executor-side block-bound derivation: block_bounds_arr is
+        # module-level and the closure captures scalars only (capturing
+        # `self` would drag the SparkSession into the pickled function)
         fmt = self.postings_format
-
-        def _bounds(r) -> np.ndarray:
-            if fmt >= 2:
-                t = np.asarray(r["block_tfmax"], dtype=np.float64)
-                d = np.asarray(r["block_dlmin"], dtype=np.float64)
-                if t.size == 0:
-                    return t
-                b = t * (bm25.K1 + 1.0) / (
-                    t + bm25.K1 * (1.0 - bm25.B + bm25.B * d / avgdl)
-                )
-                return b * (1.0 + 1e-12)
-            return np.asarray(r["block_max"], dtype=np.float64)
 
         def _score_one(pdf: pd.DataFrame, dl_global) -> pd.DataFrame:
             """Score ONE complete shard's postings rows."""
@@ -846,7 +907,7 @@ class SearchIndex:
                                         np.zeros(0, np.int64)))
                     continue
                 d, tf = decode_postings(bytes(r["postings"]), base=base)
-                bm = _bounds(r)
+                bm = block_bounds_arr(r, fmt, avgdl)
                 sizes = np.full(len(bm), 128, dtype=np.int64)
                 if len(bm):
                     sizes[-1] = len(d) - 128 * (len(bm) - 1)
@@ -855,37 +916,16 @@ class SearchIndex:
             ids, sc = fn(tds, dl_global, n_docs, avgdl, fetch_k)
             return pd.DataFrame({"doc_id": ids, "score": sc})
 
-        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            if b_dl is not None:
-                dl_global = b_dl.value
-            else:
-                base = int(pdf["base"].iloc[0])
-                dls_shard = decode_varints(bytes(pdf["dls"].iloc[0])).astype(np.int64)
-                dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
-                dl_global[base:] = dls_shard  # scorer indexes by global doc_id
-            return _score_one(pdf, dl_global)
-
         if use_dl_bc and self._one_file_per_shard:
-            # single-stage: score inside the scan. A scan task's rows
-            # cover only whole shards (one unsplit file each), so
-            # grouping by shard within the task is exact.
-            def score_stream(batches):
-                accs = list(batches)
-                if not accs:
-                    return
-                allr = pd.concat(accs, ignore_index=True)
-                if not len(allr):
-                    return
-                dl_global = b_dl.value
-                for _, g in allr.groupby("shard", sort=False):
-                    yield _score_one(g, dl_global)
-
+            # single-stage: score inside the scan (see _stream_scorer)
             local = posts.select(
                 "shard", "term", *self._block_cols, "postings"
-            ).mapInPandas(score_stream, schema="doc_id long, score double")
+            ).mapInPandas(
+                _stream_scorer(_score_one, b_dl), schema="doc_id long, score double"
+            )
         else:
             local = joined.groupBy("shard").applyInPandas(
-                score_shard, schema="doc_id long, score double"
+                _group_scorer(_score_one, b_dl), schema="doc_id long, score double"
             )
         if not filt.is_empty():
             meta_cols = self.st.read(self.spark, "docs").select(
@@ -969,30 +1009,9 @@ class SearchIndex:
             return pd.DataFrame({"doc_id": cand, "score": sc})
 
         if use_dl_bc and self._one_file_per_shard:
-            def score_stream(batches):
-                accs = list(batches)
-                if not accs:
-                    return
-                allr = pd.concat(accs, ignore_index=True)
-                if not len(allr):
-                    return
-                dl_global = b_dl.value
-                for _, g in allr.groupby("shard", sort=False):
-                    yield _score_one(g, dl_global)
-
             return posts.select("shard", "term", "postings").mapInPandas(
-                score_stream, schema="doc_id long, score double"
+                _stream_scorer(_score_one, b_dl), schema="doc_id long, score double"
             )
-
-        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            if b_dl is not None:
-                dl_global = b_dl.value
-            else:
-                base = int(pdf["base"].iloc[0])
-                dls_shard = decode_varints(bytes(pdf["dls"].iloc[0])).astype(np.int64)
-                dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
-                dl_global[base:] = dls_shard
-            return _score_one(pdf, dl_global)
 
         joined = posts if b_dl is not None else posts.select(
             "shard", "term", "postings"
@@ -1001,7 +1020,7 @@ class SearchIndex:
             "shard",
         )
         return joined.groupBy("shard").applyInPandas(
-            score_shard, schema="doc_id long, score double"
+            _group_scorer(_score_one, b_dl), schema="doc_id long, score double"
         )
 
     def search_df_fielded(

@@ -105,3 +105,33 @@ def parse_mime(meta: str) -> tuple[str, dict[str, str]]:
             k, _, v = p.partition("=")
             params[k.strip().lower()] = v.strip().strip('"')
     return mime, params
+
+
+# --- Spark conf byte-size strings -----------------------------------------
+
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def parse_byte_size(s, default=None):
+    """Spark byte-size conf value → bytes. Accepts the same grammar as
+    Spark's JavaUtils.byteStringAsBytes for the conf keys this engine
+    reads ('134217728', '128m', '64MB', '1g'; bare numbers are bytes).
+    Returns ``default`` when unparseable — each caller picks the SAFE
+    direction (a perf-sizing knob takes Spark's documented default; a
+    correctness gate fails closed and takes the slow path)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(s))
+    if not m:
+        return default
+    mult = _BYTE_SUFFIX.get(m.group(2).lower())
+    if mult is None:
+        return default
+    return int(m.group(1)) * mult

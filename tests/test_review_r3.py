@@ -119,8 +119,9 @@ def test_missing_manifest_shard_is_loud(spark, tmp_path):
     shutil.rmtree(victim)
     with pytest.raises(FileNotFoundError, match="manifest references missing"):
         st.read_postings(spark).count()
-    with pytest.raises(FileNotFoundError, match="manifest references missing"):
-        SearchIndex(spark, idx).term_rows(["alpha"])
+    # SearchIndex refuses the corrupt snapshot already at open
+    with pytest.raises(FileNotFoundError, match="missing shard"):
+        SearchIndex(spark, idx)
 
 
 def test_one_file_per_shard_conf_parsing(spark, tmp_path):
@@ -157,3 +158,77 @@ def test_duplicate_turn_keys_fail_loudly(spark, tmp_path):
     dup = dup.unionByName(dup.limit(3))  # 3 duplicated (conv_id, turn_idx)
     with pytest.raises(Exception, match="expected|duplicate"):
         build_index(spark, dup, str(tmp_path / "idx_dup"), n_shards=4)
+
+
+def test_stale_ledger_cleared_on_fresh_rebuild(spark, tmp_path):
+    """A resume=False rebuild killed mid-postings must NOT let the next
+    resume trust the PREVIOUS build's ledger rows: the old rows mark
+    every shard complete, so without clearing them the resume would
+    skip the rebuild and pair old-corpus postings with the new docs
+    table — permanently and silently (finalize would then clear the
+    placeholder over the mixed state)."""
+    idx = str(tmp_path / "idx_ledger")
+    build_index(spark, _corpus(spark, "genone"), idx, n_shards=4)
+    # fresh rebuild with NEW corpus, killed after one shard
+    build_index(
+        spark, _corpus(spark, "gentwo"), idx, n_shards=4,
+        resume=False, max_shards_to_build=1, shard_batch=1,
+    )
+    # the plain resume (what an operator retries with) must rebuild the
+    # remaining shards from the NEW corpus
+    build_index(spark, _corpus(spark, "gentwo"), idx, n_shards=4, resume=True)
+    si = SearchIndex(spark, idx)
+    assert len(si.search("gentwo", k=50)) == 48
+    assert len(si.search("genone", k=50)) == 0
+    stats = IndexStorage(idx).read(spark, "collection_stats").collect()[0]
+    assert int(stats.n_docs) == 48 and int(stats.n_terms) > 0
+
+
+def test_claim_mode_skips_shared_placeholder_write(spark, tmp_path):
+    """Concurrent claim-mode builders must not race overwrite jobs on
+    the shared collection_stats table: the kill-window placeholder is a
+    single-writer artifact (direct builds only)."""
+    idx = str(tmp_path / "idx_claim")
+    build_index(spark, _corpus(spark, "claimcheck"), idx, n_shards=4)
+    before = IndexStorage(idx).read(spark, "collection_stats").collect()[0]
+    build_index(
+        spark, _corpus(spark, "claimcheck"), idx, n_shards=4,
+        claim_owner="b1", force_shards={0},
+    )
+    after = IndexStorage(idx).read(spark, "collection_stats").collect()[0]
+    # same corpus, so the stats must still be the valid originals —
+    # neither a -1 placeholder nor a torn overwrite
+    assert int(after.n_terms) == int(before.n_terms) > 0
+
+
+def test_open_incomplete_fresh_index_is_loud(spark, tmp_path):
+    """No-manifest (fresh) format-2 indexes have one partition dir per
+    in-grid shard by construction; opening a snapshot with one missing
+    must raise, not silently serve partial results."""
+    idx = str(tmp_path / "idx_fresh_loud")
+    build_index(spark, _corpus(spark, "freshloud"), idx, n_shards=4)
+    st = IndexStorage(idx)
+    victims = [d for d in os.listdir(st.path("postings")) if d.startswith("shard=")]
+    shutil.rmtree(os.path.join(st.path("postings"), sorted(victims)[-1]))
+    with pytest.raises(FileNotFoundError, match="missing shard"):
+        SearchIndex(spark, idx)
+
+
+def test_resolve_sql_degrades_fixture_errors_only():
+    from tlgs_spark.entry_queries import resolve_sql
+
+    def missing_fixture(sf):
+        raise FileNotFoundError(sf)
+
+    def bad_fixture(sf):
+        raise ValueError("no vec_id==0 row")
+
+    def real_bug(sf):
+        raise TypeError("broken generator")
+
+    with pytest.warns(UserWarning):
+        assert resolve_sql(missing_fixture, "/nope") is None
+    with pytest.warns(UserWarning):
+        assert resolve_sql(bad_fixture, "/nope") is None
+    with pytest.raises(TypeError):
+        resolve_sql(real_bug, "/nope")

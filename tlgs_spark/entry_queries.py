@@ -1068,6 +1068,41 @@ def union_with_priority(spark, sf_dir):
     )
 
 
+def _title_stats(spark: SparkSession, sf_dir: str, n_docs: int) -> dict:
+    """Title-field stats: ONE persisted (doc_id, term, tf) frame over
+    the first-5-token 'title' field, materialized by a single job that
+    also collects the field's total length (avgdl = total/n_docs; the
+    field shares the documents grid so n_docs comes from _token_stats).
+    Per-doc dl and per-term df re-derive from the cached frame — docs
+    with no title tokens have dl 0 and can never appear on the matched
+    side, so the full-docs left join the oracle writes is value-equal.
+    Before this cache the title side was re-derived lazily per call and
+    Catalyst re-ran the tokenize subtree for every join branch; the
+    REAL persisted-field answer remains build_field_index /
+    search_fielded, which serves this from a second inverted index."""
+    key = (id(spark), sf_dir, "title")
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = _docs(spark, sf_dir)
+    t_raw = docs.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)),
+                1,
+                5,
+            )
+        ).alias("term"),
+    ).filter((F.length("term") <= 64) & (~F.col("term").isin(_STOP)))
+    t_toks = t_raw.select("doc_id", F.expr(stem_sql_case("term")).alias("term"))
+    t_tf = t_toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    total_dl = int(t_tf.agg(F.sum("tf")).collect()[0][0] or 0)
+    out = {"tf": t_tf, "avgdl": float(total_dl) / n_docs}
+    _CORPUS_CACHE[key] = out
+    return out
+
+
 _TITLE_EXPR_SQL = "array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:5], ' ')"
 
 
@@ -1134,15 +1169,10 @@ def bm25f_title_weighted(spark, sf_dir):
     + ts_rank_cd(body), search.cpp:438-442). 'Title' = first 5 tokens
     (the transcript analog of the page heading).
 
-    The body field reuses the session-persisted _token_stats; the title
-    side is ONE fully-lazy JVM plan — explode/stem/aggregate with the
-    field's n_docs/avgdl carried as broadcast COLUMNS (the SQL oracle's
-    t_s CTE rendered as a crossJoin), so the whole entry is a single
-    Spark action with no driver round-trip. (r1/r2 flagged the per-call
-    title re-tokenize; at bench scale the fix is fewer actions, not
-    caching — the REAL persisted-field answer is build_field_index /
-    search_fielded, which serves the same scoring from a second
-    inverted index.)"""
+    Both fields serve from session-persisted token stats (_token_stats /
+    _title_stats) — the per-call plan is two broadcast-join scoring
+    passes over in-memory frames plus one left join, the way the real
+    engine serves field stats from its indexes."""
     terms = ["spark", "window"]
     st = _token_stats(spark, sf_dir)
 
@@ -1163,40 +1193,20 @@ def bm25f_title_weighted(spark, sf_dir):
         .filter(F.col("nm") == len(terms))
     )
 
-    # ---- title: lazy JVM tokenize (explode → stem → filter), stats as
-    # broadcast columns — mirrors the oracle's t_* CTE chain exactly --
-    docs = st["docs"]
-    t_raw = docs.select(
-        "doc_id",
-        F.explode(
-            F.slice(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)),
-                1,
-                5,
-            )
-        ).alias("term"),
-    ).filter((F.length("term") <= 64) & (~F.col("term").isin(_STOP)))
-    t_toks = t_raw.select("doc_id", F.expr(stem_sql_case("term")).alias("term"))
-    t_tf = t_toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    t_dl = (
-        docs.select("doc_id")
-        .join(t_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")), "doc_id", "left")
-        .fillna(0, subset=["dl"])
-    )
-    t_stats = t_dl.agg(
-        F.count("*").alias("t_n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("t_avgdl"),
-    )
-    t_dft = t_tf.groupBy("term").agg(F.count("*").alias("df"))
+    # ---- title: session-persisted field stats (see _title_stats) ----
+    ts = _title_stats(spark, sf_dir, st["n_docs"])
+    t_dl = ts["tf"].groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    t_dft = ts["tf"].groupBy("term").agg(F.count("*").alias("df"))
     t_m = (
-        t_tf.filter(F.col("term").isin(terms))
+        ts["tf"].filter(F.col("term").isin(terms))
         .join(F.broadcast(t_dft.filter(F.col("term").isin(terms))), "term")
         .join(t_dl, "doc_id")
-        .crossJoin(F.broadcast(t_stats))
     )
-    t_idf = F.log(F.lit(1.0) + (F.col("t_n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    t_idf = F.log(
+        F.lit(1.0) + (F.lit(st["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
     t_tfn = F.col("tf") * 2.2 / (
-        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("t_avgdl"))
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(ts["avgdl"]))
     )
     title = (
         t_m.withColumn("contrib", t_idf * t_tfn)
@@ -2343,7 +2353,13 @@ def resolve_sql(spec_sql, sf_dir: str = DEFAULT_ORACLE_SF) -> str | None:
         return spec_sql
     try:
         return spec_sql(sf_dir)
-    except Exception as e:  # degrade THIS entry, never poison the dict
+    except (OSError, ValueError) as e:
+        # fixture-shaped failures only (absent sf_dir, corrupt parquet —
+        # pyarrow's ArrowInvalid subclasses ValueError — or a fixture
+        # missing its query row): degrade THIS entry to rows-only.
+        # Genuine programming errors (TypeError, KeyError, ...) must
+        # propagate — swallowing them would silently shrink the oracle
+        # coverage the correctness gate rests on.
         import warnings
 
         warnings.warn(

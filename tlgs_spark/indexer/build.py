@@ -949,6 +949,27 @@ def _build_index_impl(
     shard_size = meta["shard_size"]
 
     # -- phase 2: postings, shard-batched + resumable --
+    if not resume:
+        # Discard the PREVIOUS build's checkpoint ledger before the
+        # first postings write: its rows mark every shard complete, so
+        # if this fresh rebuild dies mid-postings, the operator's plain
+        # resume retry would otherwise trust them, skip the rebuild,
+        # and pair old-corpus postings with the new docs table — then
+        # finalize (armed by the placeholder below) would 'heal' stats
+        # over the mixed state and clear the evidence. The rename makes
+        # the discard atomic (a kill mid-delete can't leave a partial
+        # row set behind).
+        led_dir = st.path("ledger")
+        if claim_owner is None and os.path.isdir(led_dir):
+            import shutil as _shutil
+
+            tomb = f"{led_dir}__discarded_{os.getpid()}_{int(time.time() * 1000)}"
+            try:
+                os.rename(led_dir, tomb)
+            except FileNotFoundError:
+                pass  # lost a (misconfigured) concurrent race; rows are gone
+            else:
+                _shutil.rmtree(tomb, ignore_errors=True)
     done = st.completed_shards(spark) if resume else set()
     if force_shards:
         done -= set(force_shards)
@@ -969,7 +990,10 @@ def _build_index_impl(
     # finalize must re-run — silently stale idf/norms. A -1 n_terms
     # placeholder arms the finalize gate's self-heal for that window
     # (fresh dirs don't need it: missing tables already trigger it).
-    if pending and st.exists("collection_stats"):
+    # Single-writer artifact: claim-mode builders would race N Spark
+    # overwrite jobs on one shared path — they defer ALL shared-table
+    # writes to the final non-claim pass by design, so skip it there.
+    if pending and claim_owner is None and st.exists("collection_stats"):
         st.write(
             spark.createDataFrame(
                 [(-1, -1, -1, -1, 0.0)],

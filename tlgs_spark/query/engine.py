@@ -130,6 +130,30 @@ class SearchIndex:
         # bound tfn(max_tf, min_dl, avgdl) is computed here at query
         # time (admissible: tfn is increasing in tf, decreasing in dl)
         self.postings_format = int(self.meta.get("postings_format", 1))
+        # Snapshot completeness check (local dirs): a format-2 build
+        # emits one partition dir per in-grid shard (every shard holds
+        # at least its norms pseudo row), so an absent dir — manifest
+        # reference or plain dir scan alike — means corruption
+        # (over-eager cleanup, lost mount, a build opened mid-write).
+        # Fail loudly at open rather than silently serving partial
+        # results with wrong global stats.
+        if self.postings_format >= 2:
+            import os as _os
+
+            if _os.path.isdir(index_dir):
+                n_shards = int(self.meta["n_shards"])
+                missing = [
+                    _os.path.join(base, f"shard={s}")
+                    for base, shards in self.st.postings_sources()
+                    for s in (shards if shards is not None else range(n_shards))
+                    if not _os.path.isdir(_os.path.join(base, f"shard={s}"))
+                ]
+                if missing:
+                    raise FileNotFoundError(
+                        f"index snapshot is missing shard partition(s): "
+                        f"{missing[:5]}{'...' if len(missing) > 5 else ''} "
+                        f"({len(missing)} missing)"
+                    )
         self._dl: np.ndarray | None = None
         self._meta_cache: dict[int, tuple] = {}
         self._first_convs_cache: dict[str, frozenset] = {}
@@ -492,7 +516,8 @@ class SearchIndex:
                 )
                 for d in dirs:
                     if not os.path.isdir(d):
-                        continue  # zero-posting shard: no partition dir
+                        continue  # legacy format-1 zero-posting shard
+                        # (format-2 absences raise at __init__)
                     try:
                         files = [
                             e

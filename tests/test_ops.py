@@ -382,3 +382,27 @@ def test_embedding_lsh_pairs_unlabeled(spark):
     got = {(r.id_a, r.id_b): r.cos for r in embedding_lsh_pairs(df, planes, 0.95).collect()}
     assert got.get((0, 1)) == 1.0
     assert all(p == (0, 1) for p in got)
+
+
+def test_cosine_topk_excludes_zero_vectors(spark):
+    """0/0 cosine is NaN, and Spark sorts NaN above every real double —
+    a zero-norm embedding (failed/padded embed) must not rank first."""
+    from tlgs_spark.ops.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = cosine_topk(df, [1.0, 0.0], k=4, exclude_id=0).collect()
+    ids = [r.vec_id for r in top]
+    assert 2 not in ids and ids[0] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero-norm query"):
+        cosine_topk(df, [0.0, 0.0], k=2)
+
+
+def test_simhash_pairs_band_guard(docs_df):
+    from tlgs_spark.ops.dedup import simhash_hamming_pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide 16"):
+        simhash_hamming_pairs(docs_df, n_bands=3)

@@ -211,3 +211,42 @@ def test_blacklist_column_matches_python(spark):
     }
     for u in urls:
         assert got[u] is in_blacklist(u), u
+
+
+def test_reference_quirks_pinned():
+    """Two deliberate reference-parity quirks (tlgs uses the same
+    greedy line regex and the same len+1 boundary — see
+    robots_txt_parser.cpp:17,75). These pins document that we ship the
+    reference's behavior, not an 'improved' divergence."""
+    from tlgs_spark.ops.robots import parse_robots_txt, wildcard_path_match
+
+    # greedy key group: a ':' in the value mis-keys and DROPS the rule
+    assert parse_robots_txt("User-agent: *\nDisallow: /a:b/c\n", {"*"}) == []
+    # len+1 boundary: the one-char child of a slash-terminated pattern
+    # escapes; the two-char child is blocked
+    assert not wildcard_path_match("/priv/", "/priv/a")
+    assert wildcard_path_match("/priv/", "/priv/ab")
+    assert wildcard_path_match("/priv/", "/priv/")
+    assert not wildcard_path_match("/priv/", "/priv")  # parent itself: no exact/+'/' arm matches
+
+
+def test_commits_rule_first_occurrence(spark):
+    """blacklist.cpp:341-346 matches the commit regex from the FIRST
+    'commits/' occurrence only; the column rendering must agree with
+    the Python predicate on URLs where a LATER occurrence matches."""
+    from pyspark.sql import functions as F
+
+    from tlgs_spark.ops.blacklist import blacklist_column, in_blacklist
+
+    urls = [
+        "gemini://h/commits/!/commits/abc1/f",  # first occ fails -> allowed
+        "gemini://h/commits/abc1/diff",         # first occ matches -> blocked
+        "gemini://h/plain/page",
+    ]
+    py = [in_blacklist(u) for u in urls]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    col = [
+        r.b for r in df.select(blacklist_column(F.col("url")).alias("b"))
+        .collect()
+    ]
+    assert py == col == [False, True, False]

@@ -153,3 +153,15 @@ def test_admission_control(search_index):
         search_index._in_flight = 0
     # and it works again afterwards
     assert len(search_index.search("tok0000", k=5)) > 0
+
+
+def test_unlabeled_code_block_kept():
+    """Reference parity (gemini_parser.cpp:43-66): concise extraction
+    keeps preformatted blocks with EMPTY meta — only art-keyword metas
+    drop. Unlabeled ``` code blocks are the common case."""
+    from tlgs_spark.ops.gemtext import parse_gemtext
+
+    doc = parse_gemtext("before\n```\ndef f(): pass\n```\nafter\n", concise=True)
+    assert "def f(): pass" in doc.text
+    doc2 = parse_gemtext("a\n```ascii art\nXX\n```\nb\n", concise=True)
+    assert "XX" not in doc2.text

@@ -690,6 +690,7 @@ SELECT vec_id,
                 * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
 FROM embeddings e CROSS JOIN q
 WHERE e.vec_id <> 0
+  AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
 ORDER BY cos DESC, vec_id LIMIT 10
 """.strip(),
 )
@@ -1275,7 +1276,8 @@ SELECT doc_id,
              list_filter(string_split(path, '/'), x -> x <> ''),
              x -> len(list_filter(list_filter(string_split(path, '/'), z -> z <> ''), y -> y = x))
            )) >= 3
-        OR regexp_matches('gemini://' || host || path, 'commits/[a-z0-9A-Z]+[/.]')
+        OR regexp_matches(regexp_extract('gemini://' || host || path, 'commits/.*'),
+                          '^commits/[a-z0-9A-Z]+[/.]')
        ) AS blocked
 FROM synth
 """.strip(),
@@ -1428,7 +1430,7 @@ xform AS MATERIALIZED (
   SELECT c.doc_id, c.ln,
     CASE
       WHEN c.nb % 2 = 1 THEN
-        CASE WHEN t.meta = '' OR regexp_matches(lower(t.meta),
+        CASE WHEN regexp_matches(lower(t.meta),
                   'ascii|art|banner|logo|figlet|diagram')
              THEN NULL ELSE c.line END
       WHEN {_X_LINK_TEST} THEN
@@ -2039,6 +2041,7 @@ SELECT a.vec_id,
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qq.qv, qq.qv))), 4) AS cos
 FROM assigned a CROSS JOIN qq
 WHERE a.cid IN ({probes}) AND a.vec_id <> 0
+  AND list_dot_product(a.v, a.v) > 0
 ORDER BY cos DESC, vec_id LIMIT 10
 """.strip()
 
@@ -2241,9 +2244,10 @@ def _snippet_sql() -> str:
     """DuckDB mirror of query.snippet.make_snippet under the frozen
     spec: sanitize (newline/tab/backtick → space, leading gemtext
     markers stripped, runs collapsed, strip), single-space word split,
-    [a-z0-9]-normalized match, first-hit 23–37 word window with left
-    padding, [word] highlighting."""
-    terms_in = "(" + ", ".join(f"'{t}'" for t in _SNIPPET_TERMS) + ")"
+    [a-z0-9]-normalized + S-STEMMED match (ts_headline goes through
+    the same stemmer as retrieval), first-hit 23–37 word window with
+    left padding, [word] highlighting."""
+    terms_in = "(" + ", ".join(f"'{s_stem(t)}'" for t in _SNIPPET_TERMS) + ")"
     sanitize = (
         "trim(regexp_replace(regexp_replace(regexp_replace(substr(text, 1, 5000), "
         r"'[\n\t`]+', ' ', 'g'), "
@@ -2258,7 +2262,9 @@ WITH heads AS (
 ),
 w AS (
   SELECT doc_id, ws, len(ws) AS n,
-         list_transform(ws, x -> regexp_replace(lower(x), '[^a-z0-9]+', '', 'g')) AS nw
+         list_transform(
+           list_transform(ws, x -> regexp_replace(lower(x), '[^a-z0-9]+', '', 'g')),
+           x -> """ + stem_sql_case("x") + """) AS nw
   FROM (SELECT doc_id, string_split(head, ' ') AS ws FROM heads)
 ),
 pos AS (

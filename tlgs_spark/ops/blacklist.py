@@ -162,7 +162,13 @@ def blacklist_column(url_col: Column, domains: list[str] | None = None) -> Colum
         | url_col.contains("gopher:/:/")
         | url_col.contains("rfc-mirror")
         | repeated
-        | url_col.rlike("commits/[a-z0-9A-Z]+[/.]")
+        # first-occurrence anchoring, like the Python twin and the
+        # reference (blacklist.cpp:341-346 matches from url.find): an
+        # unanchored rlike would block when a LATER 'commits/' matches
+        # even though the first one doesn't
+        | F.regexp_extract(url_col, "commits/.*", 0).rlike(
+            "^commits/[a-z0-9A-Z]+[/.]"
+        )
     )
     for s in _WEBRING_SUFFIXES:
         cond = cond | path.endswith(s)

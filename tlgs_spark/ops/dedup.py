@@ -273,6 +273,10 @@ def simhash_hamming_pairs(
     """
     from .textstats import simhash64
 
+    if 16 % n_bands != 0:
+        # a non-divisor silently leaves trailing hex chars outside every
+        # band and voids the pigeonhole full-recall guarantee
+        raise ValueError(f"n_bands must divide 16 (got {n_bands})")
     chars = 16 // n_bands
     sig = simhash64(df.select(id_col, text_col), text_col=text_col).select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sig")
@@ -413,8 +417,10 @@ def merge_url_duplicates(
     group; same_host/same_path/norm_eq or kept-is-archive-of-new →
     keep-best replacement; new-is-archive-of-kept → new is dropped
     without a score comparison (anti-takeover: the mirror can never
-    displace the original). Zero-size docs always survive (they never
-    enter the hash map).
+    displace the original). Zero-size docs are always KEPT themselves
+    (inserted without any comparison, search.cpp:577-580) but they DO
+    enter the hash map and can absorb/be-replaced-by later same-hash
+    nodes like any stored entry — the reference emplaces them.
 
     Runs per content-hash group via applyInPandas — the sequential
     loop touches only one bounded group at a time, so the operator

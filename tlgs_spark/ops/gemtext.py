@@ -45,7 +45,13 @@ def parse_gemtext(body: str, concise: bool = True) -> GeminiDocument:
         if raw.startswith("```"):
             if not in_pre:
                 meta = raw[3:].strip()
-                pre_drop = concise and (meta == "" or bool(_ART_META_RE.search(meta)))
+                # drop only art-keyword metas: the reference KEEPS
+                # unlabeled code blocks (gemini_parser.cpp:43-66 skips
+                # a preformat only when first-content, meta keywords,
+                # or isAsciiArt(text) — our frozen spec keeps the
+                # meta-keyword arm here and handles ASCII-art text in
+                # the corpus-hygiene pass)
+                pre_drop = concise and bool(_ART_META_RE.search(meta))
             in_pre = not in_pre
             continue
         if in_pre:

@@ -30,6 +30,11 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# GREEDY key group — deliberate reference parity: tlgs uses the same
+# regex (robots_txt_parser.cpp:17), so a value containing ':' (e.g.
+# "Disallow: /a:b/c") mis-keys and drops the line THERE TOO. Pinned by
+# test_robots_blacklist.py; a "fix" here would diverge from the
+# reference's crawl behavior.
 _LINE_RE = re.compile(r"[ \t]*(.*):[ \t]*(.*)")
 
 
@@ -88,6 +93,11 @@ def wildcard_path_match(pattern: str, path: str) -> bool:
         return False
     star_count = pattern.count("*")
     if star_count == 0:
+        # len+1 boundary is deliberate reference parity
+        # (robots_txt_parser.cpp:75 `str.size() > pattern.size()+1`):
+        # for a slash-terminated pattern "/priv/", the child "/priv/a"
+        # (exactly one char longer) escapes the rule THERE TOO. Pinned
+        # by test_robots_blacklist.py.
         return (
             path == pattern
             or path == pattern + "/"

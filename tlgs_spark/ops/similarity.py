@@ -41,9 +41,15 @@ def cosine_topk(
     → (vec_id, cos) ordered by (cos desc, vec_id). All JVM-side."""
     q = [float(x) for x in query_vec]
     qn = float(np.sqrt(np.dot(q, q)))
+    if qn == 0.0:
+        raise ValueError("cosine_topk: zero-norm query vector")
     qcol = F.array(*[F.lit(x) for x in q])
     v = _as_double(F.col(vec_col))
-    out = emb.select(
+    # zero-norm rows (failed/padded embeds) divide 0/0 → NaN, and Spark
+    # orders NaN ABOVE every real double — they would rank first in the
+    # top-k. Exclude them (cosine is undefined there); the oracle SQL
+    # carries the same norm>0 predicate.
+    out = emb.filter(_norm(_as_double(F.col(vec_col))) > 0).select(
         F.col(id_col).alias("vec_id"),
         F.round(_dot(v, qcol) / (_norm(v) * F.lit(qn)), 4).alias("cos"),
     )

@@ -105,23 +105,28 @@ def parse_search_query(query: str) -> tuple[str, SearchFilter]:
                     continue
         kinds.append(("text", "", tok))
 
-    # pass 2: bind NOT to following filter; build text + filters
+    # pass 2: bind NOT to following filter; build text + filters.
+    # `pending_not` carries the ORIGINAL logical token ("NOT"/"not") so
+    # an unbound NOT re-emits with the user's own casing (retrieval is
+    # case-insensitive; the returned text_query string should not
+    # misrepresent the query).
     text_terms: list[str] = []
     filt = SearchFilter()
-    negate = False
+    pending_not: str | None = None
     for kind, key, val in kinds:
         if kind == "logical":
-            if negate:
-                text_terms.append(val)  # double NOT: first becomes text
-            negate = True
+            if pending_not is not None:
+                text_terms.append(pending_not)  # double NOT: first becomes text
+            pending_not = val
             continue
         if kind == "text":
-            if negate:
-                text_terms.append("NOT" if val != "not" else "not")
-                negate = False
+            if pending_not is not None:
+                text_terms.append(pending_not)
+                pending_not = None
             text_terms.append(val)
             continue
         # filter token
+        negate = pending_not is not None
         if key == "size":
             op, v = parse_size_value(val)  # validated in pass 1
             filt.size.append((op, v, negate))
@@ -131,9 +136,9 @@ def parse_search_query(query: str) -> tuple[str, SearchFilter]:
                 text_terms.append(val)  # intitle terms rejoin the text query
         else:
             getattr(filt, key).append((val, negate))
-        negate = False
-    if negate:
-        text_terms.append("NOT")
+        pending_not = None
+    if pending_not is not None:
+        text_terms.append(pending_not)
     return " ".join(text_terms), filt
 
 

@@ -5,7 +5,11 @@ the body with MinWords=23, MaxWords=37, MaxFragments=1
 (search.cpp:773-779 — "MUCH faster ... without loosing accuracy"), and
 sanitized of newlines/backticks/leading gemtext markers
 (search.cpp:62-70). Frozen spec here: whitespace words; a word matches
-if its lowercased [a-z0-9]-normalized form is a query term; the single
+if the S-STEM of its lowercased [a-z0-9]-normalized form equals the
+s-stem of a query term (the engine passes tokenize_query output, which
+is already stemmed — ts_headline matches through the same stemmer as
+retrieval, so "cats" must highlight for the query term "cat"; s_stem
+is idempotent, so surface-form term lists work too); the single
 fragment starts at the first matching word and extends up to MaxWords,
 padding left to reach MinWords; matches are wrapped in ``[ ]``.
 """
@@ -13,6 +17,8 @@ padding left to reach MinWords; matches are wrapped in ``[ ]``.
 from __future__ import annotations
 
 import re
+
+from ..tokenizer import s_stem
 
 HEAD_CHARS = 5000
 MIN_WORDS = 23
@@ -34,8 +40,8 @@ def make_snippet(text: str, terms: list[str]) -> str:
         return ""
     head = sanitize(text[:HEAD_CHARS])
     words = head.split(" ")
-    tset = {t.lower() for t in terms}
-    norm = [_NORM_RE.sub("", w.lower()) for w in words]
+    tset = {s_stem(t.lower()) for t in terms}
+    norm = [s_stem(_NORM_RE.sub("", w.lower())) for w in words]
     hits = [i for i, w in enumerate(norm) if w in tset]
     if hits:
         start = hits[0]

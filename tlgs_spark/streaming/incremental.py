@@ -103,8 +103,19 @@ def incremental_update(
     """
     st_old = IndexStorage(index_dir)
     meta = st_old.read_meta()
-    if n_shards is None:
-        n_shards = meta["n_shards"]
+    if n_shards is not None and n_shards != meta["n_shards"]:
+        # the shard GRID is pinned by the committed index: shard_size is
+        # carried forward so interior shards stay reusable (growth
+        # appends trailing shards). The parameter used to be accepted
+        # and silently dropped — say so instead; a true re-grid needs
+        # build_index(..., n_shards=..., resume=False).
+        import warnings
+
+        warnings.warn(
+            f"incremental_update: shard grid is pinned by the committed "
+            f"index (shard_size={meta['shard_size']}); requested "
+            f"n_shards={n_shards} has no effect"
+        )
     if hygiene is None:
         hygiene = meta.get("hygiene", False)
     old_n_shards = meta["n_shards"]

@@ -65,6 +65,10 @@ def build_worker(cores: int, corpus_path: str, index_dir: str, n_shards: int) ->
         "n_docs": m["n_docs"],
         "build_s": round(elapsed, 3),
         "turns_per_sec": round(m["n_docs"] / elapsed, 1),
+        # per-phase wall seconds from the builder's own probes — makes the
+        # fixed (corpus-size-independent) driver-side cost visible so the
+        # Amdahl fraction behind any scaling ratio can be audited
+        "phases": m.get("phases", {}),
     }
 
 

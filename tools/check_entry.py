@@ -40,7 +40,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    from tlgs_spark.entry_queries import QUERIES
+    from tlgs_spark.entry_queries import QUERIES, resolve_sql
     from tlgs_spark.session import get_spark
 
     spark = get_spark(app_name="check_entry", cores=8)
@@ -62,12 +62,16 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
-        if spec["sql"] is None:
+        # spec["sql"] may be a GENERATOR (data-derived literals, e.g.
+        # fitted IVF centroids) — resolve it against this sf_dir the
+        # same way __spark_entry__.oracle_sql() does for the driver
+        sql = resolve_sql(spec["sql"], sf_dir)
+        if sql is None:
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows")
             n_nosql += 1
             continue
         try:
-            rel = con.sql(spec["sql"])
+            rel = con.sql(sql)
             d_cols = [c.lower() for c in rel.columns]
             d_rows = rel.fetchall()
         except Exception as e:

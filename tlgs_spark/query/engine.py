@@ -572,25 +572,29 @@ class SearchIndex:
             bases = g["shard"].to_numpy(dtype=np.int64) * self.shard_size
             blobs = [bytes(b) for b in g["postings"]]
             doc_ids, tfs = decode_postings_batch(blobs, dfs, bases)
-            bm_l, bsz_l = [], []
-            for df_s, (_, row) in zip(dfs, g.iterrows()):
-                bm = self._block_bounds(row)
-                bm_l.append(bm)
-                nb = len(bm)
-                sizes = np.full(nb, 128, dtype=np.int64)
-                if nb:
-                    sizes[-1] = int(df_s) - 128 * (nb - 1)
-                bsz_l.append(sizes)
-            out.append(
-                TermData(
-                    t,
-                    int(dfs.sum()),
-                    doc_ids,
-                    tfs,
-                    np.concatenate(bm_l) if bm_l else np.zeros(0, np.float64),
-                    np.concatenate(bsz_l) if bsz_l else np.zeros(0, np.int64),
-                )
-            )
+            # block bounds: concatenate the per-segment block columns
+            # and evaluate the (elementwise) bound formula ONCE per
+            # term — a hot term spans hundreds of shard segments and
+            # the old per-row iterrows() pass cost ~0.2 s of a 1.3 s
+            # cold query in pandas Series construction alone
+            cols = {
+                c: [np.asarray(x, dtype=np.float64) for x in g[c].to_numpy()]
+                for c in self._block_cols
+            }
+            first = cols[self._block_cols[0]]
+            nbs = np.array([len(x) for x in first], dtype=np.int64)
+            cat_row = {
+                c: (np.concatenate(v) if v else np.zeros(0, np.float64))
+                for c, v in cols.items()
+            }
+            bm_all = self._block_bounds(cat_row)
+            # per-block posting counts: 128 everywhere except each
+            # segment's last block, which holds the remainder
+            sizes = np.full(int(nbs.sum()), 128, dtype=np.int64)
+            nz = nbs > 0
+            last_idx = np.cumsum(nbs) - 1
+            sizes[last_idx[nz]] = dfs[nz] - 128 * (nbs[nz] - 1)
+            out.append(TermData(t, int(dfs.sum()), doc_ids, tfs, bm_all, sizes))
         return out
 
     # ---------------- search (driver path) ----------------

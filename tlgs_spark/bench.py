@@ -105,6 +105,22 @@ def _warm_cluster(spark, cores: int, index_dir: str) -> None:
                 spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
             else:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode0)
+        # one TINY end-to-end build (100 convs, 8 shards): the real
+        # kernels import their module graph inside each Python worker
+        # and the real plan shapes compile codegen the synthetic
+        # frames above don't reach — measured ~5-14 s of
+        # corpus-size-invariant first-build cost without this
+        from tlgs_spark.corpus import generate_spark
+        from tlgs_spark.indexer.build import build_index
+
+        build_index(
+            spark,
+            generate_spark(spark, 100, partitions=cores),
+            f"{warm_dir}/idx",
+            n_shards=8,
+            resume=False,
+            lineage="warmup",
+        )
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 

@@ -37,6 +37,26 @@ def main():
     from tlgs_spark.query.engine import SearchIndex
 
     si = SearchIndex(spark, args.index_dir)
+    if args.fielded or args.distributed:
+        # these options only exist on the driver serving path — say so
+        # instead of silently dropping them
+        ignored = [
+            name
+            for name, on in (
+                ("--page", args.page is not None),
+                ("--preview", args.preview),
+                ("--dedup", args.dedup),
+            )
+            if on
+        ]
+        if ignored:
+            import sys
+
+            print(
+                f"warning: {', '.join(ignored)} ignored on the "
+                f"{'fielded' if args.fielded else 'distributed'} path",
+                file=sys.stderr,
+            )
     if args.fielded and args.distributed:
         rows = si.search_df_fielded(
             args.query, k=args.k, mode=args.mode, title_weight=args.title_weight

@@ -100,12 +100,16 @@ def conversation_sessions_stream(turns: DataFrame, gap_minutes: int = 30) -> Dat
         if state.exists:
             n, c, f, l = state.get
         for pdf in pdfs:
+            if len(pdf) == 0:  # Arrow chunking may deliver empty frames
+                continue
             n += len(pdf)
             c += int(pdf["text"].str.len().sum())
             ms = (pdf["ts"].astype("int64") // 1_000_000)
             mn, mx = int(ms.min()), int(ms.max())
             f = mn if f is None or mn < f else f
             l = mx if l is None or mx > l else l
+        if l is None:  # nothing new this batch — keep state + timeout as-is
+            return
         state.update((n, c, f, l))
         # end the session once the watermark passes last_ts + gap
         state.setTimeoutTimestamp(l + gap_ms)

@@ -803,6 +803,14 @@ def _build_index_impl(
     shard_size: int | None = None,
 ) -> dict:
     st = storage if storage is not None else IndexStorage(index_dir)
+    if storage is None and st.snapshots():
+        # a DIRECT build rewrites the committed versions' files IN
+        # PLACE, so every logged snapshot becomes physically
+        # unrecoverable — expire the whole log up front (time travel
+        # then fails loudly at open instead of silently reading
+        # rewritten partitions). Incremental updates (storage passed)
+        # stage fresh versions and append to the log at commit.
+        st._write_snapshot_log([])
     t0 = time.time()
     phases: dict[str, float] = {}
     _pt = time.time()

@@ -78,17 +78,72 @@ class IndexStorage:
     re-open them after an update.
     """
 
-    def __init__(self, index_dir: str, staged_versions: dict[str, int] | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        staged_versions: dict[str, int] | None = None,
+        at_snapshot: int | None = None,
+    ):
         self.index_dir = index_dir
         self._staged = dict(staged_versions or {})
         self._versions: dict[str, int] | None = None
+        # time travel (Iceberg VERSION AS OF analog): pin every read to
+        # the version map a past commit recorded in the snapshot log.
+        # Snapshot 0 is the implicit fresh-build state (bare dirs, no
+        # pointer). A pinned storage is read-only.
+        self.at_snapshot = at_snapshot
+        if at_snapshot is not None and self._staged:
+            raise ValueError("at_snapshot and staged_versions are mutually exclusive")
+
+    def _check_writable(self, what: str) -> None:
+        if self.at_snapshot is not None:
+            raise RuntimeError(
+                f"{what} on a time-travel reader (at_snapshot="
+                f"{self.at_snapshot}) — open a current IndexStorage to mutate"
+            )
 
     # --- version pointer ---
     def _versions_file(self) -> str:
         return os.path.join(self.index_dir, "table_versions.json")
 
+    def _snapshot_log_file(self) -> str:
+        return os.path.join(self.index_dir, "snapshot_log.json")
+
+    def snapshots(self) -> list[dict]:
+        """Commit history, oldest first: [{snapshot_id, committed_at,
+        versions}]. Empty for a fresh build that was never updated
+        (its state is the implicit snapshot 0). Entries older than
+        ``vacuum(retain_snapshots=K)``'s window are expired from the
+        log when vacuum runs — the Iceberg snapshot-metadata log."""
+        try:
+            with open(self._snapshot_log_file()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return []
+
+    def _write_snapshot_log(self, entries: list[dict]) -> None:
+        tmp = self._snapshot_log_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=2)
+        os.replace(tmp, self._snapshot_log_file())
+
     def versions(self) -> dict[str, int]:
         if self._versions is None:
+            if self.at_snapshot is not None:
+                if self.at_snapshot == 0:
+                    self._versions = {}
+                else:
+                    by_id = {e["snapshot_id"]: e for e in self.snapshots()}
+                    if self.at_snapshot not in by_id:
+                        raise KeyError(
+                            f"snapshot {self.at_snapshot} is not in the log "
+                            f"(known: {sorted(by_id) or '[]'}) — expired by "
+                            f"vacuum, or never committed"
+                        )
+                    self._versions = {
+                        k: int(v) for k, v in by_id[self.at_snapshot]["versions"].items()
+                    }
+                return self._versions
             try:
                 with open(self._versions_file()) as f:
                     self._versions = {k: int(v) for k, v in json.load(f).items()}
@@ -98,13 +153,26 @@ class IndexStorage:
 
     def commit_versions(self, staged: dict[str, int]) -> None:
         """Flip the committed pointer to the staged versions — one
-        small-file write (a single PUT on object storage)."""
+        small-file write (a single PUT on object storage) — and append
+        the new state to the snapshot log so past states stay
+        addressable (``at_snapshot``) until vacuum expires them. The
+        pointer write IS the commit; a crash before the log append
+        loses only that snapshot's time-travel entry, never data."""
+        self._check_writable("commit_versions")
         merged = {**self.versions(), **staged}
         tmp = self._versions_file() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(merged, f, indent=2, sort_keys=True)
         os.replace(tmp, self._versions_file())
         self._versions = merged
+        import time
+
+        log = self.snapshots()
+        next_id = (log[-1]["snapshot_id"] + 1) if log else 1
+        log.append(
+            {"snapshot_id": next_id, "committed_at": time.time(), "versions": merged}
+        )
+        self._write_snapshot_log(log)
 
     def table_dir(self, table: str, version: int) -> str:
         return os.path.join(
@@ -156,17 +224,21 @@ class IndexStorage:
             v = self.versions().get("postings", 0)
         return v
 
-    def read_postings_manifest(self) -> dict[int, str] | None:
-        """shard → index_dir-relative partition dir for the resolved
-        postings version; None ⇒ no manifest (plain dir scan of the
-        version's base dir — every fresh build)."""
+    def _read_manifest_at(self, version: int) -> dict[int, str] | None:
         try:
-            with open(self._postings_manifest_file(self.postings_version())) as f:
+            with open(self._postings_manifest_file(version)) as f:
                 return {int(k): v for k, v in json.load(f).items()}
         except FileNotFoundError:
             return None
 
+    def read_postings_manifest(self) -> dict[int, str] | None:
+        """shard → index_dir-relative partition dir for the resolved
+        postings version; None ⇒ no manifest (plain dir scan of the
+        version's base dir — every fresh build)."""
+        return self._read_manifest_at(self.postings_version())
+
     def write_postings_manifest(self, mapping: dict[int, str]) -> None:
+        self._check_writable("write_postings_manifest")
         f_ = self._postings_manifest_file(self.postings_version())
         tmp = f_ + ".tmp"
         with open(tmp, "w") as f:
@@ -243,6 +315,7 @@ class IndexStorage:
         )
 
     def write(self, df, table: str, mode: str = "overwrite", partition_by: list[str] | None = None):
+        self._check_writable("write")
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -264,6 +337,7 @@ class IndexStorage:
         return os.path.join(self.index_dir, name)
 
     def write_meta(self, meta: dict) -> None:
+        self._check_writable("write_meta")
         os.makedirs(self.index_dir, exist_ok=True)
         v = self._staged.get("index_meta")
         if v is None:
@@ -289,6 +363,7 @@ class IndexStorage:
         return os.path.join(self.index_dir, "gc_pending.json")
 
     def gc_queue(self, paths: list[str]) -> None:
+        self._check_writable("gc_queue")
         try:
             with open(self._gc_file()) as f:
                 pending = json.load(f)
@@ -306,21 +381,44 @@ class IndexStorage:
             json.dump(pending, f, indent=2)
         os.replace(tmp, self._gc_file())
 
-    def _live_paths(self) -> set[str]:
+    def _paths_for(self, vmap: dict[str, int]) -> set[str]:
+        """Every path one version map references: table dirs, its meta
+        file, its postings manifest file, and the exact postings
+        partition dirs of its snapshot (the whole base dir when that
+        version has no manifest — a fresh build's plain scan)."""
+        paths = {self.table_dir(t, vmap.get(t, 0)) for t in TABLES}
+        paths.add(self._meta_file(vmap.get("index_meta", 0)))
+        pv = vmap.get("postings", 0)
+        paths.add(self._postings_manifest_file(pv))
+        man = self._read_manifest_at(pv)
+        if man is None:
+            paths.add(self.table_dir("postings", pv))
+        else:
+            paths.update(os.path.join(self.index_dir, rel) for rel in man.values())
+        return paths
+
+    def _live_paths(self, retain_snapshots: int = 1) -> set[str]:
         """Every path the CURRENT commit references — never vacuumed
-        even if queued (defense against a buggy queue entry)."""
-        live = {self.table_dir(t, self.versions().get(t, 0)) for t in TABLES}
-        live.add(self._meta_file(self.versions().get("index_meta", 0)))
-        for d in self.postings_dirs():
-            live.add(d)
+        even if queued (defense against a buggy queue entry) — plus
+        the paths of the newest ``retain_snapshots`` log entries, so
+        time-travel readers inside the retention window keep working."""
+        live = self._paths_for(self.versions())
+        if retain_snapshots > 1:
+            for e in self.snapshots()[-retain_snapshots:]:
+                live |= self._paths_for(e["versions"])
         return live
 
-    def vacuum(self, grace_s: float = 0.0) -> list[str]:
+    def vacuum(self, grace_s: float = 0.0, retain_snapshots: int = 1) -> list[str]:
         """Delete queued superseded paths older than ``grace_s``
         seconds. Returns the paths actually removed. Run this from a
         maintenance entry point once in-flight readers are known to be
         newer than the grace window (the Iceberg expire_snapshots
-        analog)."""
+        analog). ``retain_snapshots=K`` additionally protects every
+        path the newest K snapshot-log entries reference and expires
+        older entries from the log, so ``at_snapshot`` reads inside
+        the retention window survive vacuum and reads outside it fail
+        loudly at open (KeyError) instead of erroring mid-scan."""
+        self._check_writable("vacuum")
         import shutil
         import time
 
@@ -328,17 +426,29 @@ class IndexStorage:
             with open(self._gc_file()) as f:
                 pending = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
-            return []
+            pending = []
         self._versions = None  # re-resolve the committed pointer
-        live = self._live_paths()
+        live = self._live_paths(retain_snapshots)
+        # expire log entries beyond the retention window — their files
+        # may be removed below, so keeping them addressable would trade
+        # a loud open-time KeyError for a silent mid-scan read error
+        log = self.snapshots()
+        if len(log) > max(retain_snapshots, 0):
+            self._write_snapshot_log(log[-retain_snapshots:] if retain_snapshots > 0 else [])
+        if not pending:
+            return []
         now = time.time()
         removed, kept = [], []
 
         def _referenced(p: str) -> bool:
-            # p is live itself, or still CONTAINS a live path (a base
-            # dir with at least one referenced shard partition)
+            # p is live itself, still CONTAINS a live path (a base dir
+            # with at least one referenced shard partition), or sits
+            # INSIDE a live dir (a shard partition of a retained
+            # snapshot whose version scans the whole base dir)
             sep = os.sep
-            return any(p == l or l.startswith(p + sep) for l in live)
+            return any(
+                p == l or l.startswith(p + sep) or p.startswith(l + sep) for l in live
+            )
 
         for e in pending:
             if _referenced(e["path"]):

@@ -117,9 +117,21 @@ class TooManyRequestsError(RuntimeError):
 
 
 class SearchIndex:
-    def __init__(self, spark: SparkSession, index_dir: str, cache_ttl: float = 600.0):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache_ttl: float = 600.0,
+        at_snapshot: int | None = None,
+    ):
+        """``at_snapshot`` pins every read to a past commit recorded in
+        the snapshot log (Iceberg ``VERSION AS OF``): 0 = the fresh
+        build, n = the state after the n-th pointer commit. Reads work
+        until ``IndexStorage.vacuum`` retires the snapshot (protect a
+        window with ``retain_snapshots``); an expired snapshot raises
+        KeyError here at open."""
         self.spark = spark
-        self.st = IndexStorage(index_dir)
+        self.st = IndexStorage(index_dir, at_snapshot=at_snapshot)
         self.meta = self.st.read_meta()
         row = self.st.read(spark, "collection_stats").collect()[0]
         self.n_docs = int(row.n_docs)
@@ -732,6 +744,14 @@ class SearchIndex:
         construction (identical (conv_id, turn_idx) ordering)."""
         import os
 
+        if self.st.at_snapshot is not None:
+            # field sub-indexes are UNVERSIONED derived caches rebuilt
+            # in place post-commit — serving one next to a pinned body
+            # snapshot would silently mix generations
+            raise RuntimeError(
+                "field sub-indexes are not snapshot-versioned; fielded "
+                "search is unavailable on a time-travel reader"
+            )
         if not hasattr(self, "_field_cache"):
             self._field_cache: dict[str, SearchIndex] = {}
         if field not in self._field_cache:

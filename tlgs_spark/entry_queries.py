@@ -1074,12 +1074,13 @@ def _title_stats(spark: SparkSession, sf_dir: str, n_docs: int) -> dict:
     the first-5-token 'title' field, materialized by a single job that
     also collects the field's total length (avgdl = total/n_docs; the
     field shares the documents grid so n_docs comes from _token_stats).
-    Per-doc dl and per-term df re-derive from the cached frame — docs
-    with no title tokens have dl 0 and can never appear on the matched
-    side, so the full-docs left join the oracle writes is value-equal.
-    Before this cache the title side was re-derived lazily per call and
-    Catalyst re-ran the tokenize subtree for every join branch; the
-    REAL persisted-field answer remains build_field_index /
+    Per-doc dl and per-term df are ALSO persisted (docs with no title
+    tokens have dl 0 and can never appear on the matched side, so the
+    full-docs left join the oracle writes is value-equal) — before
+    that, each bm25f call re-ran both groupBys over the full tf frame.
+    Before the tf cache itself the title side was re-derived lazily per
+    call and Catalyst re-ran the tokenize subtree for every join
+    branch; the REAL persisted-field answer remains build_field_index /
     search_fielded, which serves this from a second inverted index."""
     key = (id(spark), sf_dir, "title")
     hit = _CORPUS_CACHE.get(key)
@@ -1098,8 +1099,11 @@ def _title_stats(spark: SparkSession, sf_dir: str, n_docs: int) -> dict:
     ).filter((F.length("term") <= 64) & (~F.col("term").isin(_STOP)))
     t_toks = t_raw.select("doc_id", F.expr(stem_sql_case("term")).alias("term"))
     t_tf = t_toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
-    total_dl = int(t_tf.agg(F.sum("tf")).collect()[0][0] or 0)
-    out = {"tf": t_tf, "avgdl": float(total_dl) / n_docs}
+    t_dl = t_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
+    t_dft = t_tf.groupBy("term").agg(F.count("*").alias("df")).persist()
+    total_dl = int(t_dl.agg(F.sum("dl")).collect()[0][0] or 0)
+    t_dft.count()  # materialize the df cache in the same setup pass
+    out = {"tf": t_tf, "dl": t_dl, "dft": t_dft, "avgdl": float(total_dl) / n_docs}
     _CORPUS_CACHE[key] = out
     return out
 
@@ -1196,12 +1200,10 @@ def bm25f_title_weighted(spark, sf_dir):
 
     # ---- title: session-persisted field stats (see _title_stats) ----
     ts = _title_stats(spark, sf_dir, st["n_docs"])
-    t_dl = ts["tf"].groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    t_dft = ts["tf"].groupBy("term").agg(F.count("*").alias("df"))
     t_m = (
         ts["tf"].filter(F.col("term").isin(terms))
-        .join(F.broadcast(t_dft.filter(F.col("term").isin(terms))), "term")
-        .join(t_dl, "doc_id")
+        .join(F.broadcast(ts["dft"].filter(F.col("term").isin(terms))), "term")
+        .join(ts["dl"], "doc_id")
     )
     t_idf = F.log(
         F.lit(1.0) + (F.lit(st["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)

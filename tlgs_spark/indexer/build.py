@@ -803,14 +803,22 @@ def _build_index_impl(
     shard_size: int | None = None,
 ) -> dict:
     st = storage if storage is not None else IndexStorage(index_dir)
-    if storage is None and st.snapshots():
+
+    def _expire_stale_log() -> None:
         # a DIRECT build rewrites the committed versions' files IN
         # PLACE, so every logged snapshot becomes physically
-        # unrecoverable — expire the whole log up front (time travel
-        # then fails loudly at open instead of silently reading
-        # rewritten partitions). Incremental updates (storage passed)
-        # stage fresh versions and append to the log at commit.
-        st._write_snapshot_log([])
+        # unrecoverable — expire the whole log (time travel then fails
+        # loudly at open instead of silently reading rewritten
+        # partitions; the high-water mark survives so retired ids are
+        # never reissued). Called immediately before the FIRST
+        # destructive write, not at entry: a build that dies during
+        # the read-only prepare computations (bad input schema, OOM)
+        # must not destroy addressability of still-intact snapshots.
+        # Incremental updates (storage passed) stage fresh versions
+        # and append to the log at commit instead.
+        if storage is None and st.snapshots():
+            st._write_snapshot_log([])
+
     t0 = time.time()
     phases: dict[str, float] = {}
     _pt = time.time()
@@ -869,6 +877,7 @@ def _build_index_impl(
                 n_shards = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
             shard_size = max(1, math.ceil(n_docs / n_shards))
         n_shards = math.ceil(n_docs / shard_size)
+        _expire_stale_log()  # first destructive write follows
         st.write_meta(
             {
                 "n_docs": n_docs,
@@ -957,6 +966,9 @@ def _build_index_impl(
     shard_size = meta["shard_size"]
 
     # -- phase 2: postings, shard-batched + resumable --
+    # resume with a complete prepare skips phase 1's expiry call; the
+    # writes below are the first destructive ops on that path
+    _expire_stale_log()
     if not resume:
         # Discard the PREVIOUS build's checkpoint ledger before the
         # first postings write: its rows mark every shard complete, so

@@ -109,40 +109,55 @@ class IndexStorage:
     def _snapshot_log_file(self) -> str:
         return os.path.join(self.index_dir, "snapshot_log.json")
 
-    def snapshots(self) -> list[dict]:
-        """Commit history, oldest first: [{snapshot_id, committed_at,
-        versions}]. Empty for a fresh build that was never updated
-        (its state is the implicit snapshot 0). Entries older than
-        ``vacuum(retain_snapshots=K)``'s window are expired from the
-        log when vacuum runs — the Iceberg snapshot-metadata log."""
+    def _read_log(self) -> tuple[int, list[dict]]:
+        """(high-water snapshot id, entries oldest-first). The
+        high-water mark survives log resets/expiry so snapshot ids are
+        NEVER reused — a stale ``at_snapshot`` pin recorded before a
+        reset must fail loudly, not silently rebind to a later state
+        that happened to get the same id (the Iceberg rule)."""
         try:
             with open(self._snapshot_log_file()) as f:
-                return json.load(f)
+                raw = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
-            return []
+            return 0, []
+        if isinstance(raw, list):  # pre-high-water format
+            return max((e["snapshot_id"] for e in raw), default=0), raw
+        return int(raw.get("last_id", 0)), list(raw.get("entries", []))
 
-    def _write_snapshot_log(self, entries: list[dict]) -> None:
+    def snapshots(self) -> list[dict]:
+        """Commit history, oldest first: [{snapshot_id, committed_at,
+        versions}]. The FIRST commit also records the pre-commit state
+        (the fresh build) as its own entry, so every state that ever
+        served reads is addressable. Empty for an index that was never
+        updated — there is no past state to travel to. Entries outside
+        ``vacuum(retain_snapshots=K)``'s window (and past its grace)
+        are expired when vacuum runs — the Iceberg snapshot log."""
+        return self._read_log()[1]
+
+    def _write_snapshot_log(self, entries: list[dict], last_id: int | None = None) -> None:
+        if last_id is None:
+            last_id = max(
+                [self._read_log()[0]] + [e["snapshot_id"] for e in entries]
+            )
         tmp = self._snapshot_log_file() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(entries, f, indent=2)
+            json.dump({"last_id": last_id, "entries": entries}, f, indent=2)
         os.replace(tmp, self._snapshot_log_file())
 
     def versions(self) -> dict[str, int]:
         if self._versions is None:
             if self.at_snapshot is not None:
-                if self.at_snapshot == 0:
-                    self._versions = {}
-                else:
-                    by_id = {e["snapshot_id"]: e for e in self.snapshots()}
-                    if self.at_snapshot not in by_id:
-                        raise KeyError(
-                            f"snapshot {self.at_snapshot} is not in the log "
-                            f"(known: {sorted(by_id) or '[]'}) — expired by "
-                            f"vacuum, or never committed"
-                        )
-                    self._versions = {
-                        k: int(v) for k, v in by_id[self.at_snapshot]["versions"].items()
-                    }
+                by_id = {e["snapshot_id"]: e for e in self.snapshots()}
+                if self.at_snapshot not in by_id:
+                    raise KeyError(
+                        f"snapshot {self.at_snapshot} is not in the log "
+                        f"(known: {sorted(by_id) or '[]'}) — expired by "
+                        f"vacuum, invalidated by a direct rebuild, or "
+                        f"never committed"
+                    )
+                self._versions = {
+                    k: int(v) for k, v in by_id[self.at_snapshot]["versions"].items()
+                }
                 return self._versions
             try:
                 with open(self._versions_file()) as f:
@@ -156,10 +171,14 @@ class IndexStorage:
         small-file write (a single PUT on object storage) — and append
         the new state to the snapshot log so past states stay
         addressable (``at_snapshot``) until vacuum expires them. The
+        first commit on a log also records the PRE-commit state (the
+        fresh build), so it stays addressable and protectable too. The
         pointer write IS the commit; a crash before the log append
-        loses only that snapshot's time-travel entry, never data."""
+        loses only that snapshot's time-travel entry, never data
+        (vacuum's live-path union covers the pointer state directly)."""
         self._check_writable("commit_versions")
-        merged = {**self.versions(), **staged}
+        prev = dict(self.versions())
+        merged = {**prev, **staged}
         tmp = self._versions_file() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(merged, f, indent=2, sort_keys=True)
@@ -167,12 +186,20 @@ class IndexStorage:
         self._versions = merged
         import time
 
-        log = self.snapshots()
-        next_id = (log[-1]["snapshot_id"] + 1) if log else 1
+        now = time.time()
+        last_id, log = self._read_log()
+        if not log:
+            # ids are allocated from the never-reused high-water mark;
+            # the very first generation's fresh build gets id 0
+            pre_id = last_id if last_id == 0 and not os.path.exists(
+                self._snapshot_log_file()
+            ) else last_id + 1
+            log.append({"snapshot_id": pre_id, "committed_at": now, "versions": prev})
+            last_id = pre_id
         log.append(
-            {"snapshot_id": next_id, "committed_at": time.time(), "versions": merged}
+            {"snapshot_id": last_id + 1, "committed_at": now, "versions": merged}
         )
-        self._write_snapshot_log(log)
+        self._write_snapshot_log(log, last_id + 1)
 
     def table_dir(self, table: str, version: int) -> str:
         return os.path.join(
@@ -397,15 +424,34 @@ class IndexStorage:
             paths.update(os.path.join(self.index_dir, rel) for rel in man.values())
         return paths
 
-    def _live_paths(self, retain_snapshots: int = 1) -> set[str]:
+    def _retained_snapshots(
+        self, retain_snapshots: int, grace_s: float, now: float
+    ) -> list[dict]:
+        """Log entries that must stay addressable: the newest
+        ``retain_snapshots`` plus any older entry whose commit is still
+        inside the grace window — an addressable snapshot's files are
+        always protected, so addressability and file liveness can
+        never diverge."""
+        log = self.snapshots()
+        window = log[-retain_snapshots:] if retain_snapshots > 0 else []
+        ids = {e["snapshot_id"] for e in window}
+        older = [
+            e
+            for e in log
+            if e["snapshot_id"] not in ids and now - e["committed_at"] < grace_s
+        ]
+        return sorted(older + window, key=lambda e: e["snapshot_id"])
+
+    def _live_paths(self, retained: list[dict] | None = None) -> set[str]:
         """Every path the CURRENT commit references — never vacuumed
         even if queued (defense against a buggy queue entry) — plus
-        the paths of the newest ``retain_snapshots`` log entries, so
-        time-travel readers inside the retention window keep working."""
+        the paths of every retained snapshot-log entry, so time-travel
+        readers inside the retention window keep working. The pointer
+        state is always included directly: it covers the crash window
+        where a commit's log append was lost."""
         live = self._paths_for(self.versions())
-        if retain_snapshots > 1:
-            for e in self.snapshots()[-retain_snapshots:]:
-                live |= self._paths_for(e["versions"])
+        for e in retained or []:
+            live |= self._paths_for(e["versions"])
         return live
 
     def vacuum(self, grace_s: float = 0.0, retain_snapshots: int = 1) -> list[str]:
@@ -413,11 +459,12 @@ class IndexStorage:
         seconds. Returns the paths actually removed. Run this from a
         maintenance entry point once in-flight readers are known to be
         newer than the grace window (the Iceberg expire_snapshots
-        analog). ``retain_snapshots=K`` additionally protects every
-        path the newest K snapshot-log entries reference and expires
-        older entries from the log, so ``at_snapshot`` reads inside
-        the retention window survive vacuum and reads outside it fail
-        loudly at open (KeyError) instead of erroring mid-scan."""
+        analog). ``retain_snapshots=K`` protects every path the newest
+        K snapshot-log entries reference; older entries stay
+        addressable (and protected) until their commit age passes
+        ``grace_s``, then expire from the log — so ``at_snapshot``
+        reads inside the window survive vacuum and reads outside it
+        fail loudly at open (KeyError) instead of erroring mid-scan."""
         self._check_writable("vacuum")
         import shutil
         import time
@@ -428,16 +475,14 @@ class IndexStorage:
         except (FileNotFoundError, json.JSONDecodeError):
             pending = []
         self._versions = None  # re-resolve the committed pointer
-        live = self._live_paths(retain_snapshots)
-        # expire log entries beyond the retention window — their files
-        # may be removed below, so keeping them addressable would trade
-        # a loud open-time KeyError for a silent mid-scan read error
+        now = time.time()
+        retained = self._retained_snapshots(retain_snapshots, grace_s, now)
+        live = self._live_paths(retained)
         log = self.snapshots()
-        if len(log) > max(retain_snapshots, 0):
-            self._write_snapshot_log(log[-retain_snapshots:] if retain_snapshots > 0 else [])
+        if len(retained) < len(log):
+            self._write_snapshot_log(retained)
         if not pending:
             return []
-        now = time.time()
         removed, kept = [], []
 
         def _referenced(p: str) -> bool:

@@ -124,12 +124,13 @@ class SearchIndex:
         cache_ttl: float = 600.0,
         at_snapshot: int | None = None,
     ):
-        """``at_snapshot`` pins every read to a past commit recorded in
-        the snapshot log (Iceberg ``VERSION AS OF``): 0 = the fresh
-        build, n = the state after the n-th pointer commit. Reads work
-        until ``IndexStorage.vacuum`` retires the snapshot (protect a
-        window with ``retain_snapshots``); an expired snapshot raises
-        KeyError here at open."""
+        """``at_snapshot`` pins every read to a state recorded in the
+        snapshot log (Iceberg ``VERSION AS OF``). Ids are allocated at
+        commit and never reused; the first commit also records the
+        pre-commit fresh-build state (id 0 for the first generation).
+        Reads work until ``IndexStorage.vacuum`` expires the snapshot
+        (protect a window with ``retain_snapshots``/grace); an expired,
+        reset, or unknown snapshot raises KeyError here at open."""
         self.spark = spark
         self.st = IndexStorage(index_dir, at_snapshot=at_snapshot)
         self.meta = self.st.read_meta()

@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--fielded", action="store_true",
                     help="title-weighted W1 scoring (needs build_field_index)")
     ap.add_argument("--title-weight", type=float, default=50.0)
+    ap.add_argument("--at-snapshot", type=int, default=None,
+                    help="time-travel read: pin to a snapshot-log id (Iceberg VERSION AS OF)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("tlgs_spark_search").getOrCreate()
@@ -36,7 +38,7 @@ def main():
 
     from tlgs_spark.query.engine import SearchIndex
 
-    si = SearchIndex(spark, args.index_dir)
+    si = SearchIndex(spark, args.index_dir, at_snapshot=args.at_snapshot)
     if args.fielded or args.distributed:
         # these options only exist on the driver serving path — say so
         # instead of silently dropping them

@@ -60,6 +60,13 @@ def test_time_travel_reads_past_snapshots(spark, tmp_path):
     # first commit recorded the fresh-build state as snapshot 0
     assert _ids(idx) == [0, 1, 2]
 
+    # admin status surfaces the snapshot log and the vacuum backlog
+    from tlgs_spark.indexer.storage import index_status
+
+    stat = index_status(spark, idx)
+    assert [s["snapshot_id"] for s in stat["snapshots"]] == [0, 1, 2]
+    assert stat["gc_pending"] > 0
+
     # each snapshot reads as the state at its commit
     pd.testing.assert_frame_equal(_search(spark, idx, at_snapshot=0), want0)
     pd.testing.assert_frame_equal(_search(spark, idx, at_snapshot=1), want1)

@@ -389,13 +389,16 @@ class IndexStorage:
     def _gc_file(self) -> str:
         return os.path.join(self.index_dir, "gc_pending.json")
 
-    def gc_queue(self, paths: list[str]) -> None:
-        self._check_writable("gc_queue")
+    def _gc_pending(self) -> list[dict]:
         try:
             with open(self._gc_file()) as f:
-                pending = json.load(f)
+                return json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
-            pending = []
+            return []
+
+    def gc_queue(self, paths: list[str]) -> None:
+        self._check_writable("gc_queue")
+        pending = self._gc_pending()
         import time
 
         now = time.time()
@@ -469,11 +472,7 @@ class IndexStorage:
         import shutil
         import time
 
-        try:
-            with open(self._gc_file()) as f:
-                pending = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            pending = []
+        pending = self._gc_pending()
         self._versions = None  # re-resolve the committed pointer
         now = time.time()
         retained = self._retained_snapshots(retain_snapshots, grace_s, now)
@@ -558,6 +557,13 @@ def index_status(spark, index_dir: str) -> dict:
         "collection_stats": stats,
         "shards_done": len(done),
         "shards_pending": pending,
+        # time-travel surface: which past states are addressable, and
+        # how much superseded data awaits vacuum
+        "snapshots": [
+            {"snapshot_id": e["snapshot_id"], "committed_at": e["committed_at"]}
+            for e in st.snapshots()
+        ],
+        "gc_pending": len(st._gc_pending()),
     }
     if st.exists("ledger"):
         led = (

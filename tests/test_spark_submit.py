@@ -77,3 +77,40 @@ def test_spark_submit_build_and_search(tmp_path):
     assert r3.returncode == 0, r3.stderr[-2000:]
     out3 = json.loads([l for l in r3.stdout.splitlines() if l.startswith("{")][-1])
     assert [r["doc_id"] for r in out3["results"]] == [r["doc_id"] for r in out["results"]]
+
+    # admin CLI (the tlgs_ctl analog): indexstatus → purge → indexstatus
+    # → vacuum, all through the same spark-submit packaging
+    def _ctl(*argv, timeout=420):
+        r = subprocess.run(
+            common + [os.path.join(REPO, "jobs", "ctl_job.py"), *argv],
+            capture_output=True, text=True, env=env, timeout=timeout,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+
+    stat = _ctl("indexstatus", "--index-dir", idx)
+    assert stat["shards_done"] == 5 and not stat["shards_pending"]
+    n_docs_before = stat["collection_stats"]["n_docs"]
+    assert n_docs_before > 0
+
+    # purge needs the transcript source; generate_pandas is row-identical
+    # to the --synthesize corpus the build used
+    from tlgs_spark.corpus import generate_pandas
+
+    src = str(tmp_path / "transcripts.parquet")
+    pdf = generate_pandas(30)
+    # Spark can't scan TIMESTAMP(NANOS) parquet — write microsecond ts
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(src, index=False)
+    purged = _ctl("purge", "--index-dir", idx, "--input", src,
+                  "--pattern", "conv000001")
+    assert purged["purged_pattern"] == "conv000001"
+
+    stat2 = _ctl("indexstatus", "--index-dir", idx)
+    assert stat2["collection_stats"]["n_docs"] < n_docs_before
+    # the purge commit appended to the snapshot log
+    assert len(stat2["snapshots"]) > len(stat["snapshots"])
+
+    vac = _ctl("vacuum", "--index-dir", idx, "--grace-s", "0",
+               "--retain-snapshots", "1")
+    assert vac["n_removed"] >= 0

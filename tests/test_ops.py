@@ -95,6 +95,39 @@ def test_lang_id(docs_df):
     assert all(isinstance(v, str) and v for v in pred.values())
 
 
+# spec-v2 validation corpus: two labeled sentences per language plus
+# the zh/und edge classes — the weighted-profile model must be exact
+LANG_SENTENCES = [
+    ("en", "the cat was sitting on the mat and it looked at the dog"),
+    ("en", "this is the kind of thing that ought to work out of the box"),
+    ("de", "der hund und die katze sind nicht zu hause geblieben"),
+    ("de", "ich möchte ein schönes geschenk für die übung kaufen"),
+    ("fr", "le chat est dans la maison et les enfants ne sont pas là"),
+    ("fr", "c'est une belle journée à paris avec des croissants chauds"),
+    ("es", "los niños y las niñas están en el parque con una pelota"),
+    ("es", "¿qué hora es? la reunión es por la mañana con el señor garcía"),
+    ("it", "il gatto è sul tavolo e non vuole scendere per mangiare"),
+    ("it", "la situazione è difficile ma gli amici sono qui per aiutare"),
+    ("pt", "o menino não quer uma solução para a lição de casa"),
+    ("pt", "a informação chegou com atenção e um coração alegre"),
+    ("zh", "这是一个中文句子用来测试语言识别功能"),
+    ("und", "12345 67890"),
+]
+
+
+def test_lang_id_labeled_sentences(spark):
+    from tlgs_spark.ops.textstats import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [(i, t, want) for i, (want, t) in enumerate(LANG_SENTENCES)],
+        "doc_id long, text string, lang string",
+    )
+    rows = lang_id_ngram(df).select("lang", "lang_pred").collect()
+    assert all(r.lang_pred == r.lang for r in rows), [
+        (r.lang, r.lang_pred) for r in rows if r.lang_pred != r.lang
+    ]
+
+
 def test_quality_score_monotonic(spark):
     from tlgs_spark.ops.textstats import quality_score
 

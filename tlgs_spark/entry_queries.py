@@ -1879,20 +1879,22 @@ def simhash_entry(spark, sf_dir):
 
 
 def _lang_id_sql() -> str:
-    """DuckDB mirror of ops.textstats.lang_id_ngram: non-overlapping
-    bigram counts via replace-delta (≡ str.count for literal bigrams),
-    integer-exact sums so float op order is moot, argmax first-wins in
-    profile order, all-zero → 'und', CJK ratio ≥ 0.3 → 'zh'."""
+    """DuckDB mirror of ops.textstats.lang_id_ngram (spec v2):
+    non-overlapping weighted n-gram counts on the boundary-padded text
+    via replace-delta (≡ re.escape'd str.count for literal grams —
+    both scan left-to-right non-overlapping), INTEGER weights so both
+    engines sum exactly, argmax first-wins in profile order, all-zero
+    → 'und', CJK ratio ≥ 0.3 (unpadded text) → 'zh'."""
     from .ops.textstats import CJK_RANGE, CJK_THRESHOLD, LANG_PROFILES
 
     langs = [l for l, g in LANG_PROFILES.items() if g]
     score_exprs = []
     for lang in langs:
         terms = " + ".join(
-            f"(length(lt) - length(replace(lt, '{g}', ''))) / 2"
-            for g in LANG_PROFILES[lang]
+            f"{w} * (length(ltp) - length(replace(ltp, '{g}', ''))) / {len(g)}"
+            for g, w in LANG_PROFILES[lang]
         )
-        score_exprs.append(f"({terms}) / n AS s_{lang}")
+        score_exprs.append(f"({terms}) AS s_{lang}")
     # argmax, first profile wins ties (pandas idxmax semantics)
     argmax = "CASE "
     for i, lang in enumerate(langs):
@@ -1904,6 +1906,7 @@ def _lang_id_sql() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, lower(coalesce(text, '')) AS lt,
+         ' ' || lower(coalesce(text, '')) || ' ' AS ltp,
          greatest(length(lower(coalesce(text, ''))), 1)::DOUBLE AS n
   FROM documents
 ),
@@ -1922,8 +1925,9 @@ FROM scored
 
 @q("lang_id", _lang_id_sql())
 def lang_id_entry(spark, sf_dir):
-    """Language-ID heuristic (char-bigram profiles, Arrow-vectorized);
-    oracle-paired since r2 (frozen LANG_PROFILES spec)."""
+    """Language ID (weighted char-n-gram profiles over 6 languages +
+    CJK, Arrow-vectorized); oracle-paired since r2, spec v2 since r3
+    (validated on a labeled sentence set in tests/test_ops.py)."""
     from .ops.textstats import lang_id_ngram
 
     return lang_id_ngram(_docs(spark, sf_dir)).select("doc_id", "lang_pred")

@@ -73,17 +73,49 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
-# Frozen language-ID spec: per-language character-bigram profiles
-# (tiny, deterministic — a placeholder for a fastText-style model; the
-# plumbing and the exactness contract are the deliverable). Score =
-# Σ_g non-overlapping count(g) / max(len,1); argmax in dict order
-# (first wins ties); all-zero → 'und'; CJK codepoint ratio ≥ 0.3 →
-# 'zh'. Mirrored 1:1 by the lang_id oracle SQL in entry_queries.
+# Frozen language-ID spec v2: weighted character n-gram profiles in
+# the Cavnar–Trenkle (1994) tradition — boundary-padded text, mixed
+# 1..6-char grams with small INTEGER weights (so both engines sum
+# exactly and argmax can never drift on float op order). The grams are
+# hand-frozen from public letter/word-frequency knowledge: function
+# words carry word-boundary spaces (" the "), morphology rides
+# suffix/cluster grams ("ção", "sch", "zione"), and single accented
+# letters split the Romance languages (ñ/es, ç·è/fr, ão/pt, è·à/it).
+# Score_lang = Σ_g w_g · count_nonoverlap(g, ' '+lower(text)+' ');
+# argmax in dict order (first wins ties); all-zero → 'und'; CJK
+# codepoint ratio ≥ 0.3 (over the unpadded text) → 'zh'. Mirrored 1:1
+# by the lang_id oracle SQL in entry_queries (replace-delta counts).
 LANG_PROFILES = {
-    "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
-    "de": ["en", "er", "ch", "de", "ei", "nd", "te", "in", "ie", "ge"],
-    "fr": ["es", "le", "de", "en", "re", "nt", "on", "er", "te", "ou"],
-    "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
+    "en": [
+        (" the ", 5), (" and ", 4), (" of ", 4), (" to ", 3), (" is ", 2),
+        (" was ", 3), (" that ", 3), ("ing ", 3), ("tion ", 2), ("ought", 3),
+        (" wh", 2), ("ed ", 1), ("th", 1), ("ck", 1),
+    ],
+    "de": [
+        (" der ", 5), (" die ", 5), (" und ", 5), (" das ", 4), (" ist ", 4),
+        (" nicht ", 4), (" zu ", 3), (" mit ", 3), ("sch", 3), ("ung ", 3),
+        ("ich", 2), ("ein", 2), ("cht", 2), ("ß", 4), ("äu", 3), ("ü", 2),
+    ],
+    "fr": [
+        (" le ", 4), (" la ", 3), (" les ", 4), (" des ", 4), (" est ", 4),
+        (" et ", 3), (" une ", 3), (" dans ", 4), (" pas ", 3), ("eau", 2),
+        ("aient", 3), ("ç", 4), ("è", 3), (" à ", 4), ("é", 1), ("oux", 2),
+    ],
+    "es": [
+        (" el ", 4), (" los ", 4), (" las ", 4), (" que ", 2), (" es ", 2),
+        (" y ", 3), (" en ", 1), (" por ", 3), (" con ", 3), (" una ", 2),
+        ("ción", 4), ("ñ", 5), ("ado ", 2), ("amente", 3), ("¿", 5), ("í", 2),
+    ],
+    "it": [
+        (" il ", 5), (" di ", 4), (" che ", 3), (" per ", 3), (" non ", 3),
+        (" un ", 2), (" è ", 5), ("gli", 3), ("zione", 4), ("ità", 3),
+        ("are ", 2), ("ere ", 2), ("ato ", 2), ("ò", 4),
+    ],
+    "pt": [
+        (" o ", 3), (" de ", 2), (" um ", 3), (" uma ", 3), (" para ", 3),
+        (" não ", 5), (" com ", 3), ("ção", 5), ("ão ", 4), ("ções", 4),
+        ("lh", 3), ("em ", 1), ("os ", 1), ("inho", 3),
+    ],
     "zh": [],  # CJK detection is by codepoint class
 }
 CJK_RANGE = "一-鿿"
@@ -91,8 +123,10 @@ CJK_THRESHOLD = 0.3
 
 
 def lang_id_ngram(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Character-bigram language-ID heuristic (vectorized pandas UDF)
+    """Weighted character-n-gram language ID (vectorized pandas UDF)
     under the frozen LANG_PROFILES spec above."""
+    import re
+
     profiles = LANG_PROFILES
 
     @F.pandas_udf("string")
@@ -100,14 +134,15 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text", out_col: str = "lang_pr
         low = s.fillna("").str.lower()
         cjk = low.str.count(r"[一-鿿]")
         n = low.str.len().clip(lower=1)
+        padded = " " + low + " "
         scores = {}
         for lang, grams in profiles.items():
             if not grams:
                 continue
-            tot = np.zeros(len(low))
-            for g in grams:
-                tot += low.str.count(g).to_numpy()
-            scores[lang] = tot / n.to_numpy()
+            tot = np.zeros(len(low), dtype=np.int64)
+            for g, w in grams:
+                tot += w * padded.str.count(re.escape(g)).to_numpy()
+            scores[lang] = tot
         mat = pd.DataFrame(scores)
         best = mat.idxmax(axis=1).where(mat.max(axis=1) > 0, "und")
         return best.where((cjk / n).to_numpy() < 0.3, "zh")

@@ -49,7 +49,19 @@ N_CONV = int(os.environ.get("TLGS_BENCH_CONV", "100000"))
 # driver-side job cost amortizes; 2 interleaved pairs fit the same wall
 # budget the old 5 small-corpus pairs used
 SCALE_CONV = int(os.environ.get("TLGS_BENCH_SCALING_CONV", str(N_CONV * 3)))
-SCALE_TRIALS = int(os.environ.get("TLGS_BENCH_SCALING_TRIALS", "2"))
+# TLGS_BENCH_TRIALS was this knob's name before the probe moved to the
+# amortized regime; honor it as a fallback so existing automation keeps
+# its evidence volume
+if "TLGS_BENCH_TRIALS" in os.environ and "TLGS_BENCH_SCALING_TRIALS" not in os.environ:
+    print(
+        "bench: TLGS_BENCH_TRIALS is deprecated; use TLGS_BENCH_SCALING_TRIALS",
+        file=sys.stderr,
+    )
+SCALE_TRIALS = int(
+    os.environ.get(
+        "TLGS_BENCH_SCALING_TRIALS", os.environ.get("TLGS_BENCH_TRIALS", "2")
+    )
+)
 DO_SCALING = os.environ.get("TLGS_BENCH_SCALING", "1") != "0"
 # 32-thread runs on this shared box collide with neighbor load and
 # understate throughput — opt-in only

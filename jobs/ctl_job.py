@@ -61,6 +61,18 @@ def main():
                           "ddl": storage.__doc__}))
         return
 
+    if args.cmd == "vacuum":
+        # pure local-filesystem work (JSON manifests + rmtree): a JVM
+        # session would cost seconds and require a reachable master for
+        # nothing
+        from tlgs_spark.indexer.storage import IndexStorage
+
+        removed = IndexStorage(args.index_dir).vacuum(
+            grace_s=args.grace_s, retain_snapshots=args.retain_snapshots
+        )
+        print(json.dumps({"removed": removed, "n_removed": len(removed)}))
+        return
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("tlgs_spark_ctl").getOrCreate()
@@ -76,13 +88,6 @@ def main():
         transcripts = spark.read.parquet(args.input)
         res = purge_conversations(spark, transcripts, args.index_dir, args.pattern)
         print(json.dumps(res, default=str))
-    elif args.cmd == "vacuum":
-        from tlgs_spark.indexer.storage import IndexStorage
-
-        removed = IndexStorage(args.index_dir).vacuum(
-            grace_s=args.grace_s, retain_snapshots=args.retain_snapshots
-        )
-        print(json.dumps({"removed": removed, "n_removed": len(removed)}))
 
 
 if __name__ == "__main__":

@@ -120,3 +120,24 @@ def test_audio_pipeline_spark(spark):
         # 0.5-amplitude sine → rms ≈ 0.3536 (short bursts wander a bit)
         assert 0.30 < r.rms < 0.40
         assert r.zero_crossings > 0
+
+
+def test_audio_stats_zero_frame_wav(spark):
+    """A valid header-only WAV (0 frames) must yield rms=0.0, not NaN
+    (np.mean of an empty array is NaN and would poison downstream
+    aggregates)."""
+    import math
+
+    from tlgs_spark.ops.multimodal import MEDIA_SCHEMA
+
+    empty = encode_wav(np.zeros((0,), dtype=np.float32), 8000)
+    samples, _ = decode_audio(empty)
+    assert samples.shape[0] == 0
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(empty), "audio/wav", None, None, 0)],
+        schema=MEDIA_SCHEMA,
+    )
+    (row,) = audio_stats(media).collect()
+    assert row.n_frames == 0
+    assert row.rms == 0.0 and not math.isnan(row.rms)
+    assert row.zero_crossings == 0

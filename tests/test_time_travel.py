@@ -208,3 +208,17 @@ def test_direct_rebuild_expires_log_and_never_reuses_ids(spark, tmp_path):
     fresh = str(tmp_path / "fresh_direct")
     build_index(spark, spark.createDataFrame(pdf1b), fresh, n_shards=5)
     pd.testing.assert_frame_equal(_search(spark, idx), _search(spark, fresh))
+
+
+def test_corrupt_snapshot_log_fails_loudly(tmp_path):
+    """A truncated/corrupt snapshot_log.json must raise, not silently
+    reset the never-reuse high-water mark (a reset would let the next
+    commit re-allocate ids a stale at_snapshot pin may still hold)."""
+    idx = str(tmp_path / "idx_corrupt")
+    os.makedirs(idx)
+    st = IndexStorage(idx)
+    assert st.snapshots() == []  # absent log is a legitimate empty state
+    with open(os.path.join(idx, "snapshot_log.json"), "w") as f:
+        f.write('{"last_id": 2, "entr')  # truncated mid-write/mid-copy
+    with pytest.raises(RuntimeError, match="corrupt snapshot log"):
+        st.snapshots()

@@ -118,8 +118,17 @@ class IndexStorage:
         try:
             with open(self._snapshot_log_file()) as f:
                 raw = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+        except FileNotFoundError:
             return 0, []
+        except json.JSONDecodeError as e:
+            # A corrupt log must NOT be treated as "no log": resetting
+            # last_id to 0 would let the next commit re-allocate ids a
+            # stale at_snapshot pin may still hold.
+            raise RuntimeError(
+                f"corrupt snapshot log {self._snapshot_log_file()!r}: {e}; "
+                "restore it (or delete it to deliberately reset history — "
+                "existing at_snapshot pins then become unsafe)"
+            ) from e
         if isinstance(raw, list):  # pre-high-water format
             return max((e["snapshot_id"] for e in raw), default=0), raw
         return int(raw.get("last_id", 0)), list(raw.get("entries", []))

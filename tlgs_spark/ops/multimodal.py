@@ -312,8 +312,16 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 samples, sr = decode_audio(bytes(p))
                 mono = samples.mean(axis=1)
                 zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                # header-only WAV (0 frames): rms of nothing is 0, not NaN
+                # (np.mean of an empty array would yield NaN + a warning
+                # and poison downstream aggregates)
+                rms = (
+                    float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+                    if samples.shape[0]
+                    else 0.0
+                )
                 out.append((int(mid), sr, samples.shape[0], samples.shape[1],
-                            float(np.sqrt(np.mean(mono.astype(np.float64) ** 2))), zc))
+                            rms, zc))
             yield pd.DataFrame(out, columns=["media_id", "sample_rate", "n_frames",
                                              "n_channels", "rms", "zero_crossings"])
 

@@ -1098,11 +1098,28 @@ def _title_stats(spark: SparkSession, sf_dir: str, n_docs: int) -> dict:
         ).alias("term"),
     ).filter((F.length("term") <= 64) & (~F.col("term").isin(_STOP)))
     t_toks = t_raw.select("doc_id", F.expr(stem_sql_case("term")).alias("term"))
-    t_tf = t_toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
-    t_dl = t_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
-    t_dft = t_tf.groupBy("term").agg(F.count("*").alias("df")).persist()
-    total_dl = int(t_dl.agg(F.sum("dl")).collect()[0][0] or 0)
-    t_dft.count()  # materialize the df cache in the same setup pass
+    # ONE grouping-sets aggregation materializes every stat the scorer
+    # needs — (doc_id,term)→tf, (doc_id)→dl, (term)→df, ()→total field
+    # length — in a single shuffle + persist. The previous shape (three
+    # persisted groupBys + a driver collect + a count) paid ~5 separate
+    # job launches / codegen compiles of cold cost for 21k rows of data.
+    t_all = (
+        t_toks.groupingSets(
+            [["doc_id", "term"], ["doc_id"], ["term"], []], "doc_id", "term"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count_distinct("doc_id").alias("ndocs"),
+            F.grouping_id().alias("gid"),
+        )
+        .persist()
+    )
+    # gid bits: 0b00=(doc_id,term) 0b01=(doc_id) 0b10=(term) 0b11=()
+    _glob = t_all.filter(F.col("gid") == 3).select("cnt").collect()
+    total_dl = int(_glob[0][0]) if _glob and _glob[0][0] is not None else 0
+    t_tf = t_all.filter(F.col("gid") == 0).select("doc_id", "term", F.col("cnt").alias("tf"))
+    t_dl = t_all.filter(F.col("gid") == 1).select("doc_id", F.col("cnt").alias("dl"))
+    t_dft = t_all.filter(F.col("gid") == 2).select("term", F.col("ndocs").alias("df"))
     out = {"tf": t_tf, "dl": t_dl, "dft": t_dft, "avgdl": float(total_dl) / n_docs}
     _CORPUS_CACHE[key] = out
     return out

@@ -32,18 +32,31 @@ def test_size_penalty_applied_above_48k():
     )
     out = combine_scores(res, {})
     s = dict(zip(out.doc_id, out.final))
-    # rank *= 1/ln(e + (size-48000)/3000) (search.cpp:549-551)
-    pen = 1.0 / math.log(math.e + (51000 - 48000) / 3000.0)
+    # rank *= 1/ln(e + (size-48000)/3000) in size_t (search.cpp:549-551)
+    pen = 1.0 / math.log(math.e + (51000 - 48000) // 3000)
     assert s[1] > s[2]
     text2 = 1.0 * pen
     b = 1.0  # exp(0) with empty link scores
     assert s[2] == pytest.approx(2 * b * text2 / (b + text2), rel=1e-12)
 
 
-def test_denormal_flush():
-    res = pd.DataFrame({"doc_id": [1], "score": [1e-40], "size": [10]})
+def test_size_penalty_integer_division_band():
+    """48001..50999 bytes: (size-48000)//3000 == 0 → ln(e+0)=1 → NO
+    penalty, exactly like the reference's size_t arithmetic."""
+    res = pd.DataFrame(
+        {"doc_id": [1, 2], "score": [1.0, 1.0], "size": [48000, 50999]}
+    )
     out = combine_scores(res, {})
-    assert out.final.iloc[0] == 0.0 or out.final.iloc[0] > 1e-38
+    s = dict(zip(out.doc_id, out.final))
+    assert s[1] == pytest.approx(s[2], rel=0)
+
+
+def test_boost_normalizer_spans_full_graph():
+    """mx comes from the whole link-score vector, including nodes not
+    present in the result frame (search.cpp:538)."""
+    res = pd.DataFrame({"doc_id": [1], "score": [1.0], "size": [10]})
+    out = combine_scores(res, {1: 0.3, 99: 0.9})
+    assert out.boost.iloc[0] == pytest.approx(math.exp(6.5 * 0.3 / 0.9), rel=1e-12)
 
 
 def test_dedup_keep_best_by_hash():

@@ -1,12 +1,19 @@
 """Score combination + result dedup — the post-retrieval stages of the
 reference's search pipeline.
 
-combine_scores (search.cpp:539-553):
-    boost   = exp(6.5 * link_score / max(link_score))
-    penalty = if size > 48000: 1 / ln(e + (size - 48000) / 3000) else 1
+combine_scores (search.cpp:536-553):
+    mx      = max over the WHOLE graph's link-score vector (not just
+              the rows being reranked — search.cpp:538-541; 0 → 1)
+    boost   = exp(6.5 * link_score / mx)
+    penalty = if size > 48000: 1 / ln(e + (size - 48000) // 3000)
+              — the reference divides in size_t, so the penalty is a
+              3 kB step function and sizes 48001..50999 see ln(e+0)=1
     text'   = text_rank * penalty
     final   = 2 * boost * text' / (boost + text')        [harmonic mean]
-with denormal flush (|x| < FLT_MIN → 0, search.cpp:297-301).
+No denormal flush here — that lives in the HITS loop
+(search.cpp:297-301), not the combine stage. The reference computes
+boost/rank in float32; we keep float64 (documented divergence: the
+declarative engine has no stable accumulation order to mirror).
 
 dedup_results (search.cpp:555-625): group by content hash, keep the
 max-score row (tie → lowest doc_id). The reference's URL-equivalence
@@ -20,16 +27,9 @@ import math
 import numpy as np
 import pandas as pd
 
-FLT_MIN = 1.17549435e-38
 SIZE_PENALTY_THRESHOLD = 48000
 SIZE_PENALTY_SCALE = 3000.0
 BOOST_FACTOR = 6.5
-
-
-def _flush(x: np.ndarray) -> np.ndarray:
-    out = x.copy()
-    out[np.abs(out) < FLT_MIN] = 0.0
-    return out
 
 
 def combine_scores(
@@ -45,19 +45,25 @@ def combine_scores(
         out["final"] = pd.Series(dtype="float64")
         return out
     link = np.array([link_scores.get(int(d), 0.0) for d in results["doc_id"]])
-    mx = link.max() if link.size and link.max() > 0 else 1.0  # A7 max-score
-    boost = np.exp(BOOST_FACTOR * _flush(link) / mx)
+    # normalizer = max over the FULL graph score vector, including
+    # base-set nodes that never made the result frame (search.cpp:538:
+    # max_element over `score`, not over the reranked rows); 0 → 1
+    all_scores = list(link_scores.values())
+    mx = max(all_scores) if all_scores and max(all_scores) > 0 else 1.0
+    boost = np.exp(BOOST_FACTOR * link / mx)
     text = results[text_col].to_numpy(np.float64).copy()
-    size = results[size_col].to_numpy(np.float64)
+    size = results[size_col].to_numpy(np.int64)
     big = size > SIZE_PENALTY_THRESHOLD
+    # size_t division in the reference: (size - 48000)/3000 floors to a
+    # 3 kB step before entering the log (search.cpp:551)
     text[big] = text[big] / np.log(
-        math.e + (size[big] - SIZE_PENALTY_THRESHOLD) / SIZE_PENALTY_SCALE
+        math.e + (size[big] - SIZE_PENALTY_THRESHOLD) // int(SIZE_PENALTY_SCALE)
     )
     denom = boost + text
     final = np.where(denom > 0, 2.0 * boost * text / denom, 0.0)
     out = results.copy()
     out["boost"] = boost
-    out["final"] = _flush(final)
+    out["final"] = final
     return out.sort_values(["final", "doc_id"], ascending=[False, True]).reset_index(
         drop=True
     )

@@ -223,3 +223,14 @@ def test_snippet_respects_5k_window():
 def test_snippet_sanitizes():
     snip = make_snippet("```\n# needle\tmore words here\n```", ["needle"])
     assert "\n" not in snip and "`" not in snip and "\t" not in snip
+
+
+def test_sanitize_reference_parity():
+    """sanitizeGemini quirks pinned (search.cpp:61-69): only the
+    literal ``` fence is replaced (single backticks survive), and an
+    all-marker string comes back unchanged instead of empty."""
+    from tlgs_spark.query.snippet import sanitize
+
+    assert sanitize("see `config.toml` for details") == "see `config.toml` for details"
+    assert sanitize("#=>`*") == "#=>`*"
+    assert sanitize("# needle more") == "needle more"

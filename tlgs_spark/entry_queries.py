@@ -1593,9 +1593,12 @@ e AS MATERIALIZED (
 
 def _hits_sql(iters: int = 5) -> str:
     """Unrolled fixed-iteration HITS mirror of graph.hits_rank with
-    eps=0 (no early stop): auth_raw(v)=Σ hub(u); hub_raw(u)=Σ
-    auth_raw(v) — hub uses the PRE-normalization auth, exactly like
-    the engine — then each L1-normalizes."""
+    eps=0 (no early stop), reference recurrence (search.cpp:253-306):
+    JACOBI — both calc sums read the previous iteration's snapshot —
+    keep-old where a calc sum is 0 or absent, normalize each vector by
+    greatest(sum, 1.0), then flush normalized scores strictly below
+    float epsilon (1.1920929e-7) to 0."""
+    flt_eps = "1.1920928955078125e-07"
     parts = [
         _SYNTH_EDGES_SQL,
         "nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e "
@@ -1606,19 +1609,29 @@ def _hits_sql(iters: int = 5) -> str:
     for k in range(1, iters + 1):
         p = k - 1
         parts.append(
-            f"a{k} AS MATERIALIZED (SELECT e.dst AS node, sum(s.hub) AS raw "
+            f"ca{k} AS MATERIALIZED (SELECT e.dst AS node, sum(s.hub) AS raw "
             f"FROM e JOIN s{p} s ON s.node = e.src GROUP BY e.dst)"
         )
+        # Jacobi: the hub sum reads s{p}.auth, never this iteration's
         parts.append(
-            f"h{k} AS MATERIALIZED (SELECT e.src AS node, sum(a.raw) AS raw "
-            f"FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src)"
+            f"ch{k} AS MATERIALIZED (SELECT e.src AS node, sum(s.auth) AS raw "
+            f"FROM e JOIN s{p} s ON s.node = e.dst GROUP BY e.src)"
         )
         parts.append(
-            f"s{k} AS MATERIALIZED (SELECT n.node, "
-            f"coalesce(a.raw, 0) / (SELECT sum(raw) FROM a{k}) AS auth, "
-            f"coalesce(h.raw, 0) / (SELECT sum(raw) FROM h{k}) AS hub "
-            f"FROM nodes n LEFT JOIN a{k} a USING (node) "
-            f"LEFT JOIN h{k} h USING (node))"
+            f"n{k} AS MATERIALIZED (SELECT n.node, "
+            f"coalesce(NULLIF(ca.raw, 0), s.auth) AS na, "
+            f"coalesce(NULLIF(ch.raw, 0), s.hub) AS nh "
+            f"FROM nodes n JOIN s{p} s ON s.node = n.node "
+            f"LEFT JOIN ca{k} ca ON ca.node = n.node "
+            f"LEFT JOIN ch{k} ch ON ch.node = n.node)"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT node, "
+            f"CASE WHEN na / (SELECT greatest(sum(na), 1.0) FROM n{k}) < {flt_eps} "
+            f"THEN 0.0 ELSE na / (SELECT greatest(sum(na), 1.0) FROM n{k}) END AS auth, "
+            f"CASE WHEN nh / (SELECT greatest(sum(nh), 1.0) FROM n{k}) < {flt_eps} "
+            f"THEN 0.0 ELSE nh / (SELECT greatest(sum(nh), 1.0) FROM n{k}) END AS hub "
+            f"FROM n{k})"
         )
     return (
         "WITH " + ",\n".join(parts)
@@ -1628,9 +1641,12 @@ def _hits_sql(iters: int = 5) -> str:
 
 def _salsa_sql(iters: int = 5) -> str:
     """Unrolled fixed-iteration SALSA mirror of graph.salsa_rank with
-    eps=0: side = auth iff in_deg > out_deg, hub→auth edges only,
-    degree-normalized propagation, per-side L1 after each half-step
-    (hub update sees the NORMALIZED auth, exactly like the engine)."""
+    eps=0, reference recurrence (search.cpp:316-412): side = auth iff
+    in_deg > out_deg on the ORIGINAL graph over ALL nodes; only
+    hub→auth edges propagate; ONE combined score vector, initialized
+    1/num_auths resp. 1/num_hubs and normalized each iteration by
+    greatest(sum of the PREVIOUS scores, 1.0); bipartite-isolated
+    nodes drop to 0 (no keep-old in SALSA, no flush)."""
     parts = [
         _SYNTH_EDGES_SQL,
         "deg AS MATERIALIZED (SELECT node, sum(out_) AS outd, sum(in_) AS ind FROM ("
@@ -1642,41 +1658,56 @@ def _salsa_sql(iters: int = 5) -> str:
         "JOIN sides sd ON sd.node = e.dst AND sd.side = 'auth')",
         "hdeg AS MATERIALIZED (SELECT src, count(*) AS hd FROM ke GROUP BY src)",
         "adeg AS MATERIALIZED (SELECT dst, count(*) AS ad FROM ke GROUP BY dst)",
-        "an AS MATERIALIZED (SELECT DISTINCT dst AS node FROM ke)",
-        "hn AS MATERIALIZED (SELECT DISTINCT src AS node FROM ke)",
-        "a0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT count(*) FROM an) AS score FROM an)",
-        "h0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT count(*) FROM hn) AS score FROM hn)",
+        "s0 AS MATERIALIZED (SELECT node, side, CASE WHEN side = 'auth' "
+        "THEN 1.0 / greatest((SELECT count(*) FROM sides WHERE side = 'auth'), 1) "
+        "ELSE 1.0 / greatest((SELECT count(*) FROM sides WHERE side = 'hub'), 1) END AS score "
+        "FROM sides)",
     ]
     for k in range(1, iters + 1):
         p = k - 1
+        # local_out per hub src: (Σ_dst score[dst]/ad) / hd
         parts.append(
-            f"ar{k} AS MATERIALIZED (SELECT ke.dst AS node, sum(h.score / hd.hd) AS raw "
-            f"FROM ke JOIN h{p} h ON h.node = ke.src "
-            f"JOIN hdeg hd ON hd.src = ke.src GROUP BY ke.dst)"
+            f"t{k} AS MATERIALIZED (SELECT ke.src AS node, "
+            f"sum(s.score / ad.ad) / min(hd.hd) AS t "
+            f"FROM ke JOIN s{p} s ON s.node = ke.dst "
+            f"JOIN adeg ad ON ad.dst = ke.dst "
+            f"JOIN hdeg hd ON hd.src = ke.src GROUP BY ke.src)"
         )
         parts.append(
-            f"a{k} AS MATERIALIZED (SELECT node, raw / (SELECT sum(raw) FROM ar{k}) AS score FROM ar{k})"
+            f"ar{k} AS MATERIALIZED (SELECT ke.dst AS node, sum(t.t) AS raw "
+            f"FROM ke JOIN t{k} t ON t.node = ke.src GROUP BY ke.dst)"
+        )
+        # local_in per auth dst: (Σ_src score[src]/hd) / ad
+        parts.append(
+            f"u{k} AS MATERIALIZED (SELECT ke.dst AS node, "
+            f"sum(s.score / hd.hd) / min(ad.ad) AS u "
+            f"FROM ke JOIN s{p} s ON s.node = ke.src "
+            f"JOIN hdeg hd ON hd.src = ke.src "
+            f"JOIN adeg ad ON ad.dst = ke.dst GROUP BY ke.dst)"
         )
         parts.append(
-            f"hr{k} AS MATERIALIZED (SELECT ke.src AS node, sum(a.score / ad.ad) AS raw "
-            f"FROM ke JOIN a{k} a ON a.node = ke.dst "
-            f"JOIN adeg ad ON ad.dst = ke.dst GROUP BY ke.src)"
+            f"hr{k} AS MATERIALIZED (SELECT ke.src AS node, sum(u.u) AS raw "
+            f"FROM ke JOIN u{k} u ON u.node = ke.dst GROUP BY ke.src)"
         )
         parts.append(
-            f"h{k} AS MATERIALIZED (SELECT node, raw / (SELECT sum(raw) FROM hr{k}) AS score FROM hr{k})"
+            f"s{k} AS MATERIALIZED (SELECT s.node, s.side, "
+            f"coalesce(CASE WHEN s.side = 'auth' THEN ar.raw ELSE hr.raw END, 0.0) "
+            f"/ (SELECT greatest(sum(score), 1.0) FROM s{p}) AS score "
+            f"FROM s{p} s LEFT JOIN ar{k} ar ON ar.node = s.node "
+            f"LEFT JOIN hr{k} hr ON hr.node = s.node)"
         )
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT node, 'auth' AS side, round(score, 6) AS score FROM a{iters}"
-        + f"\nUNION ALL SELECT node, 'hub', round(score, 6) FROM h{iters}"
+        + f"\nSELECT node, side, round(score, 6) AS score FROM s{iters}"
     )
 
 
 @q("hits_rank", _hits_sql(5))
 def hits_rank_entry(spark, sf_dir):
-    """A5: HITS neighbor-sum iteration (search.cpp:253-306) over the
-    synthetic link graph; fixed 5 iterations (eps=0) so the unrolled
-    DuckDB CTE mirror is exact — oracle-paired since r2."""
+    """A5: HITS neighbor-sum iteration over the synthetic link graph,
+    reference recurrence (search.cpp:253-306: Jacobi, keep-old-on-zero,
+    max(sum,1) normalization, float-eps flush); fixed 5 iterations
+    (eps=0) so the unrolled DuckDB CTE mirror is exact."""
     from .graph import hits_rank
 
     return hits_rank(_synth_links(spark, sf_dir), max_iter=5, eps=0.0).select(
@@ -1686,8 +1717,10 @@ def hits_rank_entry(spark, sf_dir):
 
 @q("salsa_rank", _salsa_sql(5))
 def salsa_rank_entry(spark, sf_dir):
-    """A6: SALSA bipartite two-hop average (search.cpp:316-412); fixed
-    5 iterations (eps=0), unrolled CTE oracle — paired since r2."""
+    """A6: SALSA bipartite two-hop average, reference recurrence
+    (search.cpp:316-412: all nodes classified, one combined vector,
+    previous-sum normalization); fixed 5 iterations (eps=0), unrolled
+    CTE oracle."""
     from .graph import salsa_rank
 
     return salsa_rank(_synth_links(spark, sf_dir), max_iter=5, eps=0.0).select(
@@ -2215,7 +2248,7 @@ m AS (SELECT max(link) AS mx FROM base),
 p AS (
   SELECT doc_id, link,
          CASE WHEN n_chars > 300
-              THEN text_rank / ln(exp(1.0) + (n_chars - 300) / 30.0)
+              THEN text_rank / ln(exp(1.0) + (n_chars - 300) // 30)
               ELSE text_rank END AS t
   FROM base
 ),
@@ -2232,8 +2265,9 @@ SELECT doc_id, boost, final FROM f ORDER BY final DESC, doc_id LIMIT 50
 def combine_scores_entry(spark, sf_dir):
     """F13/A7: the reference's combine stage as a declarative plan —
     exp link boost over the A7 max, size penalty past a threshold,
-    harmonic-mean merge (search.cpp:539-553). Link/text inputs are
-    deterministic functions of doc_id; threshold/scale are the same
+    harmonic-mean merge (search.cpp:536-553; the size penalty divides
+    in size_t, so both sides floor the scaled offset). Link/text inputs
+    are deterministic functions of doc_id; threshold/scale are the same
     formula at corpus-sized constants (48 kB → 300 chars)."""
     docs = _docs(spark, sf_dir)
     base = docs.select(
@@ -2245,7 +2279,8 @@ def combine_scores_entry(spark, sf_dir):
     mx = base.agg(F.max("link").alias("mx"))
     t = F.when(
         F.col("n_chars") > 300,
-        F.col("text_rank") / F.log(F.exp(F.lit(1.0)) + (F.col("n_chars") - 300) / 30.0),
+        F.col("text_rank")
+        / F.log(F.exp(F.lit(1.0)) + F.floor((F.col("n_chars") - 300) / 30)),
     ).otherwise(F.col("text_rank"))
     boost = F.exp(6.5 * F.col("link") / F.col("mx"))
     return (
@@ -2272,10 +2307,21 @@ def _snippet_sql() -> str:
     left padding, [word] highlighting."""
     terms_in = "(" + ", ".join(f"'{s_stem(t)}'" for t in _SNIPPET_TERMS) + ")"
     sanitize = (
-        "trim(regexp_replace(regexp_replace(regexp_replace(substr(text, 1, 5000), "
-        r"'[\n\t`]+', ' ', 'g'), "
-        r"'^[`*=>#\s]+', ''), "
-        r"'\s{2,}', ' ', 'g'), " + _EXTRACT_STRIP + ")"
+        # sanitizeGemini parity (search.cpp:61-69): literal replaces for
+        # \n/\t/the ``` fence (single backticks survive), leading
+        # gemtext markers stripped UNLESS the whole string is markers
+        # (then returned unchanged); whitespace collapse + trim on top
+        # per the frozen spec
+        "replace(replace(replace(substr(text, 1, 5000), chr(10), ' '), "
+        "chr(9), ' '), '```', ' ')"
+    )
+    sanitize = (
+        f"CASE WHEN regexp_replace({sanitize}, '^[`*=>#]+', '') = '' "
+        f"THEN {sanitize} "
+        f"ELSE trim(regexp_replace(regexp_replace({sanitize}, '^[`*=>#]+', ''), "
+        + r"'\s{2,}', ' ', 'g'), "
+        + _EXTRACT_STRIP
+        + ") END"
     )
     return (
         """

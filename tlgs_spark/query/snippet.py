@@ -3,8 +3,13 @@
 Reference: previews are computed over only the first 5,000 chars of
 the body with MinWords=23, MaxWords=37, MaxFragments=1
 (search.cpp:773-779 — "MUCH faster ... without loosing accuracy"), and
-sanitized of newlines/backticks/leading gemtext markers
-(search.cpp:62-70). Frozen spec here: whitespace words; a word matches
+sanitized of newlines/tabs/code-fences/leading gemtext markers
+(search.cpp:61-69: only the literal ``​```​`` fence is replaced — single
+backticks survive — and a preview consisting entirely of marker chars
+is returned unchanged, find_first_not_of == npos). Frozen spec here:
+whitespace-run collapse + outer trim on top of the reference rules
+(the PG ts_headline stage normalizes whitespace before sanitize runs
+in the reference pipeline); whitespace words; a word matches
 if the S-STEM of its lowercased [a-z0-9]-normalized form equals the
 s-stem of a query term (the engine passes tokenize_query output, which
 is already stemmed — ts_headline matches through the same stemmer as
@@ -25,14 +30,20 @@ MIN_WORDS = 23
 MAX_WORDS = 37
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
-_SANITIZE_RE = re.compile(r"[\n\t`]+")
-_LEAD_RE = re.compile(r"^[`*=>#\s]+")
+_LEAD_RE = re.compile(r"^[`*=>#]+")
 
 
 def sanitize(s: str) -> str:
-    s = _SANITIZE_RE.sub(" ", s)
-    s = _LEAD_RE.sub("", s)
-    return re.sub(r"\s{2,}", " ", s).strip()
+    # replaceAll("\n"/"\t"/"```" -> " ") then strip leading gemtext
+    # markers, exactly like sanitizeGemini (search.cpp:61-69); single
+    # backticks are NOT markers and survive
+    s = s.replace("\n", " ").replace("\t", " ").replace("```", " ")
+    stripped = _LEAD_RE.sub("", s)
+    if not stripped:
+        # the whole string is marker chars: the reference returns it
+        # unchanged (find_first_not_of == npos)
+        return s
+    return re.sub(r"\s{2,}", " ", stripped).strip()
 
 
 def make_snippet(text: str, terms: list[str]) -> str:

@@ -74,9 +74,51 @@ def test_size_units(spec, expected):
     assert parse_size_value(spec) == expected
 
 
-def test_bad_size_falls_back_to_text():
+def test_bad_size_token_dropped():
+    # an unparseable size filter vanishes from the query entirely
+    # (search.cpp:211-221 `continue`), it does NOT become a text term
     text, filt = parse_search_query("x size:huge")
-    assert "size:huge" in text and not filt.size
+    assert text == "x" and not filt.size
+
+
+def test_bad_size_consumes_pending_not():
+    # NOT binds to the (key-classified) filter token before the value
+    # is validated, so both vanish together
+    text, filt = parse_search_query("x NOT size:>10zz")
+    assert text == "x" and not filt.size
+
+
+def test_negated_size_flips_direction():
+    # negate^greater folded at parse (search.cpp:224): NOT size:>N is
+    # size<N strictly — disagrees with outcome-XOR exactly at size==N
+    _, filt = parse_search_query("x NOT size:>1000")
+    assert filt.size == [("<", 1000)]
+    assert not eval_filter_row(filt, None, None, "c", 1000, frozenset())
+    assert eval_filter_row(filt, None, None, "c", 999, frozenset())
+
+
+def test_negated_intitle_value_joins_text_query():
+    # every title value — negated included — rejoins the text query
+    # after the loop (search.cpp:240-243)
+    text, filt = parse_search_query("x NOT infirst:y")
+    assert text == "x y"
+    assert filt.infirst == [("y", True)]
+
+
+def test_size_unit_grammar_quirks():
+    # parseSizeUnits strips at most ONE trailing 'b' (len > 1): 'bb'
+    # parses, 'kbyte' does not (search.cpp:146-164)
+    assert parse_size_value(">1bb") == (">", 1)
+    assert parse_size_value(">1kbyte") is None
+    assert parse_size_value(">1byteb") == (">", 1)
+
+
+def test_size_value_stod_and_size_t_semantics():
+    # stod parses the longest valid prefix; size_t truncates
+    assert parse_size_value(">1.2.3") == (">", 1)
+    assert parse_size_value(">0.5ki") == (">", 512)
+    assert parse_size_value(">0.9") == (">", 0)
+    assert parse_size_value(">.") is None
 
 
 def test_eval_filter_or_within_and_across():

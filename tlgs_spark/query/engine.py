@@ -16,8 +16,10 @@ Two execution paths over the same postings tables:
   concentrates on one node (doc-range sharding), and the global merge
   moves only n_shards × k rows.
 
-Post-rank filters (OR within type / AND across, XOR negation —
-evalFilter, search.cpp:643-676) are applied after scoring and before
+Post-rank filters (OR within type / AND across; XOR negation except
+size filters, whose negation folds into the comparison direction at
+parse time — evalFilter, search.cpp:643-676,224) are applied after
+scoring and before
 pagination, preserving the reference's result-count semantics; filters
 over 10^12 docs would join the ranked candidates to ``docs`` instead
 (same predicate, expressed in Spark).
@@ -806,13 +808,16 @@ class SearchIndex:
 
     def _filter_column(self, filt: SearchFilter, docs: DataFrame):
         """evalFilter as a Spark boolean Column over the docs table
-        (OR within type, AND across, XOR negation) — the distributed
+        (OR within type, AND across; XOR negation except size, whose
+        direction is pre-folded at parse time) — the distributed
         rendering of search.cpp:643-676."""
         cond = F.lit(True)
         if filt.size:
+            # negation is folded into the direction at parse time
+            # (search.cpp:224) — strict compare, no XOR
             per = [
-                ((F.col("size") > v) if op == ">" else (F.col("size") < v)) != F.lit(neg)
-                for op, v, neg in filt.size
+                (F.col("size") > v) if op == ">" else (F.col("size") < v)
+                for op, v in filt.size
             ]
             any_ = per[0]
             for p in per[1:]:

@@ -3,21 +3,32 @@
 Reference: parseSearchQuery / parseSizeUnits
 (tlgs/server/controllers/search.cpp:143-244) and evalFilter
 (search.cpp:643-676). Two-pass parse: pass 1 classifies tokens as
-Text / Filter / Logical(NOT); pass 2 binds NOT to the following filter
-(a trailing or filter-less NOT stays a text term — reference behavior),
-collects text terms, and appends ``infirst:`` values back onto the text
-query (the ``intitle:`` analog, search.cpp:240-243).
+Text / Filter / Logical(NOT) — a ``size:`` token is Filter by KEY
+alone (search.cpp:180-182), its value is validated later; pass 2 binds
+NOT to the following filter (a trailing or filter-less NOT stays a
+text term — reference behavior), collects text terms, and appends ALL
+``infirst:`` values — negated ones included — onto the END of the text
+query (search.cpp:240-243 appends every title value after the loop).
 
 Field mapping (graft): content_type→tool, domain→conv, + role;
 intitle→infirst (term must appear in the conversation's turn-0 text);
 size keeps the reference unit grammar ``([><])([.0-9]+)(units)`` with
-K/Ki/M/Mi/G/Gi and a tolerated trailing b/byte (search.cpp:143-165).
+parseSizeUnits' exact rules (search.cpp:143-165): lowercase, at most
+ONE trailing 'b' stripped when longer than one char, then exact match
+against ''/b/byte/k/ki/m/mi/g/gi — so ``kb``/``kib`` parse but
+``kbyte`` does not. An unparseable size value or unit DROPS the token
+(and its pending NOT) from the query entirely (search.cpp:211-221
+``continue``), never falling back to a text term. Values truncate to
+integers (size_t arithmetic).
 
 Filter semantics (evalFilter): within one filter type constraints OR,
-across types AND, each constraint's outcome XOR its negate flag;
-``tool``/role use prefix match (content_type analog), conv exact
-(domain analog). Docs with size==0 are excluded whenever a size filter
-is present (search.cpp:646-649).
+across types AND; tool/role/conv/infirst negate via XOR, but size
+filters fold negation into the comparison DIRECTION at parse time
+(search.cpp:224 stores ``negate^greater``), so ``NOT size:>N`` means
+``size < N`` strictly — the two disagree with outcome-XOR exactly at
+size == N. ``tool``/role use prefix match (content_type analog), conv
+exact (domain analog). Docs with size==0 are excluded whenever a size
+filter is present (search.cpp:646-649).
 """
 
 from __future__ import annotations
@@ -26,14 +37,19 @@ import re
 from dataclasses import dataclass, field
 
 SIZE_RE = re.compile(r"([><])([.0-9]+)([GBKMibyte]+)?", re.IGNORECASE)
+# std::stod's longest-valid-prefix number grammar (no exponent occurs:
+# the regex admits only [.0-9])
+_STOD_RE = re.compile(r"(\d+\.?\d*|\.\d+)")
 
 _UNITS = {
-    "": 1.0,
-    "k": 1e3,
+    "": 1,
+    "b": 1,
+    "byte": 1,
+    "k": 1000,
     "ki": 2**10,
-    "m": 1e6,
+    "m": 1000 * 1000,
     "mi": 2**20,
-    "g": 1e9,
+    "g": 1000 * 1000 * 1000,
     "gi": 2**30,
 }
 
@@ -50,24 +66,33 @@ FILTER_KEYS = {
 }
 
 
-def parse_size_value(spec: str) -> tuple[str, float] | None:
+def parse_size_units(unit: str) -> int | None:
+    """parseSizeUnits (search.cpp:143-165), rule for rule: lowercase,
+    strip at most ONE trailing 'b' when len > 1, exact lookup. The
+    quirks are deliberate parity: 'bb'→'b' parses (=1), 'kbyte' does
+    not (ends in 'e', no strip, no match)."""
+    unit = unit.lower()
+    if len(unit) > 1 and unit.endswith("b"):
+        unit = unit[:-1]
+    return _UNITS.get(unit)
+
+
+def parse_size_value(spec: str) -> tuple[str, int] | None:
     m = SIZE_RE.fullmatch(spec.strip())
     if not m:
         return None
     op, num, unit = m.group(1), m.group(2), (m.group(3) or "")
-    unit = unit.lower()
-    # tolerate trailing 'b'/'byte' (search.cpp:152-156)
-    for suffix in ("ibyte", "byte", "ib", "b"):
-        if unit.endswith(suffix) and unit[: -len(suffix)] + ("i" if suffix.startswith("i") else "") in _UNITS:
-            unit = unit[: -len(suffix)] + ("i" if suffix.startswith("i") else "")
-            break
-    if unit not in _UNITS:
+    mult = parse_size_units(unit)
+    if mult is None:
         return None
-    try:
-        val = float(num) * _UNITS[unit]
-    except ValueError:
+    m2 = _STOD_RE.match(num)
+    if m2 is None:
+        # std::stod would throw out of the reference's handler here
+        # (e.g. value '.'); treat as an invalid filter instead
         return None
-    return op, val
+    # stod parses the longest valid prefix ('1.2.3' → 1.2), and the
+    # reference stores the product in a size_t — truncate
+    return op, int(float(m2.group(1)) * mult)
 
 
 @dataclass
@@ -75,7 +100,9 @@ class SearchFilter:
     tool: list[tuple[str, bool]] = field(default_factory=list)  # (prefix, negate)
     role: list[tuple[str, bool]] = field(default_factory=list)
     conv: list[tuple[str, bool]] = field(default_factory=list)  # exact
-    size: list[tuple[str, float, bool]] = field(default_factory=list)  # (op, val, negate)
+    # (op, val): negation is already FOLDED into op at parse time, the
+    # way the reference stores negate^greater (search.cpp:224)
+    size: list[tuple[str, int]] = field(default_factory=list)
     infirst: list[tuple[str, bool]] = field(default_factory=list)
 
     def is_empty(self) -> bool:
@@ -96,13 +123,11 @@ def parse_search_query(query: str) -> tuple[str, SearchFilter]:
             key, _, val = tok.partition(":")
             k = FILTER_KEYS.get(key.lower())
             if k is not None and val:
-                if k == "size":
-                    if parse_size_value(val) is not None:
-                        kinds.append(("filter", k, val))
-                        continue
-                else:
-                    kinds.append(("filter", k, val))
-                    continue
+                # size tokens classify as Filter by KEY alone
+                # (search.cpp:180-182); a bad value is handled in
+                # pass 2 by DROPPING the token, not demoting to text
+                kinds.append(("filter", k, val))
+                continue
         kinds.append(("text", "", tok))
 
     # pass 2: bind NOT to following filter; build text + filters.
@@ -128,17 +153,25 @@ def parse_search_query(query: str) -> tuple[str, SearchFilter]:
         # filter token
         negate = pending_not is not None
         if key == "size":
-            op, v = parse_size_value(val)  # validated in pass 1
-            filt.size.append((op, v, negate))
+            parsed = parse_size_value(val)
+            if parsed is not None:
+                op, v = parsed
+                # fold negation into the direction (search.cpp:224)
+                greater = negate ^ (op == ">")
+                filt.size.append((">" if greater else "<", v))
+            # else: bad size value/unit — the token AND its pending NOT
+            # vanish from the query (search.cpp:211-221)
         elif key == "infirst":
             filt.infirst.append((val, negate))
-            if not negate:
-                text_terms.append(val)  # intitle terms rejoin the text query
         else:
             getattr(filt, key).append((val, negate))
         pending_not = None
     if pending_not is not None:
         text_terms.append(pending_not)
+    # every title value — negated included — rejoins the text query
+    # AFTER the loop (search.cpp:240-243), so retrieval still requires
+    # the term in AND mode exactly like plainto_tsquery's implicit AND
+    text_terms.extend(val for val, _neg in filt.infirst)
     return " ".join(text_terms), filt
 
 
@@ -160,11 +193,8 @@ def eval_filter_row(
     if filt.size:
         if size == 0:
             return False
-        oks, negs = [], []
-        for op, v, neg in filt.size:
-            oks.append(size > v if op == ">" else size < v)
-            negs.append(neg)
-        if not group(oks, negs):
+        # direction pre-folded at parse time: strict compare, no XOR
+        if not any(size > v if op == ">" else size < v for op, v in filt.size):
             return False
     if filt.tool:
         t = tool or ""

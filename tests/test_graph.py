@@ -1,4 +1,5 @@
-"""HITS / SALSA DataFrame implementations vs NumPy mirrors on small
+"""HITS / SALSA DataFrame implementations vs literal transliterations
+of the reference loops (search.cpp:253-306, 316-412) on small
 deterministic graphs."""
 
 import numpy as np
@@ -17,30 +18,92 @@ def edges_df(spark):
     return spark.createDataFrame(edges, "src long, dst long")
 
 
-def _numpy_hits(edges, n_iter):
+def _adj(edges):
     nodes = sorted({u for e in edges for u in e})
     idx = {n: i for i, n in enumerate(nodes)}
+    in_nb = [[] for _ in nodes]
+    out_nb = [[] for _ in nodes]
+    for s, d in edges:
+        out_nb[idx[s]].append(idx[d])
+        in_nb[idx[d]].append(idx[s])
+    return nodes, in_nb, out_nb
+
+
+def _ref_hits(edges, eps, max_iter):
+    """Line-for-line hitsRank (search.cpp:253-306): Jacobi updates,
+    keep-old on a zero calc sum, max(sum,1) normalization, float-eps
+    flush after the delta."""
+    nodes, in_nb, out_nb = _adj(edges)
     n = len(nodes)
-    auth = np.ones(n) / n  # after initial L1 normalize (all-ones / n)
-    hub = np.ones(n) / n
-    for _ in range(n_iter):
-        new_auth = np.zeros(n)
-        for s, d in edges:
-            new_auth[idx[d]] += hub[idx[s]]
-        new_hub = np.zeros(n)
-        for s, d in edges:
-            new_hub[idx[s]] += new_auth[idx[d]]
-        auth = new_auth / new_auth.sum() if new_auth.sum() else new_auth
-        hub = new_hub / new_hub.sum() if new_hub.sum() else new_hub
-    return {n_: (auth[idx[n_]], hub[idx[n_]]) for n_ in nodes}
+    flt_eps = float(np.finfo(np.float32).eps)
+    auth = [1.0 / n] * n
+    hub = [1.0 / n] * n
+    delta, it = 9.0, 0
+    while it < max_iter and delta > eps:
+        na, nh = list(auth), list(hub)
+        for i in range(n):
+            ca = sum(hub[j] for j in in_nb[i])
+            ch = sum(auth[j] for j in out_nb[i])
+            if ca != 0:
+                na[i] = ca
+            if ch != 0:
+                nh[i] = ch
+        asum, hsum = max(sum(na), 1.0), max(sum(nh), 1.0)
+        delta = 0.0
+        for i in range(n):
+            delta += abs(auth[i] - na[i] / asum) + abs(hub[i] - nh[i] / hsum)
+            auth[i] = na[i] / asum
+            hub[i] = nh[i] / hsum
+            if auth[i] < flt_eps:
+                auth[i] = 0.0
+            if hub[i] < flt_eps:
+                hub[i] = 0.0
+        it += 1
+    return {nd: (auth[i], hub[i]) for i, nd in enumerate(nodes)}
+
+
+def _ref_salsa(edges, eps, max_iter):
+    """Line-for-line salsaRank (search.cpp:316-412): side split on
+    original degrees, same-side edges dropped, ONE combined score
+    vector normalized by the PREVIOUS iteration's sum."""
+    nodes, in_nb, out_nb = _adj(edges)
+    n = len(nodes)
+    is_auth = [len(in_nb[i]) > len(out_nb[i]) for i in range(n)]
+    n_a, n_h = sum(is_auth), n - sum(is_auth)
+    in_nb = [[j for j in in_nb[i] if is_auth[j] != is_auth[i]] for i in range(n)]
+    out_nb = [[j for j in out_nb[i] if is_auth[j] != is_auth[i]] for i in range(n)]
+    score = [1.0 / max(n_a, 1) if is_auth[i] else 1.0 / max(n_h, 1) for i in range(n)]
+    delta, it = 9.0, 0
+    while it < max_iter and delta > eps:
+        new = [0.0] * n
+        for i in range(n):
+            if is_auth[i]:
+                new[i] = sum(
+                    sum(score[k] / max(len(in_nb[k]), 1) for k in out_nb[j])
+                    / max(len(out_nb[j]), 1)
+                    for j in in_nb[i]
+                )
+            else:
+                new[i] = sum(
+                    sum(score[k] / max(len(out_nb[k]), 1) for k in in_nb[j])
+                    / max(len(in_nb[j]), 1)
+                    for j in out_nb[i]
+                )
+        ssum = max(sum(score), 1.0)
+        delta = sum(abs(new[i] / ssum - score[i]) for i in range(n))
+        score = [new[i] / ssum for i in range(n)]
+        it += 1
+    return {
+        nd: ("auth" if is_auth[i] else "hub", score[i]) for i, nd in enumerate(nodes)
+    }
 
 
 @pytest.mark.parametrize("threshold", [0, 10**6], ids=["distributed", "driver"])
-def test_hits_matches_numpy(spark, edges_df, threshold):
+def test_hits_matches_reference_loop(spark, edges_df, threshold):
     from tlgs_spark.graph import hits_rank
 
     edges = [(r.src, r.dst) for r in edges_df.collect()]
-    exp = _numpy_hits(edges, 3)
+    exp = _ref_hits(edges, 0.0, 3)
     got = {
         r.node: (r.auth, r.hub)
         for r in hits_rank(edges_df, eps=0.0, max_iter=3, driver_threshold=threshold).collect()
@@ -51,16 +114,48 @@ def test_hits_matches_numpy(spark, edges_df, threshold):
         assert got[n][1] == pytest.approx(exp[n][1], abs=1e-12), f"hub {n}"
 
 
-def test_salsa_driver_matches_distributed(spark, edges_df):
+@pytest.mark.parametrize("threshold", [0, 10**6], ids=["distributed", "driver"])
+def test_salsa_matches_reference_loop(spark, edges_df, threshold):
     from tlgs_spark.graph import salsa_rank
 
-    a = {(r.node, r.side): r.score
-         for r in salsa_rank(edges_df, max_iter=10, driver_threshold=0).collect()}
-    b = {(r.node, r.side): r.score
-         for r in salsa_rank(edges_df, max_iter=10).collect()}
-    assert set(a) == set(b)
-    for k in a:
-        assert a[k] == pytest.approx(b[k], abs=1e-12), k
+    edges = [(r.src, r.dst) for r in edges_df.collect()]
+    exp = _ref_salsa(edges, 0.0, 4)
+    got = {
+        r.node: (r.side, r.score)
+        for r in salsa_rank(edges_df, eps=0.0, max_iter=4, driver_threshold=threshold).collect()
+    }
+    assert set(got) == set(exp)
+    for n in exp:
+        assert got[n][0] == exp[n][0], f"side {n}"
+        assert got[n][1] == pytest.approx(exp[n][1], abs=1e-12), f"score {n}"
+
+
+def test_hits_keep_old_on_sources_and_sinks(spark):
+    """A→B: B has no out-links, A no in-links — the reference KEEPS
+    their previous hub/auth instead of zeroing (search.cpp:281-285),
+    and normalizes by max(sum, 1.0) so sub-unit sums pass through."""
+    from tlgs_spark.graph import hits_rank
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r.node: (r.auth, r.hub) for r in hits_rank(e, eps=0.0, max_iter=1).collect()}
+    # init 1/2 each. calc_auth(1)=hub(0)=0.5 → new; calc_auth(0)=0 → keep 0.5
+    # asum = max(1.0, 1) = 1 → auth stays (0.5, 0.5); hub symmetric
+    assert got[0] == (0.5, 0.5) and got[1] == (0.5, 0.5)
+
+
+def test_salsa_normalizes_by_previous_sum(spark):
+    """First iteration: old sums are 1 (auth side) + 1 (hub side) = 2,
+    so the combined vector is divided by 2, not per-side."""
+    from tlgs_spark.graph import salsa_rank
+
+    # A→C, B→C, C→A: C is auth (in 2 > out 1); A, B hubs
+    e = spark.createDataFrame([(0, 2), (1, 2), (2, 0)], "src long, dst long")
+    got = {r.node: r.score for r in salsa_rank(e, eps=0.0, max_iter=1).collect()}
+    exp = _ref_salsa([(0, 2), (1, 2), (2, 0)], 0.0, 1)
+    for n, sc in got.items():
+        assert sc == pytest.approx(exp[n][1], abs=1e-15)
+    # the combined vector sums to (new auth + new hub mass) / old sum 2
+    assert got[2] == pytest.approx(1.0 / 2, abs=1e-15)
 
 
 def test_hits_authorities_ranked_sensibly(spark, edges_df):
@@ -89,16 +184,17 @@ def test_salsa_bipartite_sides(spark, edges_df):
     # 10,11 have in>out → authorities; 0,1 out-only → hubs
     assert side[10] == "auth" and side[11] == "auth"
     assert side[0] == "hub" and side[1] == "hub"
-    # per-side L1 normalization
-    for s in ("auth", "hub"):
-        tot = sum(r.score for r in rows if r.side == s)
-        assert tot == pytest.approx(1.0, abs=1e-9)
+    # EVERY graph node is classified and scored (the reference keeps
+    # all nodes in the vector), including bipartite-isolated ones
+    assert len(rows) == 8
 
 
-def test_salsa_empty_bipartite_graph(spark):
+def test_salsa_all_same_side_graph(spark):
     from tlgs_spark.graph import salsa_rank
 
-    # a pure cycle: every node has in==out → all hubs, no hub→auth edges
+    # a pure cycle: every node has in==out → all hubs, no hub→auth
+    # edges; every node still classifies and drops to score 0
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
-    rows = salsa_rank(edges, max_iter=5).collect()
-    assert all(r.side == "hub" for r in rows) or rows == []
+    rows = salsa_rank(edges, eps=0.0, max_iter=5).collect()
+    assert len(rows) == 3
+    assert all(r.side == "hub" and r.score == 0.0 for r in rows)

@@ -4,10 +4,33 @@ Reference: hitsRank (search.cpp:253-306) and salsaRank
 (search.cpp:316-412) run per-query over an in-memory adjacency list.
 Here the graph is an edges DataFrame ``(src long, dst long)`` and each
 iteration is a join+groupBy aggregate — GraphFrames-style
-aggregateMessages without the dependency. Convergence parameters match
-the reference: HITS ε=0.005, SALSA ε=0.005*2, max 300 iterations
-(search.cpp:259-260,357-358), L1 normalization, denormal flush
-(search.cpp:297-301 → floats below ~1e-38 snapped to 0).
+aggregateMessages without the dependency.
+
+Recurrence parity (pinned by tests/test_graph.py):
+
+- **HITS is Jacobi**: both calc sums read the PREVIOUS iteration's
+  auth/hub snapshot (search.cpp:271-279). A node whose calc sum is 0
+  KEEPS its previous score (:281-285); each vector normalizes by
+  ``max(sum, 1.0)`` (:287-288); normalized scores strictly below
+  float epsilon (~1.1920929e-7) flush to 0 (:297-301) AFTER the
+  convergence delta is taken. hitsRank's return value is the auth
+  vector — we return hub too as a bonus column.
+- **SALSA keeps ONE combined score vector** over ALL nodes:
+  classification ``is_auth = in_deg > out_deg`` runs on the original
+  graph (:324-328), same-side edges are dropped (:331-354), scores
+  init to 1/num_auths resp. 1/num_hubs counted over ALL nodes, each
+  side updates from the previous iteration's snapshot via the
+  two-hop degree-normalized average, and the whole vector normalizes
+  ONCE by ``max(sum(previous scores), 1.0)`` (:403-408 accumulates
+  the OLD vector). Nodes isolated in the bipartite graph drop to 0
+  (no keep-old rule in SALSA). No denormal flush (HITS-only).
+- Convergence: sum of |Δ| across the full vector(s), loop while
+  delta > eps; HITS eps=0.005, SALSA eps=0.005*2 (:259,356).
+
+Documented divergence: the reference accumulates neighbor sums and
+stores the SALSA local averages in float32, in adjacency order — a
+declarative engine has no stable accumulation order to mirror, so all
+arithmetic here is float64. Everything else is recurrence-exact.
 
 Scale notes: the reference runs link analysis per query over the
 candidate graph only — root set capped at 50k (search.cpp:442) — so
@@ -18,7 +41,7 @@ loop (one Spark job to fetch the edges, zero per iteration); larger
 graphs fall back to the distributed iterative-join formulation, where
 the edges DataFrame is cached once, scores are localCheckpoint()ed
 every ``checkpoint_every`` iterations to cut lineage (I7 in SURVEY
-§2.8), L1 normalization stays IN the plan (broadcast 1-row cross
+§2.8), normalization stays IN the plan (broadcast 1-row cross
 join — no per-iteration collect), and convergence is tested
 driver-side on exactly ONE 1-row aggregate per iteration (sum |Δ|
 over both score vectors), never by collecting scores.
@@ -31,20 +54,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DENORMAL_MIN = 1.17549435e-38  # FLT_MIN flush, search.cpp:297-301
+# std::numeric_limits<float>::epsilon() — the HITS denormal-avoidance
+# flush threshold (search.cpp:297-301). NOT FLT_MIN: the reference
+# zeroes anything below ~1.19e-7, which changes rankings on fringe
+# nodes of large candidate graphs.
+HITS_FLUSH_EPS = float(np.finfo(np.float32).eps)  # 1.1920928955078125e-07
 
 # per-query candidate graphs are ≤50k nodes in the reference; 2M edges
 # ≈ 32 MB on the driver — far under any sane driver memory
 DRIVER_EDGE_THRESHOLD = 2_000_000
-
-
-def _flush(col):
-    return F.when(F.abs(col) < DENORMAL_MIN, F.lit(0.0)).otherwise(col)
-
-
-def _flush_np(a: np.ndarray) -> np.ndarray:
-    a[np.abs(a) < DENORMAL_MIN] = 0.0
-    return a
 
 
 def _distinct_edge_index(pdf: pd.DataFrame):
@@ -68,13 +86,21 @@ def _hits_driver(spark, pdf: pd.DataFrame, eps: float, max_iter: int) -> DataFra
     auth = np.full(n, 1.0 / n)
     hub = np.full(n, 1.0 / n)
     for _ in range(max_iter):
-        pa, ph = auth, hub
-        auth_raw = _flush_np(np.bincount(d, weights=hub[s], minlength=n))
-        hub_raw = _flush_np(np.bincount(s, weights=auth_raw[d], minlength=n))
-        ta, th = auth_raw.sum(), hub_raw.sum()
-        auth = auth_raw / ta if ta > 0 else auth_raw
-        hub = hub_raw / th if th > 0 else hub_raw
-        if np.abs(auth - pa).sum() + np.abs(hub - ph).sum() < eps:
+        # Jacobi: BOTH sums read the previous iteration's snapshot
+        calc_auth = np.bincount(d, weights=hub[s], minlength=n)
+        calc_hub = np.bincount(s, weights=auth[d], minlength=n)
+        # keep the previous score where the calc sum is 0 (:281-285)
+        new_auth = np.where(calc_auth != 0.0, calc_auth, auth)
+        new_hub = np.where(calc_hub != 0.0, calc_hub, hub)
+        asum = max(new_auth.sum(), 1.0)
+        hsum = max(new_hub.sum(), 1.0)
+        na, nh = new_auth / asum, new_hub / hsum
+        delta = np.abs(auth - na).sum() + np.abs(hub - nh).sum()
+        # flush AFTER the delta (the reference flushes the stored
+        # scores in the same pass that measured the delta, :290-301)
+        auth = np.where(na < HITS_FLUSH_EPS, 0.0, na)
+        hub = np.where(nh < HITS_FLUSH_EPS, 0.0, nh)
+        if delta <= eps:
             break
     return spark.createDataFrame(
         pd.DataFrame({"node": nodes, "auth": auth, "hub": hub}), schema
@@ -89,43 +115,45 @@ def _salsa_driver(spark, pdf: pd.DataFrame, eps: float, max_iter: int) -> DataFr
         return spark.createDataFrame([], schema)
     outd = np.bincount(s, minlength=n)
     ind = np.bincount(d, minlength=n)
-    is_auth = ind > outd  # side split, search.cpp:324-328
-    keep = (~is_auth[s]) & is_auth[d]  # hub→auth edges only (:331-354)
-    s, d = s[keep], d[keep]
-    if s.size == 0:
-        return spark.createDataFrame([], schema)
-    hdeg = np.bincount(s, minlength=n).astype(np.float64)
-    adeg = np.bincount(d, minlength=n).astype(np.float64)
-    hub_nodes = np.unique(s)
-    auth_nodes = np.unique(d)
-    auth = np.zeros(n)
-    hub = np.zeros(n)
-    auth[auth_nodes] = 1.0 / len(auth_nodes)
-    hub[hub_nodes] = 1.0 / len(hub_nodes)
-    safe_h = np.where(hdeg > 0, hdeg, 1.0)
-    safe_a = np.where(adeg > 0, adeg, 1.0)
+    is_auth = ind > outd  # side split on the ORIGINAL graph (:324-328)
+    n_auth = int(is_auth.sum())
+    n_hub = n - n_auth
+    # init 1/num_auths resp. 1/num_hubs counted over ALL nodes; the
+    # max(...,1) guards a side with zero members (no node reads it)
+    score = np.where(is_auth, 1.0 / max(n_auth, 1), 1.0 / max(n_hub, 1))
+    # bipartite graph: only hub→auth edges feed the updates (:331-354
+    # keeps every cross-side edge, but auth→hub edges are never read)
+    keep = (~is_auth[s]) & is_auth[d]
+    bs, bd = s[keep], d[keep]
+    hdeg = np.bincount(bs, minlength=n).astype(np.float64)  # |out(hub)|
+    adeg = np.bincount(bd, minlength=n).astype(np.float64)  # |in(auth)|
+    safe_h = np.maximum(hdeg, 1.0)
+    safe_a = np.maximum(adeg, 1.0)
     for _ in range(max_iter):
-        pa, ph = auth, hub
-        auth = _flush_np(np.bincount(d, weights=(hub / safe_h)[s], minlength=n))
-        ta = auth.sum()
-        if ta > 0:
-            auth = auth / ta
-        hub = _flush_np(np.bincount(s, weights=(auth / safe_a)[d], minlength=n))
-        th = hub.sum()
-        if th > 0:
-            hub = hub / th
-        d1 = np.abs(auth - pa)[auth_nodes].sum()
-        d2 = np.abs(hub - ph)[hub_nodes].sum()
-        if d1 + d2 < eps:
+        # local_out per hub j: (Σ_{a∈out(j)} score[a]/|in(a)|) / |out(j)|
+        t = np.bincount(bs, weights=(score / safe_a)[bd], minlength=n) / safe_h
+        # local_in per auth a: (Σ_{h∈in(a)} score[h]/|out(h)|) / |in(a)|
+        u = np.bincount(bd, weights=(score / safe_h)[bs], minlength=n) / safe_a
+        new_auth = np.bincount(bd, weights=t[bs], minlength=n)
+        new_hub = np.bincount(bs, weights=u[bd], minlength=n)
+        new_score = np.where(is_auth, new_auth, new_hub)
+        # ONE normalization of the combined vector by the sum of the
+        # PREVIOUS scores (:403 accumulates `score` pre-assignment)
+        ns = new_score / max(score.sum(), 1.0)
+        delta = np.abs(ns - score).sum()
+        score = ns
+        if delta <= eps:
             break
-    out = pd.DataFrame(
-        {
-            "node": np.concatenate([nodes[auth_nodes], nodes[hub_nodes]]),
-            "side": ["auth"] * len(auth_nodes) + ["hub"] * len(hub_nodes),
-            "score": np.concatenate([auth[auth_nodes], hub[hub_nodes]]),
-        }
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node": nodes,
+                "side": np.where(is_auth, "auth", "hub"),
+                "score": score,
+            }
+        ),
+        schema,
     )
-    return spark.createDataFrame(out, schema)
 
 
 def hits_rank(
@@ -135,8 +163,9 @@ def hits_rank(
     checkpoint_every: int = 3,
     driver_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
-    """→ (node, auth, hub), L1-normalized, reference semantics:
-    auth(v) = Σ_{u→v} hub(u); hub(u) = Σ_{u→v} auth(v); iterate."""
+    """→ (node, auth, hub), reference recurrence (see module doc):
+    Jacobi updates, keep-old-on-zero, max(sum,1) normalization,
+    epsilon flush."""
     e = edges.select("src", "dst").distinct().cache()
     if e.count() <= driver_threshold:
         return _hits_driver(edges.sparkSession, e.toPandas(), eps, max_iter)
@@ -146,38 +175,66 @@ def hits_rank(
         .distinct()
         .cache()
     )
-    scores = nodes.select("node", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
-    scores = _l1_normalize(scores, ["auth", "hub"])
+    inv_n = 1.0 / nodes.count()
+    scores = nodes.select(
+        "node", F.lit(inv_n).alias("auth"), F.lit(inv_n).alias("hub")
+    )
     for i in range(max_iter):
         prev = scores
-        new_auth = (
+        calc_auth = (
             e.join(scores.select(F.col("node").alias("src"), "hub"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub").alias("auth_raw"))
+            .agg(F.sum("hub").alias("ca"))
         )
-        new_hub = (
-            e.join(new_auth.select(F.col("node").alias("dst"), "auth_raw"), "dst")
+        # Jacobi: the hub sum reads the PREVIOUS auth, not this
+        # iteration's fresh one (search.cpp:278-279)
+        calc_hub = (
+            e.join(scores.select(F.col("node").alias("dst"), "auth"), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("auth_raw").alias("hub_raw"))
+            .agg(F.sum("auth").alias("ch"))
         )
-        scores = (
-            nodes.join(new_auth, "node", "left")
-            .join(new_hub, "node", "left")
+        raw = (
+            scores.join(calc_auth, "node", "left")
+            .join(calc_hub, "node", "left")
             .select(
                 "node",
-                _flush(F.coalesce(F.col("auth_raw"), F.lit(0.0))).alias("auth"),
-                _flush(F.coalesce(F.col("hub_raw"), F.lit(0.0))).alias("hub"),
+                "auth",
+                "hub",
+                # keep-old where the calc sum is NULL (no in/out edges)
+                # or exactly 0 (all contributors flushed)
+                F.coalesce(F.nullif(F.col("ca"), F.lit(0.0)), F.col("auth")).alias("na"),
+                F.coalesce(F.nullif(F.col("ch"), F.lit(0.0)), F.col("hub")).alias("nh"),
             )
         )
-        scores = _l1_normalize(scores, ["auth", "hub"])
+        sums = raw.agg(
+            F.greatest(F.sum("na"), F.lit(1.0)).alias("asum"),
+            F.greatest(F.sum("nh"), F.lit(1.0)).alias("hsum"),
+        )
+        normed = raw.crossJoin(F.broadcast(sums)).select(
+            "node",
+            "auth",
+            "hub",
+            (F.col("na") / F.col("asum")).alias("na"),
+            (F.col("nh") / F.col("hsum")).alias("nh"),
+        )
+        # ONE action per iteration: the convergence delta (pre-flush,
+        # like the reference)
+        delta = (
+            normed.agg(
+                F.sum(
+                    F.abs(F.col("auth") - F.col("na"))
+                    + F.abs(F.col("hub") - F.col("nh"))
+                ).alias("d")
+            ).collect()[0]["d"]
+        )
+        scores = normed.select(
+            "node",
+            F.when(F.col("na") < HITS_FLUSH_EPS, F.lit(0.0)).otherwise(F.col("na")).alias("auth"),
+            F.when(F.col("nh") < HITS_FLUSH_EPS, F.lit(0.0)).otherwise(F.col("nh")).alias("hub"),
+        )
         if (i + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint()
-        delta = (
-            scores.join(prev.select("node", F.col("auth").alias("pa"), F.col("hub").alias("ph")), "node")
-            .agg(F.sum(F.abs(F.col("auth") - F.col("pa")) + F.abs(F.col("hub") - F.col("ph"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        if delta is not None and delta < eps:
+        if delta is not None and delta <= eps:
             break
     return scores
 
@@ -189,11 +246,10 @@ def salsa_rank(
     checkpoint_every: int = 3,
     driver_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
-    """SALSA (search.cpp:316-412): bipartite split — a node is an
-    authority iff in_degree > out_degree, else hub (:324-328); edges
-    whose endpoints land on the same side are dropped (:331-354);
-    scores propagate as degree-normalized two-hop averages. → (node,
-    side, score), L1-normalized per side."""
+    """SALSA, reference recurrence (see module doc): side split on
+    original degrees over ALL nodes, hub→auth bipartite propagation,
+    ONE combined score vector normalized by the previous iteration's
+    sum. → (node, side, score) for every graph node."""
     e0 = edges.select("src", "dst").distinct().cache()
     if e0.count() <= driver_threshold:
         return _salsa_driver(edges.sparkSession, e0.toPandas(), eps, max_iter)
@@ -205,6 +261,9 @@ def salsa_rank(
         .withColumn("side", F.when(F.col("ind") > F.col("outd"), F.lit("auth")).otherwise(F.lit("hub")))
         .cache()
     )
+    counts = {r["side"]: r["cnt"] for r in deg.groupBy("side").agg(F.count("*").alias("cnt")).collect()}
+    n_auth = counts.get("auth", 0)
+    n_hub = counts.get("hub", 0)
     side = deg.select("node", "side")
     e = (
         e0.join(side.withColumnRenamed("node", "src").withColumnRenamed("side", "side_src"), "src")
@@ -213,69 +272,68 @@ def salsa_rank(
         .select("src", "dst")
         .cache()
     )
-    # degrees within the pruned bipartite graph
+    # bipartite degrees, carried on every edge row
     hub_deg = e.groupBy("src").agg(F.count("*").alias("hdeg"))
     auth_deg = e.groupBy("dst").agg(F.count("*").alias("adeg"))
+    ew = e.join(hub_deg, "src").join(auth_deg, "dst").cache()
 
-    auth = e.select(F.col("dst").alias("node")).distinct().withColumn("score", F.lit(1.0))
-    hub = e.select(F.col("src").alias("node")).distinct().withColumn("score", F.lit(1.0))
-    auth = _l1_normalize(auth, ["score"])
-    hub = _l1_normalize(hub, ["score"])
-
+    scores = side.select(
+        "node",
+        "side",
+        F.when(F.col("side") == "auth", F.lit(1.0 / max(n_auth, 1)))
+        .otherwise(F.lit(1.0 / max(n_hub, 1)))
+        .alias("score"),
+    )
     for i in range(max_iter):
-        prev_auth, prev_hub = auth, hub
-        # auth ← mean over in-neighbors of (hub_score / hub_out_degree)
-        auth = (
-            e.join(hub.withColumnRenamed("node", "src").withColumnRenamed("score", "hs"), "src")
-            .join(hub_deg, "src")
+        prev = scores
+        sc = scores.select("node", "score")
+        # local_out per hub src: (Σ_{dst} score[dst]/adeg[dst]) / hdeg
+        t = (
+            ew.join(sc.withColumnRenamed("node", "dst").withColumnRenamed("score", "sa"), "dst")
+            .groupBy("src")
+            .agg((F.sum(F.col("sa") / F.col("adeg")) / F.first("hdeg")).alias("t"))
+        )
+        new_auth = (
+            ew.join(t, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("hs") / F.col("hdeg")).alias("score"))
+            .agg(F.sum("t").alias("raw"))
         )
-        auth = _l1_normalize(auth.select("node", _flush(F.col("score")).alias("score")), ["score"])
-        hub = (
-            e.join(auth.withColumnRenamed("node", "dst").withColumnRenamed("score", "as_"), "dst")
-            .join(auth_deg, "dst")
+        # local_in per auth dst: (Σ_{src} score[src]/hdeg[src]) / adeg
+        u = (
+            ew.join(sc.withColumnRenamed("node", "src").withColumnRenamed("score", "sh"), "src")
+            .groupBy("dst")
+            .agg((F.sum(F.col("sh") / F.col("hdeg")) / F.first("adeg")).alias("u"))
+        )
+        new_hub = (
+            ew.join(u, "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum(F.col("as_") / F.col("adeg")).alias("score"))
+            .agg(F.sum("u").alias("raw"))
         )
-        hub = _l1_normalize(hub.select("node", _flush(F.col("score")).alias("score")), ["score"])
-        if (i + 1) % checkpoint_every == 0:
-            auth, hub = auth.localCheckpoint(), hub.localCheckpoint()
-        # ONE action for both sides' deltas (was two collects/iter)
-        delta = (
-            auth.join(prev_auth.withColumnRenamed("score", "p"), "node")
-            .select((F.abs(F.col("score") - F.col("p"))).alias("d"))
-            .unionByName(
-                hub.join(prev_hub.withColumnRenamed("score", "p"), "node")
-                .select((F.abs(F.col("score") - F.col("p"))).alias("d"))
+        olds = scores.agg(F.greatest(F.sum("score"), F.lit(1.0)).alias("osum"))
+        scores = (
+            scores.join(new_auth, "node", "left")
+            .join(new_hub.withColumnRenamed("raw", "raw_h"), "node", "left")
+            .crossJoin(F.broadcast(olds))
+            .select(
+                "node",
+                "side",
+                (
+                    F.coalesce(
+                        F.when(F.col("side") == "auth", F.col("raw")).otherwise(F.col("raw_h")),
+                        F.lit(0.0),
+                    )
+                    / F.col("osum")
+                ).alias("score"),
             )
-            .agg(F.sum("d").alias("d"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            scores = scores.localCheckpoint()
+        # ONE action for the convergence delta
+        delta = (
+            scores.join(prev.select("node", F.col("score").alias("p")), "node")
+            .agg(F.sum(F.abs(F.col("score") - F.col("p"))).alias("d"))
             .collect()[0]["d"]
         ) or 0.0
-        if delta < eps:
+        if delta <= eps:
             break
-    return (
-        auth.withColumn("side", F.lit("auth")).unionByName(hub.withColumn("side", F.lit("hub")))
-        .select("node", "side", "score")
-    )
-
-
-def _l1_normalize(df: DataFrame, cols: list[str]) -> DataFrame:
-    """L1-normalize WITHOUT a driver action: the totals stay in the
-    plan as a broadcast 1-row cross join, so each distributed
-    iteration pays exactly ONE action (the convergence delta) instead
-    of two/three — at 300 iterations that halves the job count (the
-    r1 VERDICT's 900-jobs-per-run flag). localCheckpoint every few
-    iterations keeps the deepened lineage bounded."""
-    totals = df.agg(
-        *[F.sum(F.abs(F.col(c))).alias(f"_t_{c}") for c in cols]
-    )
-    out = df.crossJoin(F.broadcast(totals))
-    for c in cols:
-        out = out.withColumn(
-            c,
-            F.when(F.col(f"_t_{c}") > 0, F.col(c) / F.col(f"_t_{c}")).otherwise(
-                F.col(c)
-            ),
-        )
-    return out.drop(*[f"_t_{c}" for c in cols])
+    return scores.select("node", "side", "score")

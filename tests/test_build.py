@@ -283,3 +283,35 @@ def test_docs_layout_streamable_gate(spark, tmp_path):
     json.dump(meta, open(mf, "w"))
     st2 = IndexStorage(idx)
     assert not _docs_layout_streamable(spark, st2)
+
+
+def test_range_shuffle_assign_matches_broadcast(spark, tmp_path, monkeypatch):
+    """Past FUSED_ASSIGN_MAX_DOCS the build range-shuffles full rows
+    instead of broadcast-joining the ranked key map; the two paths must
+    produce identical indexes (proven at 21M docs by the 10x probe —
+    this pins it in CI at test scale by forcing the cap to 0)."""
+    import tlgs_spark.indexer.build as B
+
+    bcast_dir = str(tmp_path / "bcast")
+    shuf_dir = str(tmp_path / "shuf")
+    sdf = generate_spark(spark, 20, partitions=3)
+    build_index(spark, sdf, bcast_dir, n_shards=5)
+    monkeypatch.setattr(B, "FUSED_ASSIGN_MAX_DOCS", 0)
+    build_index(spark, sdf, shuf_dir, n_shards=5)
+    for table, cols in [
+        ("postings", ["shard", "term", "df", "cf", "postings", "dls"]),
+        ("docs", ["doc_id", "conv_id", "turn_idx", "text_hash"]),
+        ("first_turn_terms", ["conv_id", "term"]),
+        ("doc_lengths", ["doc_id", "dl"]),
+    ]:
+        a = (
+            spark.read.parquet(os.path.join(bcast_dir, table))
+            .select(*cols).toPandas()
+            .sort_values(cols[:2]).reset_index(drop=True)
+        )
+        b = (
+            spark.read.parquet(os.path.join(shuf_dir, table))
+            .select(*cols).toPandas()
+            .sort_values(cols[:2]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, obj=table)

@@ -79,11 +79,24 @@ TERM_SHARDS_MAX = 64
 
 # Fresh builds attach doc_ids with a BROADCAST of the ranked
 # (conv_id, turn_idx) -> doc_id map when the corpus is small enough
-# for the map to fit per-executor (~30 B/doc: 50M docs ≈ 1.5 GB).
-# Past the cap the build falls back to range-shuffling the full rows
-# (assign_doc_ids), which has no driver/executor-memory envelope —
-# same ids either way (dense rank over unique keys).
-FUSED_ASSIGN_MAX_DOCS = 50_000_000
+# for the map to fit per-executor. Past the cap the build falls back
+# to range-shuffling the full rows (assign_doc_ids), which has no
+# driver/executor-memory envelope — same ids either way (dense rank
+# over unique keys; output content-hash-identical at 21M docs across
+# all 7 index tables).
+#
+# The cap is EMPIRICAL, not the broadcast wire limit. Interleaved
+# same-session A/B (local mode, 64 g driver, quiet box): broadcast
+# wins at 2.1M docs (20.3 vs 22.1 s) and at 6.3M (prepare phases
+# 15.5 vs 22.7 s), but COLLAPSES at 21M — docs_write 313 s vs 22 s,
+# whole build 537 s vs 114 s — because every job that touches the
+# numbered corpus (docs write + the background first_turn_terms
+# build) re-materializes a multi-GB hashed relation under GC
+# pressure. 8M rows ≈ 250-500 MB relation also stays inside what a
+# real cluster's 8-16 GB executors can hold per-core; past it the
+# extra full-row shuffle is the cheaper trade at every scale we can
+# measure.
+FUSED_ASSIGN_MAX_DOCS = 8_000_000
 
 # index_meta "docs_layout" attestation: docs files are hash-partitioned
 # by shard, doc_id-sorted within each file (every shard whole and

@@ -1199,27 +1199,54 @@ def _build_index_impl(
             # (the default one-batch build makes it the true build-wide mean)
             mean_postings = sum(v[1] for v in by_shard.values()) / max(1, len(batch))
             now = time.time()
-            led = spark.createDataFrame(
-                [
-                    (
-                        s,
-                        by_shard.get(s, (0, 0))[0],
-                        by_shard.get(s, (0, 0))[1],
-                        bytes_map.get(s) or 0,
-                        "built",
-                        float(elapsed),
-                        by_shard.get(s, (0, 0))[1] / max(elapsed, 1e-9),
-                        by_shard.get(s, (0, 0))[1] / max(mean_postings, 1e-9),
-                        lineage or meta.get("lineage", ""),
-                        now,
-                    )
-                    for s in batch
-                ],
-                "shard int, n_terms long, n_postings long, bytes_postings long, "
-                "status string, elapsed_s double, postings_per_sec double, "
-                "skew_factor double, lineage string, built_at double",
+            rows = [
+                (
+                    s,
+                    by_shard.get(s, (0, 0))[0],
+                    by_shard.get(s, (0, 0))[1],
+                    bytes_map.get(s) or 0,
+                    "built",
+                    float(elapsed),
+                    by_shard.get(s, (0, 0))[1] / max(elapsed, 1e-9),
+                    by_shard.get(s, (0, 0))[1] / max(mean_postings, 1e-9),
+                    lineage or meta.get("lineage", ""),
+                    now,
+                )
+                for s in batch
+            ]
+            # the batch is tiny driver-side data: a unique-file pyarrow
+            # append (no Spark job) is both faster and safe under
+            # CONCURRENT builders — Spark appends into one directory
+            # share a _temporary staging dir and can abort each other
+            # (see IndexStorage.append_rows). Types mirror the Spark
+            # fallback schema exactly so mixed files read as one table.
+            import pyarrow as pa
+
+            cols = list(zip(*rows)) if rows else [[]] * 10
+            arrow = pa.table(
+                {
+                    "shard": pa.array(cols[0], pa.int32()),
+                    "n_terms": pa.array(cols[1], pa.int64()),
+                    "n_postings": pa.array(cols[2], pa.int64()),
+                    "bytes_postings": pa.array(cols[3], pa.int64()),
+                    "status": pa.array(cols[4], pa.string()),
+                    "elapsed_s": pa.array(cols[5], pa.float64()),
+                    "postings_per_sec": pa.array(cols[6], pa.float64()),
+                    "skew_factor": pa.array(cols[7], pa.float64()),
+                    "lineage": pa.array(cols[8], pa.string()),
+                    "built_at": pa.array(cols[9], pa.float64()),
+                }
             )
-            led.write.mode("append").parquet(st.path("ledger"))
+            if not st.append_rows("ledger", arrow):
+                # non-local index dir: Spark append (single writer —
+                # concurrent builders on object stores need a
+                # zero-rename committer, the documented swap point)
+                spark.createDataFrame(
+                    rows,
+                    "shard int, n_terms long, n_postings long, bytes_postings long, "
+                    "status string, elapsed_s double, postings_per_sec double, "
+                    "skew_factor double, lineage string, built_at double",
+                ).write.mode("append").parquet(st.path("ledger"))
             phases["ledger_metrics"] = round(
                 phases.get("ledger_metrics", 0.0) + (time.time() - t0), 3
             )

@@ -350,6 +350,41 @@ class IndexStorage:
             self.table_dir("postings", self.postings_version()), f"shard={shard}"
         )
 
+    def append_rows(self, table: str, arrow_table) -> bool:
+        """Append a small driver-side batch as ONE uniquely-named
+        parquet file (hidden temp + atomic rename) — the
+        concurrent-writer-safe append for local index dirs.
+
+        Spark's ``mode("append")`` stages every job inside the SAME
+        ``<dir>/_temporary`` and deletes that staging dir at job
+        commit/abort, so two concurrent appends to one directory can
+        yank each other's attempt dirs mid-write (observed: two
+        builders finishing shard batches together lose a ledger batch
+        with "chmod: cannot access ... _temporary/...: No such file").
+        A plain unique-file write has no shared staging state, and the
+        rename keeps half-written files invisible to readers (Spark
+        ignores dot/underscore-prefixed files).
+
+        Returns False when the index dir is not a local path — the
+        caller falls back to the Spark append (single-writer object
+        stores; concurrent writers there need a zero-rename committer
+        anyway, which is the documented Iceberg swap point).
+        """
+        self._check_writable("append_rows")
+        if not os.path.isdir(self.index_dir):
+            return False
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        d = self.path(table)
+        os.makedirs(d, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}-driver.zstd.parquet"
+        tmp = os.path.join(d, f".{name}.tmp")
+        pq.write_table(arrow_table, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(d, name))
+        return True
+
     def write(self, df, table: str, mode: str = "overwrite", partition_by: list[str] | None = None):
         self._check_writable("write")
         w = df.write.mode(mode)

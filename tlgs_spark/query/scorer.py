@@ -177,6 +177,27 @@ def search_or(
         out = (np.zeros(0, np.int64), np.zeros(0, np.float64))
         return (*out, {}) if return_stats else out
 
+    if len(terms) == 1:
+        # single-term fast path: exact top-k needs exactly one pass —
+        # score every posting, partition-select k. The multi-phase ub
+        # machinery below costs ~6 extra passes (seed argpartition,
+        # O(n_docs) scatter/gather, survivor masks) and cannot prune a
+        # single term whose block maxes are flat; measured 12.3 s →
+        # ~2.5 s on a 20.7M-posting term (21M-doc probe index). Same
+        # expression and op order as _exact_scores' one-term
+        # accumulation (0.0 + w_idf·tfn ≡ w_idf·tfn in float64) ⇒
+        # bit-identical scores, same _topk_order tie-break.
+        td = terms[0]
+        w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+        t = td.tfs.astype(np.float64)
+        denom = _denom_vec(dl_of[td.doc_ids], avgdl)
+        scores = w_idf * (t * (bm25.K1 + 1.0) / (t + denom))
+        out = _topk_order(td.doc_ids, scores, k)
+        if return_stats:
+            n = int(td.doc_ids.size)
+            return (*out, {"n_union": n, "n_scored": n, "pruned_frac": 0.0})
+        return out
+
     # phase 0: seed θ by exactly scoring a small high-tf subset of
     # EVERY term's postings. θ from ANY subset of real docs is a lower
     # bound of the final k-th score, so pruning on it stays exact; high
@@ -239,7 +260,17 @@ def search_or(
     # the true top-k), raise θ to their k-th exact score, and re-prune.
     # Still exact: θ only ever comes from exactly-scored real docs, and
     # an admissible ub means any doc with score ≥ θ keeps ub ≥ θ.
-    if survivors.size > 4 * seed_cap:
+    # Flat-bound skip: when every survivor carries the SAME upper bound
+    # (uniform tf corpora make per-block maxes identical), refinement
+    # provably cannot prune — θ never exceeds the true k-th score,
+    # which is ≤ its doc's ub = every ub, so the re-prune mask keeps
+    # everything. Two O(n) reductions beat an argpartition + exact pass
+    # + mask (~2 s on a 20M-survivor set) that would change nothing.
+    if (
+        survivors.size > 4 * seed_cap
+        and ub_surv.size
+        and float(ub_surv.max()) > float(ub_surv.min())
+    ):
         top_ub = np.argpartition(ub_surv, -seed_cap)[-seed_cap:]
         ref_docs = np.sort(survivors[top_ub])
         ref_scores = _exact_scores(ref_docs, terms, dl_of, n_docs, avgdl)

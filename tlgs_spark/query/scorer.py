@@ -143,7 +143,17 @@ def search_and(
     # exactly score only candidates whose bound clears θ. Admissible
     # bounds ⇒ any doc with score ≥ θ survives the cut — still exact.
     seed_cap = max(4 * k, 4096)
-    if cand.size > 4 * seed_cap:
+    # Flat-bound skip (AND twin of search_or's): every candidate holds
+    # EVERY term, so when each term's block maxes are globally constant
+    # (uniform-tf corpora) all candidate bounds are the identical
+    # Σ idf·c_t and θ-pruning provably separates nothing — skip the
+    # ub repeats/gathers + seed + mask (~3 s at a 20M intersection).
+    # Two O(n_blocks) reductions per term decide it.
+    bounds_vary = any(
+        td.block_max.size and float(td.block_max.max()) > float(td.block_max.min())
+        for td in terms
+    )
+    if bounds_vary and cand.size > 4 * seed_cap:
         ub = np.zeros(cand.size, dtype=np.float64)
         for td in terms:
             w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
@@ -152,7 +162,15 @@ def search_and(
             pos_ub = np.repeat(td.block_max * w_idf, td.block_sizes)
             ub += pos_ub[pos_of[id(td)]]
         rare_tf = by_df[0].tfs[pos_of[id(by_df[0])]]
-        sub = np.argpartition(rare_tf, -seed_cap)[-seed_cap:]
+        # same sampled-selection trick as search_or's phase 0: θ from
+        # any real-doc subset stays a valid lower bound, so cap the
+        # argpartition pool on huge intersections
+        if rare_tf.size > (1 << 20):
+            step = rare_tf.size // (1 << 20)
+            sample = np.arange(0, rare_tf.size, step, dtype=np.int64)
+            sub = sample[np.argpartition(rare_tf[sample], -seed_cap)[-seed_cap:]]
+        else:
+            sub = np.argpartition(rare_tf, -seed_cap)[-seed_cap:]
         sub_scores = _exact_from_pos(sub)
         theta = np.partition(sub_scores, -k)[-k]
         m = ub >= theta
@@ -208,10 +226,24 @@ def search_or(
     # when every query term is a hot term.
     seed_cap = max(4 * k, 4096)
     per_term = max(k, seed_cap // len(terms))
+    # seed-pool cap: the argpartition below is O(postings) per term and
+    # was the scorer's single biggest cost on 20M-posting terms
+    # (1.7 s/term) while a hot term's seeds contribute little to θ
+    # anyway (its idf is tiny). Stride-sampling the tf array down to
+    # ~1M before selecting stays exact — the seeds are still real docs,
+    # and θ from ANY real-doc subset is a valid lower bound — while
+    # cutting the selection to ~15 ms. Stride (not a prefix) keeps the
+    # sample spread across the whole doc-id range.
+    seed_pool = 1 << 20
     seed_parts = []
     for td in terms:
         if td.doc_ids.size > per_term:
-            top_tf = np.argpartition(td.tfs, -per_term)[-per_term:]
+            if td.doc_ids.size > seed_pool:
+                step = td.doc_ids.size // seed_pool
+                sample = np.arange(0, td.doc_ids.size, step, dtype=np.int64)
+                top_tf = sample[np.argpartition(td.tfs[sample], -per_term)[-per_term:]]
+            else:
+                top_tf = np.argpartition(td.tfs, -per_term)[-per_term:]
             seed_parts.append(td.doc_ids[top_tf])
         else:
             seed_parts.append(td.doc_ids)

@@ -234,3 +234,78 @@ def test_sanitize_reference_parity():
     assert sanitize("see `config.toml` for details") == "see `config.toml` for details"
     assert sanitize("#=>`*") == "#=>`*"
     assert sanitize("# needle more") == "needle more"
+
+
+def test_single_term_fast_path_bit_identical():
+    """The single-term fast path must match exhaustive scoring exactly
+    (doc order AND float bits) — it bypasses all pruning phases."""
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        terms, dl_of, avgdl, n_docs = _rand_index(rng, n_terms=1)
+        ids, scores = search_or(terms, dl_of, n_docs, avgdl, k=25)
+        exp = _exhaustive_or(terms, dl_of, n_docs, avgdl, 25)
+        assert ids.tolist() == exp, f"trial {trial}"
+        td = terms[0]
+        w = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
+        full = w * tf_norm_vec(td.tfs, dl_of[td.doc_ids].astype(np.float64), avgdl)
+        by_doc = dict(zip(td.doc_ids.tolist(), full.tolist()))
+        assert scores.tolist() == [by_doc[d] for d in ids.tolist()]  # bit-exact
+        # AND with one term routes through the same path
+        ids_a, scores_a = search_and(terms, dl_of, n_docs, avgdl, k=25)
+        assert ids_a.tolist() == ids.tolist() and scores_a.tolist() == scores.tolist()
+
+
+def test_flat_bounds_skip_exact():
+    """Uniform tf + uniform dl ⇒ every block max identical ⇒ both the
+    OR refinement skip and the AND whole-block skip trigger; results
+    must still equal exhaustive scoring."""
+    n_docs = 40_000
+    dl_of = np.full(n_docs, 100, dtype=np.int64)
+    avgdl = 100.0
+    rng = np.random.default_rng(5)
+    terms = []
+    for t in range(2):
+        ids = np.sort(rng.choice(n_docs, size=30_000, replace=False)).astype(np.int64)
+        terms.append(_mk_term(f"t{t}", ids, np.ones(len(ids), np.int64), dl_of[ids], avgdl))
+    assert all(float(td.block_max.max()) == float(td.block_max.min()) for td in terms)
+    ids, scores = search_or(terms, dl_of, n_docs, avgdl, k=10)
+    assert ids.tolist() == _exhaustive_or(terms, dl_of, n_docs, avgdl, 10)
+    ids_a, _ = search_and(terms, dl_of, n_docs, avgdl, k=10)
+    inter = np.intersect1d(terms[0].doc_ids, terms[1].doc_ids)
+    # uniform scores ⇒ AND top-k = k smallest doc_ids of the intersection
+    assert ids_a.tolist() == sorted(inter.tolist())[:10]
+
+
+def test_sampled_seed_branch_exact_and_large_k():
+    """>2^20-posting terms exercise the stride-sampled seed pool; k (and
+    the derived per_term/seed_cap) larger than the pool must not crash
+    (regression: np.argpartition kth out of bounds) and stays exact."""
+    n_docs = 1 << 21  # 2M
+    rng = np.random.default_rng(3)
+    dl_of = rng.integers(50, 150, n_docs).astype(np.int64)
+    avgdl = float(dl_of.mean())
+    terms = []
+    for t in range(2):
+        df = (1 << 20) + 50_000  # > seed pool
+        ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 5, df).astype(np.int64)
+        terms.append(_mk_term(f"t{t}", ids, tfs, dl_of[ids], avgdl))
+    # small k: exactness through the sampled branch
+    ids10, s10 = search_or(terms, dl_of, n_docs, avgdl, k=10)
+    union = np.unique(np.concatenate([td.doc_ids for td in terms]))
+    from tlgs_spark.query.scorer import _exact_scores
+    full = _exact_scores(union, terms, dl_of, n_docs, avgdl)
+    order = np.lexsort((union, -full))[:10]
+    assert ids10.tolist() == union[order].tolist()
+    assert np.array_equal(s10, full[order])
+    # huge k (> pool): no crash, still exact vs exhaustive on both modes
+    k_big = (1 << 20) + 10_000
+    ids_or, _ = search_or(terms, dl_of, n_docs, avgdl, k=k_big)
+    assert ids_or.size == min(k_big, union.size)
+    order_big = np.lexsort((union, -full))[:k_big]
+    assert ids_or.tolist() == union[order_big].tolist()
+    ids_and, _ = search_and(terms, dl_of, n_docs, avgdl, k=k_big)
+    inter = np.intersect1d(terms[0].doc_ids, terms[1].doc_ids)
+    fi = _exact_scores(inter, terms, dl_of, n_docs, avgdl)
+    oi = np.lexsort((inter, -fi))[:k_big]
+    assert ids_and.tolist() == inter[oi].tolist()

@@ -78,6 +78,32 @@ def _exact_scores(
     return scores
 
 
+def _sampled_top(values: np.ndarray, n_select: int, pool: int = 1 << 20) -> np.ndarray:
+    """Indices (into ``values``) of ~``n_select`` large entries, with
+    the argpartition pool capped at ``pool`` via stride sampling.
+
+    θ-seeding context: the selected docs only ever LOWER-bound the
+    final k-th score, and a subset's k-th best can only be lower than
+    the full set's, so both the sampling and the size clamp keep
+    pruning exact — argpartition over a hot term's full 20M-posting tf
+    array cost 1.7 s where the capped pool costs ~15 ms. When
+    ``n_select`` meets or exceeds the (sampled) pool — huge fetch_k
+    from deep pagination × filter headroom — every pool index is
+    returned instead of partitioning (np.argpartition would raise on
+    kth ≥ size)."""
+    if values.size > pool:
+        step = values.size // pool
+        idx = np.arange(0, values.size, step, dtype=np.int64)
+        vals = values[idx]
+    else:
+        idx = None
+        vals = values
+    if n_select >= vals.size:
+        return idx if idx is not None else np.arange(values.size, dtype=np.int64)
+    sel = np.argpartition(vals, -n_select)[-n_select:]
+    return idx[sel] if idx is not None else sel
+
+
 def _topk_order(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Top-k by (-score, doc_id). For large candidate sets, select the
     ≥ k-th-score slice with an O(n) partition first and lexsort only
@@ -162,21 +188,17 @@ def search_and(
             pos_ub = np.repeat(td.block_max * w_idf, td.block_sizes)
             ub += pos_ub[pos_of[id(td)]]
         rare_tf = by_df[0].tfs[pos_of[id(by_df[0])]]
-        # same sampled-selection trick as search_or's phase 0: θ from
-        # any real-doc subset stays a valid lower bound, so cap the
-        # argpartition pool on huge intersections
-        if rare_tf.size > (1 << 20):
-            step = rare_tf.size // (1 << 20)
-            sample = np.arange(0, rare_tf.size, step, dtype=np.int64)
-            sub = sample[np.argpartition(rare_tf[sample], -seed_cap)[-seed_cap:]]
-        else:
-            sub = np.argpartition(rare_tf, -seed_cap)[-seed_cap:]
+        sub = _sampled_top(rare_tf, seed_cap)
         sub_scores = _exact_from_pos(sub)
-        theta = np.partition(sub_scores, -k)[-k]
-        m = ub >= theta
-        cand = cand[m]
-        for key in pos_of:
-            pos_of[key] = pos_of[key][m]
+        # k can exceed the pool-capped seed (k > 1M via deep
+        # pagination × filter headroom): too few seeds ⇒ no valid θ,
+        # skip the prune rather than partition out of bounds
+        if sub_scores.size >= k:
+            theta = np.partition(sub_scores, -k)[-k]
+            m = ub >= theta
+            cand = cand[m]
+            for key in pos_of:
+                pos_of[key] = pos_of[key][m]
 
     return _topk_order(cand, _exact_from_pos(None), k)
 
@@ -201,7 +223,7 @@ def search_or(
         # machinery below costs ~6 extra passes (seed argpartition,
         # O(n_docs) scatter/gather, survivor masks) and cannot prune a
         # single term whose block maxes are flat; measured 12.3 s →
-        # ~2.5 s on a 20.7M-posting term (21M-doc probe index). Same
+        # 0.68 s on a 20.7M-posting term (21M-doc probe index). Same
         # expression and op order as _exact_scores' one-term
         # accumulation (0.0 + w_idf·tfn ≡ w_idf·tfn in float64) ⇒
         # bit-identical scores, same _topk_order tie-break.
@@ -226,25 +248,10 @@ def search_or(
     # when every query term is a hot term.
     seed_cap = max(4 * k, 4096)
     per_term = max(k, seed_cap // len(terms))
-    # seed-pool cap: the argpartition below is O(postings) per term and
-    # was the scorer's single biggest cost on 20M-posting terms
-    # (1.7 s/term) while a hot term's seeds contribute little to θ
-    # anyway (its idf is tiny). Stride-sampling the tf array down to
-    # ~1M before selecting stays exact — the seeds are still real docs,
-    # and θ from ANY real-doc subset is a valid lower bound — while
-    # cutting the selection to ~15 ms. Stride (not a prefix) keeps the
-    # sample spread across the whole doc-id range.
-    seed_pool = 1 << 20
     seed_parts = []
     for td in terms:
         if td.doc_ids.size > per_term:
-            if td.doc_ids.size > seed_pool:
-                step = td.doc_ids.size // seed_pool
-                sample = np.arange(0, td.doc_ids.size, step, dtype=np.int64)
-                top_tf = sample[np.argpartition(td.tfs[sample], -per_term)[-per_term:]]
-            else:
-                top_tf = np.argpartition(td.tfs, -per_term)[-per_term:]
-            seed_parts.append(td.doc_ids[top_tf])
+            seed_parts.append(td.doc_ids[_sampled_top(td.tfs, per_term)])
         else:
             seed_parts.append(td.doc_ids)
     seed_docs = np.unique(np.concatenate(seed_parts))

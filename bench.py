@@ -186,6 +186,23 @@ def main():
                 r for r in hist_rows
                 if "eff" in r and r.get("levels") in (None, "2->8")
             ]
+            # silent bucket loss guard: rows excluded by the levels
+            # filter (other topologies, or a typo'd tag) are counted so
+            # a shrinking median population is visible in the output
+            n_excluded = len([r for r in hist_rows if "eff" in r]) - len(probe_rows)
+
+            def _median(vals: list) -> float | None:
+                """True median: even-length lists average the two middle
+                elements (sorted[len//2] alone is the UPPER middle and
+                overstated the 2-pair large-corpus summary)."""
+                if not vals:
+                    return None
+                n = len(vals)
+                mid = vals[n // 2]
+                if n % 2 == 0:
+                    mid = round((vals[n // 2 - 1] + mid) / 2.0, 3)
+                return mid
+
             same = sorted(
                 r["eff"] for r in probe_rows if r.get("turns") == scale_turns
             )
@@ -199,11 +216,12 @@ def main():
             )
             extra_hist = {
                 "history_n_pairs": len(same),
-                "history_pair_median": same[len(same) // 2] if same else None,
+                "history_pair_median": _median(same),
                 "history_smallcorpus_n_pairs": len(small),
-                "history_smallcorpus_median": small[len(small) // 2] if small else None,
+                "history_smallcorpus_median": _median(small),
                 "history_largecorpus_n_pairs": len(large),
-                "history_largecorpus_median": large[len(large) // 2] if large else None,
+                "history_largecorpus_median": _median(large),
+                "history_excluded_n": n_excluded,
             }
             # per-level bests over this run ∪ all recorded windows at
             # the same corpus size: ambient neighbor load can only

@@ -1220,6 +1220,11 @@ def _build_index_impl(
             # share a _temporary staging dir and can abort each other
             # (see IndexStorage.append_rows). Types mirror the Spark
             # fallback schema exactly so mixed files read as one table.
+            # Reader contract: the ledger dir therefore has NO _SUCCESS
+            # marker and mixes driver-written and Spark-written files —
+            # it is a plain parquet file set; tooling that checks
+            # committed-output markers must not be pointed at it
+            # (documented in storage.py's table DDL block).
             import pyarrow as pa
 
             cols = list(zip(*rows)) if rows else [[]] * 10

@@ -30,6 +30,14 @@ Tables (Iceberg DDL equivalent):
                       bytes_postings BIGINT, elapsed_s DOUBLE,
                       postings_per_sec DOUBLE, skew_factor DOUBLE,
                       lineage STRING, built_at DOUBLE)   -- per-partition checkpoint
+
+Ledger reader contract: the ledger directory is a PLAIN PARQUET FILE
+SET with no commit marker — rows are appended either by Spark jobs or
+by the driver-side ``append_rows`` fast path (uniquely-named file +
+atomic rename, no ``_SUCCESS``), and both kinds of files coexist in one
+directory with identical schemas. Tooling must treat any visible
+(non-dot/underscore) parquet file as committed; do NOT gate ledger
+reads on ``_SUCCESS`` (the incremental staged ledger never has one).
 """
 
 from __future__ import annotations
@@ -379,6 +387,21 @@ class IndexStorage:
 
         d = self.path(table)
         os.makedirs(d, exist_ok=True)
+        # sweep tmp files stranded by a crash between write_table and
+        # os.replace in an earlier build — readers ignore dot-files so
+        # they were never a correctness issue, but nothing else ever
+        # deleted them. Age-gated so a CONCURRENT builder's in-flight
+        # tmp (seconds old) is never yanked mid-rename.
+        import time as _time
+
+        cutoff = _time.time() - 3600.0
+        for e in os.scandir(d):
+            if e.name.startswith(".") and e.name.endswith(".tmp") and e.is_file():
+                try:
+                    if e.stat().st_mtime < cutoff:
+                        os.remove(e.path)
+                except OSError:
+                    pass  # concurrent sweep/rename won the race
         name = f"part-{uuid.uuid4().hex}-driver.zstd.parquet"
         tmp = os.path.join(d, f".{name}.tmp")
         pq.write_table(arrow_table, tmp, compression="zstd")

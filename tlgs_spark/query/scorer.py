@@ -92,7 +92,10 @@ def _sampled_top(values: np.ndarray, n_select: int, pool: int = 1 << 20) -> np.n
     returned instead of partitioning (np.argpartition would raise on
     kth ≥ size)."""
     if values.size > pool:
-        step = values.size // pool
+        # ceiling division: floor (size // pool) gives step=1 for sizes
+        # in (pool, 2*pool) and the full array would be argpartitioned —
+        # the pool bound must hold for every size above it
+        step = -(-values.size // pool)
         idx = np.arange(0, values.size, step, dtype=np.int64)
         vals = values[idx]
     else:

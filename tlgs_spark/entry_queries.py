@@ -2390,22 +2390,125 @@ def snippet_preview_entry(spark, sf_dir):
     )
 
 
-@q("multimodal_features", None)
-def multimodal_features_entry(spark, sf_dir):
-    """Multimodal plumbing in one entry (merged r3: feature extraction
-    + frame-sampling plan, so the driver's 50-row sweep covers every
-    entry): opaque binary payloads + typed metadata → mapInPandas
-    feature extraction (schema, Arrow batch shape, and UDF signature
-    are real; the decode kernel is the documented stub) joined to the
-    per-(media_id, frame_ts_ms) sampling plan rows (JVM
-    sequence/explode — partition count grows with frames, not videos).
-    Deterministic seeded payloads ⇒ stable rows-only check."""
-    from .ops.multimodal import extract_features, frame_sample_plan, synth_media
+# Multimodal oracle: payload bytes are md5-chain-derived (see
+# ops.multimodal.hashchain_bytes), so DuckDB reproduces them as hex
+# strings and the driver gets a HARD value-hash check (this was the
+# registry's one rows-only entry through r3). Geometry constants (32
+# images, 100 videos at id 1000+, size/duration arithmetic) mirror
+# synth_media_chain verbatim; the digest is sha256 over the payload's
+# lowercase hex (DuckDB sha256 is VARCHAR-only); image channel sums are
+# exact BIGINTs (no float contract).
+_MULTIMODAL_SQL = """
+WITH img_meta AS (
+  SELECT range::BIGINT AS media_id,
+         8 + (range::BIGINT * 7) % 24 AS w,
+         8 + (range::BIGINT * 11) % 24 AS h
+  FROM range(0, 32)
+),
+img_hdr AS (
+  SELECT media_id, w, h, w * h * 3 AS npix,
+         lower(hex('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10))) AS hdr_hex
+  FROM img_meta
+),
+blk AS (SELECT range::BIGINT AS j FROM range(0, 256)),
+img_payload AS (
+  SELECT m.media_id,
+         substr(string_agg(md5('image:' || m.media_id || ':' || b.j), '' ORDER BY b.j),
+                1, 2 * any_value(m.npix)) AS pix_hex
+  FROM img_hdr m JOIN blk b ON b.j * 16 < m.npix
+  GROUP BY m.media_id
+),
+img_bytes AS (
+  SELECT p.media_id, b.pos,
+         CAST('0x' || substr(p.pix_hex, 2 * b.pos + 1, 2) AS INTEGER) AS byte
+  FROM img_payload p
+  JOIN (SELECT range::BIGINT AS pos FROM range(0, 2883)) b
+    ON 2 * b.pos + 1 < length(p.pix_hex)
+),
+img_sums AS (
+  SELECT media_id,
+         sum(byte) FILTER (pos % 3 = 0)::BIGINT AS sum_r,
+         sum(byte) FILTER (pos % 3 = 1)::BIGINT AS sum_g,
+         sum(byte) FILTER (pos % 3 = 2)::BIGINT AS sum_b
+  FROM img_bytes GROUP BY media_id
+),
+img_rows AS (
+  SELECT h.media_id AS media_id, CAST(NULL AS BIGINT) AS frame_ts_ms,
+         'image' AS kind,
+         CAST(length(h.hdr_hex || p.pix_hex) / 2 AS BIGINT) AS n_bytes,
+         sha256(h.hdr_hex || p.pix_hex) AS sha256,
+         s.sum_r, s.sum_g, s.sum_b
+  FROM img_hdr h
+  JOIN img_payload p USING (media_id)
+  JOIN img_sums s USING (media_id)
+),
+vid_meta AS (
+  SELECT 1000 + range::BIGINT AS media_id FROM range(0, 100)
+),
+vid_geom AS (
+  SELECT media_id, 512 + (media_id * 37) % 3584 AS n_bytes,
+         100 + (media_id * 997) % 59900 AS duration_ms
+  FROM vid_meta
+),
+vid_payload AS (
+  SELECT m.media_id,
+         substr(string_agg(md5('video:' || m.media_id || ':' || b.j), '' ORDER BY b.j),
+                1, 2 * any_value(m.n_bytes)) AS phex
+  FROM vid_geom m JOIN blk b ON b.j * 16 < m.n_bytes
+  GROUP BY m.media_id
+),
+vid_rows AS (
+  SELECT m.media_id AS media_id, f.frame_ts_ms, 'video' AS kind,
+         m.n_bytes AS n_bytes, sha256(p.phex) AS sha256,
+         CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+         CAST(NULL AS BIGINT) AS sum_b
+  FROM vid_geom m
+  JOIN vid_payload p USING (media_id)
+  JOIN (SELECT range::BIGINT AS frame_ts_ms FROM range(0, 60000, 5000)) f
+    ON f.frame_ts_ms < m.duration_ms
+)
+SELECT * FROM (SELECT * FROM img_rows UNION ALL SELECT * FROM vid_rows)
+ORDER BY media_id, frame_ts_ms
+""".strip()
 
-    media = synth_media(spark, n=100, kind="video")
-    feats = extract_features(media).select("media_id", "kind", "n_bytes", "sha256")
-    plan = frame_sample_plan(media, every_ms=5000)
-    return plan.join(feats, "media_id").orderBy("media_id", "frame_ts_ms")
+
+@q("multimodal_features", _MULTIMODAL_SQL)
+def multimodal_features_entry(spark, sf_dir):
+    """Multimodal plumbing in one entry, now HASH-CHECKED (r3 closed
+    the registry's last rows-only row): md5-chain payloads (images are
+    REAL PPMs whose pixels are the chain — decode_image parses every
+    one inside image_chain_stats) + content digests + the per-
+    (media_id, frame_ts_ms) video sampling plan (JVM sequence/explode).
+    The DuckDB twin reproduces the chain bytes as hex strings, parses
+    the image pixels back out per hex pair, and matches digests, byte
+    sums, sizes, and frame rows exactly."""
+    from .ops.multimodal import (
+        frame_sample_plan,
+        image_chain_stats,
+        payload_digests,
+        synth_media_chain,
+    )
+
+    media = synth_media_chain(spark)
+    digests = payload_digests(media)
+    null_l = F.lit(None).cast("long")
+    img_rows = (
+        digests.filter(F.col("kind") == "image")
+        .join(image_chain_stats(media.filter(F.col("kind") == "image")), "media_id")
+        .select(
+            "media_id", null_l.alias("frame_ts_ms"), "kind", "n_bytes", "sha256",
+            "sum_r", "sum_g", "sum_b",
+        )
+    )
+    vid_rows = (
+        digests.filter(F.col("kind") == "video")
+        .join(frame_sample_plan(media, every_ms=5000), "media_id")
+        .select(
+            "media_id", F.col("frame_ts_ms").cast("long"), "kind", "n_bytes", "sha256",
+            null_l.alias("sum_r"), null_l.alias("sum_g"), null_l.alias("sum_b"),
+        )
+    )
+    return img_rows.unionByName(vid_rows).orderBy("media_id", "frame_ts_ms")
 
 
 def entry_df(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

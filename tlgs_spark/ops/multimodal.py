@@ -253,6 +253,113 @@ def synth_media_real(spark, n: int = 64, kind: str = "image") -> DataFrame:
     )
 
 
+def hashchain_bytes(seed: str, n_bytes: int) -> bytes:
+    """Deterministic payload bytes from an md5 chain: block ``j``'s 16
+    bytes are ``md5(f"{seed}:{j}")``, truncated to ``n_bytes``. The
+    point of this generator (vs ``np.random``) is that a SQL oracle can
+    reproduce the bytes exactly — DuckDB renders block j as
+    ``md5(seed || ':' || j)`` hex and string_aggs the chain — so
+    multimodal payload entries get a hard value-hash check instead of
+    a rows-only one."""
+    out = b"".join(
+        hashlib.md5(f"{seed}:{j}".encode()).digest() for j in range(-(-n_bytes // 16))
+    )
+    return out[:n_bytes]
+
+
+# oracle-checkable media table geometry (shared with the DuckDB SQL in
+# entry_queries — the constants below appear verbatim there)
+CHAIN_IMAGE_N = 32
+CHAIN_VIDEO_N = 100
+CHAIN_VIDEO_ID0 = 1000
+
+
+def _chain_image(mid: int) -> tuple:
+    w = 8 + (mid * 7) % 24
+    h = 8 + (mid * 11) % 24
+    header = f"P6\n{w} {h}\n255\n".encode()
+    payload = header + hashchain_bytes(f"image:{mid}", w * h * 3)
+    return (mid, "image", payload, "image/x-portable-pixmap", w, h, None)
+
+
+def _chain_video(mid: int) -> tuple:
+    n_bytes = 512 + (mid * 37) % 3584
+    duration_ms = 100 + (mid * 997) % 59900
+    payload = hashchain_bytes(f"video:{mid}", n_bytes)
+    return (mid, "video", payload, "video/x-fake", None, None, duration_ms)
+
+
+def synth_media_chain(spark) -> DataFrame:
+    """Deterministic media table whose bytes are md5-chain-derived
+    (SQL-reproducible, see hashchain_bytes): CHAIN_IMAGE_N real PPM
+    images whose PIXELS are the chain (decode_image parses them — the
+    real kernel stays in the loop) + CHAIN_VIDEO_N opaque video
+    payloads with chain-derived sizes/durations."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                if i < CHAIN_IMAGE_N:
+                    rows.append(_chain_image(i))
+                else:
+                    rows.append(_chain_video(CHAIN_VIDEO_ID0 + (i - CHAIN_IMAGE_N)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "mime",
+                                              "width", "height", "duration_ms"])
+
+    total = CHAIN_IMAGE_N + CHAIN_VIDEO_N
+    return spark.range(0, total, 1, numPartitions=4).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+DIGEST_SCHEMA = "media_id long, kind string, n_bytes long, sha256 string"
+
+
+def payload_digests(media: DataFrame) -> DataFrame:
+    """Per-payload content digest. The digest is sha256 over the
+    payload's LOWERCASE HEX rendering (not the raw bytes): DuckDB's
+    sha256() accepts VARCHAR only, so hashing the hex string is the
+    contract both sides can compute — equally collision-resistant,
+    equally content-addressing."""
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "sha256": [
+                        hashlib.sha256(bytes(p).hex().encode()).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=DIGEST_SCHEMA)
+
+
+CHAIN_STATS_SCHEMA = "media_id long, sum_r long, sum_g long, sum_b long"
+
+
+def image_chain_stats(media: DataFrame) -> DataFrame:
+    """Decode every image payload (REAL decode_image kernel) and emit
+    exact per-channel byte sums — integer outputs so the DuckDB twin
+    (per-hex-pair byte parse + filtered sums) matches with no float
+    rounding contract at all."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(p)).reshape(-1, 3).astype(np.int64)
+                s = img.sum(axis=0)
+                out.append((int(mid), int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(out, columns=["media_id", "sum_r", "sum_g", "sum_b"])
+
+    return media.mapInPandas(run, schema=CHAIN_STATS_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = (
     "media_id long, width int, height int, mean_r double, mean_g double, mean_b double"
 )

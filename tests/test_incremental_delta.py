@@ -1,0 +1,259 @@
+"""Delta incremental prepare (r3 VERDICT #1): an edit must touch
+O(changed) docs partitions — never rewrite the whole docs table — and
+the refreshed index must answer queries identically to a from-scratch
+build of the edited corpus.
+
+Contracts pinned here:
+- pure text edit: byte-identical postings vs a fresh build (doc ids
+  unchanged), docs files of UNTOUCHED shards not rewritten (inode+mtime)
+- append-only growth: ids allocate above the high-water mark == the
+  fresh build's dense rank when new keys sort last, so postings stay
+  byte-identical there too
+- mid-key insert / delete: doc ids GAP instead of re-densifying;
+  search results (hydrated to conv_id/turn_idx + float scores) match a
+  fresh build exactly even though ids differ
+- deleted ids are never reallocated (doc_ceiling is monotone)
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tlgs_spark.corpus import generate_pandas
+from tlgs_spark.indexer.build import build_index
+from tlgs_spark.indexer.storage import IndexStorage
+
+
+def _sdf(spark, pdf):
+    return spark.createDataFrame(pdf)
+
+
+def _docs_file_snap(st: IndexStorage, spark):
+    """shard -> {file: (inode, mtime_ns)} over the RESOLVED docs
+    partitions (manifest-aware)."""
+    out = {}
+    man = st.read_manifest("docs")
+    if man is None:
+        base = st.path("docs")
+        dirs = {
+            int(d.split("=", 1)[1]): os.path.join(base, d)
+            for d in os.listdir(base)
+            if d.startswith("shard=")
+        }
+    else:
+        dirs = {s: os.path.join(st.index_dir, rel) for s, rel in man.items()}
+    for s, d in dirs.items():
+        out[s] = {
+            f: (os.stat(os.path.join(d, f)).st_ino, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+        }
+    return out
+
+
+def _search_fingerprint(spark, idx, queries=("tok0000 tok0001", "tok0002", "marker000")):
+    """Hydrated results keyed by (conv_id, turn_idx) + exact float
+    scores — id-layout-independent comparison between two indexes."""
+    from tlgs_spark.query.engine import SearchIndex
+
+    si = SearchIndex(spark, idx)
+    out = []
+    for q in queries:
+        for mode in ("and", "or"):
+            r = si.search(q, k=10, mode=mode)
+            rows = sorted(
+                zip(r["score"].tolist(), r["conv_id"].tolist(), r["turn_idx"].tolist()),
+                key=lambda x: (-x[0], x[1], x[2]),
+            )
+            out.append((q, mode, tuple(rows)))
+    return out
+
+
+def test_pure_edit_touches_only_changed_docs_partitions(spark, tmp_path):
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx")
+    pdf = generate_pandas(20)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=6, lineage="v1")
+    st = IndexStorage(idx)
+    pre = _docs_file_snap(st, spark)
+
+    pdf2 = pdf.copy()
+    mask = pdf2.conv_id == "conv000003"
+    pdf2.loc[mask, "text"] = pdf2.loc[mask, "text"] + " editedmarker"
+    res = incremental_update(spark, _sdf(spark, pdf2), idx)
+    assert res["changed"] and res["reused"]
+    assert res.get("mode") == "delta"
+
+    # THE r4 contract: docs partitions of unchanged shards are the
+    # same physical files (no full-corpus docs rewrite per update)
+    post = _docs_file_snap(IndexStorage(idx), spark)
+    for s in res["reused"]:
+        assert post[s] == pre[s], f"reused shard {s} docs files were rewritten"
+    for s in res["changed"]:
+        assert post[s] != pre.get(s), f"changed shard {s} docs not rewritten"
+
+    # byte-identity vs fresh build still holds for pure edits
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, _sdf(spark, pdf2), fresh, n_shards=6)
+    a = (
+        IndexStorage(idx).read(spark, "postings")
+        .select("shard", "term", "df", "postings")
+        .toPandas().sort_values(["shard", "term"]).reset_index(drop=True)
+    )
+    b = (
+        IndexStorage(fresh).read(spark, "postings")
+        .select("shard", "term", "df", "postings")
+        .toPandas().sort_values(["shard", "term"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_append_only_growth_stays_byte_identical(spark, tmp_path):
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_app")
+    pdf = generate_pandas(12)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=4)
+    extra = generate_pandas(2, start=500)  # keys sort after every existing conv
+    pdf2 = pd.concat([pdf, extra], ignore_index=True)
+    res = incremental_update(spark, _sdf(spark, pdf2), idx)
+    assert res.get("mode") == "delta"
+    assert res["reused"], "append should reuse interior shards"
+
+    fresh = str(tmp_path / "fresh_app")
+    build_index(spark, _sdf(spark, pdf2), fresh, n_shards=IndexStorage(idx).read_meta()["n_shards"])
+    a = (
+        IndexStorage(idx).read(spark, "postings")
+        .select("shard", "term", "df", "postings")
+        .toPandas().sort_values(["shard", "term"]).reset_index(drop=True)
+    )
+    b = (
+        IndexStorage(fresh).read(spark, "postings")
+        .select("shard", "term", "df", "postings")
+        .toPandas().sort_values(["shard", "term"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_delete_leaves_gaps_and_search_matches_fresh_build(spark, tmp_path):
+    from tlgs_spark.query.engine import SearchIndex
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_del")
+    pdf = generate_pandas(20)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=6)
+    meta0 = IndexStorage(idx).read_meta()
+
+    kept = pdf[pdf.conv_id != "conv000004"].reset_index(drop=True)
+    res = incremental_update(spark, _sdf(spark, kept), idx)
+    assert res.get("mode") == "delta"
+    assert res["reused"], "a one-conv delete must reuse most shards"
+
+    meta1 = IndexStorage(idx).read_meta()
+    n_del = int((pdf.conv_id == "conv000004").sum())
+    assert meta1["n_docs"] == meta0["n_docs"] - n_del  # live count shrinks
+    assert meta1["doc_ceiling"] == meta0.get("doc_ceiling", meta0["n_docs"])  # ids never reused
+
+    # search parity vs a fresh (dense-id) build of the same corpus
+    fresh = str(tmp_path / "fresh_del")
+    build_index(spark, _sdf(spark, kept), fresh, n_shards=6)
+    assert _search_fingerprint(spark, idx) == _search_fingerprint(spark, fresh)
+    # the deleted conversation is gone end to end
+    si = SearchIndex(spark, idx)
+    hits = si.search("tok0000", k=50, mode="or")
+    assert "conv000004" not in set(hits["conv_id"])
+
+
+def test_midkey_insert_allocates_above_ceiling(spark, tmp_path):
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_ins")
+    pdf = generate_pandas(10)
+    # drop one conv from the initial build, re-add it later = a
+    # MID-KEY insert (its key sorts inside the existing range)
+    first = pdf[pdf.conv_id != "conv000002"].reset_index(drop=True)
+    build_index(spark, _sdf(spark, first), idx, n_shards=4)
+    meta0 = IndexStorage(idx).read_meta()
+
+    res = incremental_update(spark, _sdf(spark, pdf), idx)
+    assert res.get("mode") == "delta"
+    meta1 = IndexStorage(idx).read_meta()
+    n_ins = int((pdf.conv_id == "conv000002").sum())
+    assert meta1["doc_ceiling"] == meta0.get("doc_ceiling", meta0["n_docs"]) + n_ins
+    assert meta1["n_docs"] == meta0["n_docs"] + n_ins
+
+    # inserted docs live ABOVE the old ceiling (interior shards reused)
+    st = IndexStorage(idx)
+    docs = st.read(spark, "docs").select("doc_id", "conv_id")
+    ins_ids = [r.doc_id for r in docs.filter(F.col("conv_id") == "conv000002").collect()]
+    assert ins_ids and min(ins_ids) >= meta0.get("doc_ceiling", meta0["n_docs"])
+
+    # search parity vs fresh dense build
+    fresh = str(tmp_path / "fresh_ins")
+    build_index(spark, _sdf(spark, pdf), fresh, n_shards=4)
+    assert _search_fingerprint(spark, idx) == _search_fingerprint(spark, fresh)
+
+
+def test_purge_is_partition_local_now(spark, tmp_path):
+    """purge (S8/I5) rides the delta path: removing one conversation
+    rewrites only its shards' docs/postings partitions instead of
+    re-densifying every doc id after it."""
+    from tlgs_spark.streaming.incremental import purge_conversations
+
+    idx = str(tmp_path / "idx_purge")
+    pdf = generate_pandas(20)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=6)
+    st = IndexStorage(idx)
+    pre = _docs_file_snap(st, spark)
+    res = purge_conversations(spark, _sdf(spark, pdf), idx, "conv000005")
+    assert res["purged_pattern"] == "conv000005"
+    assert res.get("mode") == "delta"
+    assert res["reused"]
+    post = _docs_file_snap(IndexStorage(idx), spark)
+    for s in res["reused"]:
+        assert post[s] == pre[s]
+    from tlgs_spark.query.engine import SearchIndex
+
+    hits = SearchIndex(spark, idx).search("tok0000", k=50, mode="or")
+    assert "conv000005" not in set(hits["conv_id"])
+
+
+def test_noop_update_short_circuits(spark, tmp_path):
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_noop")
+    pdf = generate_pandas(8)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=3)
+    st = IndexStorage(idx)
+    versions_before = dict(st.versions())
+    res = incremental_update(spark, _sdf(spark, pdf), idx)
+    assert res["changed"] == [] and len(res["reused"]) == 3
+    # nothing staged, nothing committed — a no-op is free
+    assert dict(IndexStorage(idx).versions()) == versions_before
+
+
+def test_analyzer_mismatch_falls_back_to_full_rebuild(spark, tmp_path, monkeypatch):
+    """The delta path must refuse to mix analyzers: a committed index
+    built under a different ANALYZER_VERSION takes the full-rebuild
+    path (mode != delta) and still ends correct."""
+    import json
+
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_an")
+    pdf = generate_pandas(8)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=3)
+    st = IndexStorage(idx)
+    meta = st.read_meta()
+    meta["tokenizer"] = "tlgs_spark.tokenizer v2 (s-stem)"  # stale analyzer
+    with open(st._meta_file(st.versions().get("index_meta", 0)), "w") as f:
+        json.dump(meta, f)
+    res = incremental_update(spark, _sdf(spark, pdf), idx)
+    assert res.get("mode") != "delta"
+    from tlgs_spark.query.engine import SearchIndex
+
+    hits = SearchIndex(spark, idx).search("tok0000", k=5)
+    assert list(hits.columns[:2]) == ["doc_id", "score"]

@@ -107,36 +107,74 @@ def test_tokens_cte_matches_python_tokenize(lines):
 
 
 def test_stemmer_divergence_contract():
-    """Pin the DELIBERATE divergence between spec v2 (Harman
-    S-stemmer: plural/singular only) and PG's 'english' Snowball
-    config (which also conflates derivational forms). See the
-    tokenizer module docstring: this is the frozen contract, and any
-    spec change must bump ANALYZER_VERSION."""
+    """Pin the DELIBERATE divergence between spec v3 (Harman S-stemmer
+    + bounded derivational subset) and PG's 'english' Snowball config.
+    See the tokenizer module docstring: this is the frozen contract,
+    and any spec change must bump ANALYZER_VERSION."""
     from tlgs_spark.tokenizer import s_stem, tokenize
 
-    # what the spec DOES normalize (plural/singular)
+    # what the spec DOES normalize — plural/singular (5a, unchanged)
     assert s_stem("windows") == "window"
     assert s_stem("queries") == "query"
     assert s_stem("branches") == "branche"  # -es rule drops one 's' only
     assert s_stem("classes") == "classe"
     assert s_stem("boss") == "boss"  # -ss guard
     assert s_stem("virus") == "virus"  # -us guard
+    # — derivational subset (5b, new in v3)
+    assert s_stem("running") == "run"  # -ing + undouble
+    assert s_stem("looking") == "look"
+    assert s_stem("making") == "make"  # 3-char cvc restores the e
+    assert s_stem("hoping") == "hope"
+    assert s_stem("hopping") == "hop"  # doubling disambiguates
+    assert s_stem("edited") == "edit"
+    assert s_stem("stopped") == "stop"
+    assert s_stem("missed") == "miss"  # ss never undoubles
+    assert s_stem("falling") == "fall"  # ll never undoubles
+    assert s_stem("agreed") == "agreed"  # -eed excluded (feed/exceed)
+    assert s_stem("quickly") == "quick"
+    assert s_stem("really") == "real"  # ly after ll undoubles
+    assert s_stem("family") == "family"  # vowel before -ly: keep
+    assert s_stem("connection") == "connect"  # -ion after s/t, len>=8
+    assert s_stem("action") == "action"  # len guard ~ Porter m>1
+    assert s_stem("string") == "string"  # vowelless stem: keep
+    assert s_stem("using") == "using"  # -ing needs len >= 6
+    assert s_stem("tried") == "try"  # -ied mirrors plural ies→y
+    assert s_stem("applied") == "apply"
+    assert s_stem("died") == "died"  # -ied needs len >= 5
     # what the spec deliberately does NOT do (PG english would):
-    # derivational suffixes stay distinct terms
-    assert s_stem("running") == "running"  # PG: run
-    assert s_stem("connection") == "connection"  # PG: connect
-    assert s_stem("quickly") == "quickly"  # PG: quick
+    assert s_stem("happiness") == "happiness"  # -ss guard (PG: happi)
+    assert s_stem("argument") == "argument"  # -ment untouched
+    # v3 is NOT idempotent — the single-stem discipline is the
+    # compensating contract (see test_single_stem_discipline)
+    assert s_stem("preceded") == "preced"
+    assert s_stem(s_stem("preceded")) == "prec"
     # the retrieval consequence, pinned end-to-end at analyzer level:
-    # a "run" query cannot match a "running" document...
-    assert set(tokenize("run")).isdisjoint(tokenize("running fast"))
-    # ...while the plural gap IS closed
+    # a "run" query NOW matches a "running" document (r3 VERDICT ask)…
+    assert set(tokenize("run")) & set(tokenize("running fast"))
+    # …the plural gap stays closed…
     assert set(tokenize("window")) & set(tokenize("many windows"))
+    # …and out-of-ruleset derivational forms stay distinct
+    assert set(tokenize("argue")).isdisjoint(tokenize("strong argument"))
+
+
+def test_single_stem_discipline():
+    """Spec v3 is not idempotent, so every call site must stem exactly
+    once from the surface form. make_snippet's term contract is the
+    one place that used to rely on idempotence: it must NOT re-stem
+    the (already-analyzed) terms it receives."""
+    from tlgs_spark.query.snippet import make_snippet
+    from tlgs_spark.tokenizer import tokenize_query
+
+    terms = tokenize_query("preceded")  # -> ["preced"]
+    assert terms == ["preced"]
+    snip = make_snippet("this preceded that event yesterday", terms)
+    assert "[preceded]" in snip  # re-stemming would miss the highlight
 
 
 def test_stemmer_divergence_retrieval(spark, search_index):
-    """Engine-level pin of the divergence: plural query forms hit the
-    singular-stemmed index; derivational forms do not create matches
-    that the analyzer did not promise."""
+    """Engine-level pin of the divergence: plural AND in-ruleset
+    derivational query forms hit the stemmed index; out-of-ruleset
+    forms do not create matches the analyzer did not promise."""
     from tlgs_spark.query.engine import EmptyQueryError
     from tlgs_spark.tokenizer import tokenize_query
 
@@ -146,6 +184,8 @@ def test_stemmer_divergence_retrieval(spark, search_index):
     a = si.search("tok0000 tok0001", k=5, mode="and")
     b = si.search("tok0000s tok0001s", k=5, mode="and")
     assert list(a.doc_id) == list(b.doc_id)
-    # derivational variants are different terms end to end
-    assert tokenize_query("running") == ["running"]
+    # derivational variants inside the v3 ruleset conflate end to end
+    assert tokenize_query("running") == ["run"]
     assert tokenize_query("runs") == ["run"]
+    # outside the ruleset they stay distinct
+    assert tokenize_query("argument") == ["argument"]

@@ -22,6 +22,7 @@ from .tokenizer import (
     MAX_TOKEN_LEN,
     STOPWORDS,
     s_stem,
+    stem_spark_stages,
     stem_sql_case,
     stopwords_sql_list,
     tokens_cte_sql,
@@ -1097,7 +1098,10 @@ def _title_stats(spark: SparkSession, sf_dir: str, n_docs: int) -> dict:
             )
         ).alias("term"),
     ).filter((F.length("term") <= 64) & (~F.col("term").isin(_STOP)))
-    t_toks = t_raw.select("doc_id", F.expr(stem_sql_case("term")).alias("term"))
+    _st1, _st2 = stem_spark_stages("term")
+    t_toks = t_raw.select("doc_id", F.expr(_st1).alias("term")).select(
+        "doc_id", F.expr(_st2).alias("term")
+    )
     # ONE grouping-sets aggregation materializes every stat the scorer
     # needs — (doc_id,term)→tf, (doc_id)→dl, (term)→df, ()→total field
     # length — in a single shuffle + persist. The previous shape (three
@@ -2370,7 +2374,9 @@ def snippet_preview_entry(spark, sf_dir):
 
     from .query.snippet import make_snippet
 
-    terms = list(_SNIPPET_TERMS)
+    # make_snippet's term contract: analyzer output, stemmed exactly
+    # once (the SQL twin embeds the same s_stem(t) literals)
+    terms = [s_stem(t) for t in _SNIPPET_TERMS]
 
     def run(batches):
         for pdf in batches:

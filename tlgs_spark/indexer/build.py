@@ -46,7 +46,7 @@ from ..tokenizer import (
     STOPWORDS,
     TOKEN_RE,
     s_stem,
-    stem_sql_case,
+    stem_spark_stages,
 )
 from ..utils import parse_byte_size
 from .codec import encode_varints
@@ -209,8 +209,11 @@ def tokenize_tokens_jvm(docs: DataFrame, hygiene: bool = False) -> DataFrame:
         (F.length("term") <= MAX_TOKEN_LEN) & (~F.col("term").isin(sorted(STOPWORDS)))
     )
     # spec step 5: stem AFTER the raw-token stopword/length check —
-    # the same SQL rendering the DuckDB oracles use (one authority)
-    toks = toks.select("doc_id", F.expr(stem_sql_case("term")).alias("term"))
+    # same CASE authorities as the DuckDB oracles, staged as two
+    # projections so codegen holds (see stem_spark_stages)
+    st1, st2 = stem_spark_stages("term")
+    toks = toks.select("doc_id", F.expr(st1).alias("term"))
+    toks = toks.select("doc_id", F.expr(st2).alias("term"))
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 

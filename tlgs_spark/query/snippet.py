@@ -9,14 +9,17 @@ backticks survive — and a preview consisting entirely of marker chars
 is returned unchanged, find_first_not_of == npos). Frozen spec here:
 whitespace-run collapse + outer trim on top of the reference rules
 (the PG ts_headline stage normalizes whitespace before sanitize runs
-in the reference pipeline); whitespace words; a word matches
-if the S-STEM of its lowercased [a-z0-9]-normalized form equals the
-s-stem of a query term (the engine passes tokenize_query output, which
-is already stemmed — ts_headline matches through the same stemmer as
-retrieval, so "cats" must highlight for the query term "cat"; s_stem
-is idempotent, so surface-form term lists work too); the single
-fragment starts at the first matching word and extends up to MaxWords,
-padding left to reach MinWords; matches are wrapped in ``[ ]``.
+in the reference pipeline); whitespace words; a word matches if the
+STEM of its lowercased [a-z0-9]-normalized form equals a query term.
+TERM CONTRACT: ``terms`` must be ANALYZER OUTPUT (tokenize_query /
+s_stem applied exactly once to the surface form) — ts_headline matches
+through the same stemmer as retrieval, so "cats" highlights for the
+query "cat". make_snippet does NOT re-stem the terms: spec v3's
+stemmer is not idempotent (tokenizer.py docstring), so re-stemming an
+already-stemmed term would corrupt it ("preced" → "prec") and miss
+every highlight. The single fragment starts at the first matching
+word and extends up to MaxWords, padding left to reach MinWords;
+matches are wrapped in ``[ ]``.
 """
 
 from __future__ import annotations
@@ -47,11 +50,12 @@ def sanitize(s: str) -> str:
 
 
 def make_snippet(text: str, terms: list[str]) -> str:
+    """``terms`` are analyzer output — see the term contract above."""
     if not text:
         return ""
     head = sanitize(text[:HEAD_CHARS])
     words = head.split(" ")
-    tset = {s_stem(t.lower()) for t in terms}
+    tset = {t.lower() for t in terms}
     norm = [s_stem(_NORM_RE.sub("", w.lower())) for w in words]
     hits = [i for i, w in enumerate(norm) if w in tset]
     if hits:

@@ -15,32 +15,54 @@ oracle):
 2. lowercase
 3. tokens = maximal runs of ``[a-z0-9]+`` (ASCII)
 4. drop stopwords (fixed list below), drop tokens longer than 64 chars
-5. stem (spec v2): the Harman "S-stemmer" (Harman 1991, *How
-   effective is suffixing?*) — three plural-suffix rules, applied to
-   tokens of ≥ 4 chars, AFTER the stopword/length check (raw-token
-   stopwording, like PG's dictionary chain):
-     a. ``…ies`` (not ``eies``/``aies``) → ``…y``
-     b. ``…es``  (not ``aes``/``ees``/``oes``) → drop the ``s``
-     c. ``…s``   (not ``us``/``ss``) → drop the ``s``
-   This closes the round-1 plural/singular retrieval gap (PG
-   ``to_tsvector('english')`` stems — crawler.cpp:556-558) with a
-   spec small enough to stay bit-identical across the Arrow
-   tokenizer, the JVM expression twin, and plain-SQL DuckDB oracles
-   (a full Snowball run needs the fts extension, unavailable here).
+5. stem (spec v3): two sub-steps on tokens of ≥ 4 chars, AFTER the
+   stopword/length check (raw-token stopwording, like PG's dictionary
+   chain):
 
-   **Divergence contract (deliberate, frozen):** the S-stemmer
-   handles plural/singular ONLY. Derivational forms that PG's
-   'english' (Snowball) config conflates are DISTINCT terms here:
-   "running" ≠ "run", "connection" ≠ "connect", "quickly" ≠ "quick".
-   A user porting queries from the reference will see those misses;
-   the trade is a spec with one SQL-renderable authority shared by
-   every execution path and every oracle, versus a 1200-rule stemmer
-   with no DuckDB twin (rank-identity would become unverifiable).
-   The exact divergence surface is pinned by
-   tests/test_tokenizer.py::test_stemmer_divergence_contract; any
-   future spec v3 (e.g. a bounded derivational rule set) must bump
-   ANALYZER_VERSION so incremental updates rebuild rather than mix
-   analyzers.
+   5a. PLURAL — the Harman "S-stemmer" (Harman 1991, *How effective
+   is suffixing?*), unchanged from spec v2:
+     - ``…ies`` (not ``eies``/``aies``) → ``…y``
+     - ``…es``  (not ``aes``/``ees``/``oes``) → drop the ``s``
+     - ``…s``   (not ``us``/``ss``) → drop the ``s``
+
+   5b. DERIVATIONAL (new in v3) — a bounded, Porter-step-1b/4-ish
+   rule set applied to the plural-stemmed token (closes the most
+   common derivational retrieval gap vs PG ``to_tsvector('english')``
+   — crawler.cpp:556-558 — while staying plain-SQL renderable):
+     - ``…ing`` (len ≥ 6, a vowel-or-y in the stem) → strip, then
+       post-process (below):  running→run, looking→look, making→make
+     - ``…ied`` (len ≥ 5, not ``eied``/``aied``) → ``…y`` (the past-
+       tense mirror of the plural rule):  tried→try, applied→apply
+     - ``…ed``  (len ≥ 5, not ``…eed``, vowel-or-y in stem) → strip +
+       post-process:  edited→edit, stopped→stop, noted→note
+       (``eed`` keeps feed/agreed/exceed whole)
+     - ``…ly``  (len ≥ 6, non-vowel-y before it) → strip, undouble a
+       trailing ``ll``:  quickly→quick, really→real; family/daily
+       keep (vowel before ``ly``)
+     - ``…ion`` (len ≥ 8, ``s``/``t`` before it) → strip:
+       connection→connect, decision→decis; action/section keep
+       (length guard ≈ Porter's m>1 measure check)
+     post-process after ``ing``/``ed`` strip (Porter 1b2 subset):
+     a trailing doubled consonant (not ``l``/``s``/``z``) drops one
+     letter (stopp→stop); a 3-char c-v-c stem (last not ``w``/``x``/
+     ``y``) gains ``e`` (mak→make, hop→hope — a len-3 cvc provably
+     has Porter measure exactly 1, so this needs no measure machinery).
+
+   **Divergence contract (deliberate, frozen at v3):** Snowball
+   conflations OUTSIDE these rules remain distinct terms here:
+   "tried" ≠ "try" (-ied untouched), "happiness" ≠ "happy"
+   (-ness untouched), and e-final families can split where the 1b2
+   subset can't restore the e ("create"/"creates" → create but
+   "created"/"creating" → creat). The trade is unchanged from v2:
+   one SQL-renderable authority shared by every execution path and
+   every oracle, versus a 1200-rule stemmer with no DuckDB twin. The
+   exact divergence surface is pinned by tests/test_tokenizer.py.
+
+   **v3 is NOT idempotent** (v2 was): e.g. s_stem("preceded") =
+   "preced" but s_stem("preced") = "prec". Every call site therefore
+   stems EXACTLY ONCE from the raw surface form; make_snippet's term
+   contract changed accordingly (callers pass analyzer output).
+   Pinned by tests/test_tokenizer.py::test_single_stem_discipline.
 
 Everything here must stay in lock-step with :func:`tokens_cte_sql` /
 :func:`stem_sql_case`, which render the same pipeline as ANSI SQL for
@@ -60,7 +82,7 @@ MAX_TOKEN_LEN = 64
 # under a different analyzer cannot reuse shards verbatim (the reused
 # segments would hold differently-analyzed terms than the rebuilt
 # ones — a silently mixed-analyzer index).
-ANALYZER_VERSION = "tlgs_spark.tokenizer v2 (s-stem)"
+ANALYZER_VERSION = "tlgs_spark.tokenizer v3 (s-stem + derivational subset)"
 
 # Classic minimal English stopword list (fixed forever — part of the spec).
 STOPWORDS = frozenset(
@@ -86,12 +108,12 @@ def clean_text(text: str) -> str:
 
 STEM_MIN_LEN = 4
 
+_VOWELS = "aeiou"
+_VOWELS_Y = "aeiouy"
 
-def s_stem(t: str) -> str:
-    """Spec step 5: the S-stemmer (see module docstring). Pure
-    function of the kept token; never lengthens it, never empties it."""
-    if len(t) < STEM_MIN_LEN:
-        return t
+
+def _plural_stem(t: str) -> str:
+    """Spec step 5a: the Harman S-stemmer (the whole of spec v2)."""
     if t.endswith("ies"):
         return t if t.endswith(("eies", "aies")) else t[:-3] + "y"
     if t.endswith("es"):
@@ -99,6 +121,54 @@ def s_stem(t: str) -> str:
     if t.endswith("s"):
         return t if t.endswith(("us", "ss")) else t[:-1]
     return t
+
+
+def _post_strip(s: str) -> str:
+    """Porter-1b2 subset applied after an ``ing``/``ed`` strip:
+    undouble a trailing doubled consonant (not l/s/z); restore ``e``
+    on a 3-char c-v-c stem (last char not w/x/y — and a 3-char cvc has
+    Porter measure exactly 1, so no measure computation is needed)."""
+    if len(s) >= 2 and s[-1] == s[-2] and s[-1] not in _VOWELS and s[-1] not in "lsz":
+        return s[:-1]
+    if (
+        len(s) == 3
+        and s[0] not in _VOWELS_Y
+        and s[1] in _VOWELS
+        and s[2] not in _VOWELS_Y
+        and s[2] not in "wx"
+    ):
+        return s + "e"
+    return s
+
+
+def _deriv_stem(t: str) -> str:
+    """Spec step 5b: the bounded derivational rules (docstring)."""
+    if len(t) >= 6 and t.endswith("ing"):
+        s = t[:-3]
+        return _post_strip(s) if any(c in _VOWELS_Y for c in s) else t
+    if len(t) >= 5 and t.endswith("ied"):
+        # the past-tense mirror of the plural ies→y rule: tried→try,
+        # applied→apply — conflating with tries/try, applies/apply
+        return t if t.endswith(("eied", "aied")) else t[:-3] + "y"
+    if len(t) >= 5 and t.endswith("ed") and not t.endswith("eed"):
+        s = t[:-2]
+        return _post_strip(s) if any(c in _VOWELS_Y for c in s) else t
+    if len(t) >= 6 and t.endswith("ly") and t[-3] not in _VOWELS_Y:
+        s = t[:-2]
+        return s[:-1] if s.endswith("ll") else s
+    if len(t) >= 8 and t.endswith("ion") and t[-4] in "st":
+        return t[:-3]
+    return t
+
+
+def s_stem(t: str) -> str:
+    """Spec step 5 (v3): plural S-stem, then the derivational subset.
+    Pure function of the kept token; never lengthens it by more than
+    the restored ``e``, never empties it. NOT idempotent (see module
+    docstring) — stem exactly once from the raw surface form."""
+    if len(t) < STEM_MIN_LEN:
+        return t
+    return _deriv_stem(_plural_stem(t))
 
 
 def tokenize(text: str, hygiene: bool = False) -> list[str]:
@@ -132,18 +202,23 @@ def stopwords_sql_list() -> str:
     return ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
 
-def stem_sql_case(e: str) -> str:
-    """ANSI-SQL rendering of :func:`s_stem` over expression ``e`` —
-    identical semantics in DuckDB and Spark SQL (both: 1-based
-    substr, || concat, length)."""
+_V_SQL = "('a','e','i','o','u')"
+_VY_SQL = "('a','e','i','o','u','y')"
+_VY_WX_SQL = "('a','e','i','o','u','y','w','x')"
+_DOUBLE_EXCL_SQL = "('a','e','i','o','u','l','s','z')"
+
+
+def _plural_sql_case(e: str) -> str:
+    """Step 5a (the whole of spec v2) over expression ``e``. NOTE: no
+    length-4 floor here — the composed stem_sql_case applies it once
+    at the top, mirroring s_stem."""
     L = f"length({e})"
 
     def suf(n: int) -> str:
         return f"substr({e}, {L} - {n - 1}, {n})"
 
     return (
-        f"CASE WHEN {L} < {STEM_MIN_LEN} THEN {e} "
-        f"WHEN {suf(3)} = 'ies' THEN "
+        f"(CASE WHEN {suf(3)} = 'ies' THEN "
         f"(CASE WHEN {suf(4)} IN ('eies', 'aies') THEN {e} "
         f"ELSE substr({e}, 1, {L} - 3) || 'y' END) "
         f"WHEN {suf(2)} = 'es' THEN "
@@ -152,8 +227,102 @@ def stem_sql_case(e: str) -> str:
         f"WHEN {suf(1)} = 's' THEN "
         f"(CASE WHEN {suf(2)} IN ('us', 'ss') THEN {e} "
         f"ELSE substr({e}, 1, {L} - 1) END) "
-        f"ELSE {e} END"
+        f"ELSE {e} END)"
     )
+
+
+def _deriv_sql_case(e: str) -> str:
+    """Step 5b over expression ``e`` — same semantics as _deriv_stem
+    (incl. _post_strip) in both DuckDB and Spark SQL (shared surface:
+    1-based substr, ||, length, instr)."""
+    L = f"length({e})"
+
+    def suf(n: int) -> str:
+        return f"substr({e}, {L} - {n - 1}, {n})"
+
+    def ch(pos_from_end: int) -> str:
+        # 1 = last char, 2 = second-to-last, ...
+        return f"substr({e}, {L} - {pos_from_end - 1}, 1)"
+
+    def head(pos: int) -> str:
+        return f"substr({e}, {pos}, 1)"
+
+    def novowel(strip: int) -> str:
+        stem = f"substr({e}, 1, {L} - {strip})"
+        return (
+            "("
+            + " + ".join(f"instr({stem}, '{c}')" for c in _VOWELS_Y)
+            + ") = 0"
+        )
+
+    def post(strip: int) -> str:
+        # _post_strip on the stem e[:-strip]: undouble trailing doubled
+        # non-l/s/z consonant, else restore 'e' on a 3-char c-v-c stem
+        return (
+            f"(CASE WHEN {ch(strip + 1)} = {ch(strip + 2)} "
+            f"AND {ch(strip + 1)} NOT IN {_DOUBLE_EXCL_SQL} "
+            f"THEN substr({e}, 1, {L} - {strip + 1}) "
+            f"WHEN {L} = {strip + 3} AND {head(1)} NOT IN {_VY_SQL} "
+            f"AND {head(2)} IN {_V_SQL} AND {head(3)} NOT IN {_VY_WX_SQL} "
+            f"THEN substr({e}, 1, 3) || 'e' "
+            f"ELSE substr({e}, 1, {L} - {strip}) END)"
+        )
+
+    return (
+        f"(CASE WHEN {L} >= 6 AND {suf(3)} = 'ing' THEN "
+        f"(CASE WHEN {novowel(3)} THEN {e} ELSE {post(3)} END) "
+        f"WHEN {L} >= 5 AND {suf(3)} = 'ied' THEN "
+        f"(CASE WHEN {suf(4)} IN ('eied', 'aied') THEN {e} "
+        f"ELSE substr({e}, 1, {L} - 3) || 'y' END) "
+        f"WHEN {L} >= 5 AND {suf(2)} = 'ed' AND {suf(3)} <> 'eed' THEN "
+        f"(CASE WHEN {novowel(2)} THEN {e} ELSE {post(2)} END) "
+        f"WHEN {L} >= 6 AND {suf(2)} = 'ly' AND {ch(3)} NOT IN {_VY_SQL} THEN "
+        f"(CASE WHEN substr({e}, {L} - 3, 2) = 'll' THEN substr({e}, 1, {L} - 3) "
+        f"ELSE substr({e}, 1, {L} - 2) END) "
+        f"WHEN {L} >= 8 AND {suf(3)} = 'ion' AND {ch(4)} IN ('s','t') THEN "
+        f"substr({e}, 1, {L} - 3) "
+        f"ELSE {e} END)"
+    )
+
+
+def stem_sql_case(e: str) -> str:
+    """ANSI-SQL rendering of :func:`s_stem` (spec v3: plural then
+    derivational) over expression ``e`` — identical semantics in
+    DuckDB and Spark SQL (both: 1-based substr, || concat, length,
+    instr). The derivational CASE nests the plural CASE as its input
+    expression (~90 repetitions), fine for DuckDB's interpreter but
+    past the JVM's 64 KB method limit under Spark codegen — Spark
+    F.expr sites must use :func:`stem_spark_sql` instead."""
+    return (
+        f"CASE WHEN length({e}) < {STEM_MIN_LEN} THEN {e} "
+        f"ELSE {_deriv_sql_case(_plural_sql_case(e))} END"
+    )
+
+
+def stem_spark_stages(e: str) -> tuple[str, str]:
+    """Spark rendering of the SAME spec for F.expr sites, as TWO
+    projection stages over the same column name: apply stage 1
+    (min-len guard + plural) aliased back to ``e``, then stage 2 (the
+    derivational CASE, the identity on tokens shorter than 5) in a
+    SECOND ``.select``. Catalyst keeps the projects separate
+    (CollapseProject's cost heuristic refuses to inline a non-cheap
+    alias referenced ~90×), so each stays well under Janino's 64 KB
+    method limit and inside WholeStageCodegen — the composed
+    :func:`stem_sql_case` rendering trips the limit under Spark and
+    silently drops the whole projection to interpreted eval (a
+    higher-order-function lambda binding was measured correct but is
+    not codegen-supported at all). Even if a future optimizer DOES
+    collapse them, results stay correct — only codegen falls back.
+
+        st1, st2 = stem_spark_stages("term")
+        df.select(..., F.expr(st1).alias("term"))
+          .select(..., F.expr(st2).alias("term"))
+    """
+    stage1 = (
+        f"CASE WHEN length({e}) < {STEM_MIN_LEN} THEN {e} "
+        f"ELSE {_plural_sql_case(e)} END"
+    )
+    return stage1, _deriv_sql_case(e)
 
 
 def tokens_cte_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -31,6 +31,15 @@ def index_dir(spark):
     """A built index over the deterministic corpus (session-cached on
     disk: rebuilt only when absent, so repeated pytest runs are fast)."""
     meta_ok = os.path.exists(os.path.join(INDEX_DIR, "index_meta.json"))
+    if meta_ok:
+        import json
+
+        from tlgs_spark.indexer.build import DOCS_LAYOUT_SHARDED
+
+        with open(os.path.join(INDEX_DIR, "index_meta.json")) as f:
+            cached = json.load(f)
+        # stale cache from an older layout/analyzer generation → rebuild
+        meta_ok = cached.get("docs_layout") == DOCS_LAYOUT_SHARDED
     if not meta_ok:
         shutil.rmtree(INDEX_DIR, ignore_errors=True)
         sdf = generate_spark(spark, N_CONV, partitions=4)

@@ -138,24 +138,38 @@ def test_gc_deferred_until_vacuum(spark, tmp_path):
 
     pdf2 = pdf.copy()
     pdf2.loc[pdf2.conv_id == pdf2.conv_id.iloc[0], "text"] = "edited text entirely"
-    incremental_update(spark, _spark_df(spark, pdf2), idx, n_shards=3)
+    res = incremental_update(spark, _spark_df(spark, pdf2), idx, n_shards=3)
+    assert res.get("mode") == "delta"
+    changed_docs_dirs = [
+        os.path.join(old_docs_dir, f"shard={s}") for s in res["changed"]
+    ]
+    reused_docs_dirs = [
+        os.path.join(old_docs_dir, f"shard={s}") for s in res["reused"]
+    ]
 
-    # deferred: the superseded docs dir is still on disk and the old
-    # reader's resolved paths keep answering (its caches are warm, but
-    # a fresh uncached lookup must also still succeed)
-    assert os.path.isdir(old_docs_dir)
+    # deferred: the superseded docs partitions are still on disk and
+    # the old reader's resolved paths keep answering (its caches are
+    # warm, but a fresh uncached lookup must also still succeed)
+    assert all(os.path.isdir(d) for d in changed_docs_dirs)
     si_old._meta_cache.clear()
+    si_old._arrow_cache.clear() if hasattr(si_old, "_arrow_cache") else None
     after = si_old._meta_lookup(pd.Series([0, 1]).to_numpy())
     pd.testing.assert_frame_equal(before, after)
     pending = json.load(open(os.path.join(idx, "gc_pending.json")))
-    assert any(e["path"] == old_docs_dir for e in pending)
+    for d in changed_docs_dirs:
+        assert any(e["path"] == d for e in pending)
 
-    # a long grace keeps it; grace 0 removes it
+    # a long grace keeps them; grace 0 retires the CHANGED partitions
+    # only — the old base dir survives because the new manifest still
+    # references its reused shard partitions (r4 delta semantics)
     st = IndexStorage(idx)
     assert st.vacuum(grace_s=3600.0) == []
     removed = st.vacuum(grace_s=0.0)
-    assert old_docs_dir in removed
-    assert not os.path.isdir(old_docs_dir)
+    for d in changed_docs_dirs:
+        assert d in removed
+        assert not os.path.isdir(d)
+    for d in reused_docs_dirs:
+        assert os.path.isdir(d)
     # the new committed index still reads fine
     si_new = SearchIndex(spark, idx)
     assert si_new.n_docs == len(pdf2)

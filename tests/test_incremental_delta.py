@@ -124,7 +124,11 @@ def test_append_only_growth_stays_byte_identical(spark, tmp_path):
     assert res["reused"], "append should reuse interior shards"
 
     fresh = str(tmp_path / "fresh_app")
-    build_index(spark, _sdf(spark, pdf2), fresh, n_shards=IndexStorage(idx).read_meta()["n_shards"])
+    # byte-identity needs the SAME shard grid: the delta pins the
+    # committed shard_size (growth appends trailing shards), so the
+    # fresh comparison build must pin it too
+    build_index(spark, _sdf(spark, pdf2), fresh,
+                shard_size=IndexStorage(idx).read_meta()["shard_size"])
     a = (
         IndexStorage(idx).read(spark, "postings")
         .select("shard", "term", "df", "postings")

@@ -98,10 +98,14 @@ TERM_SHARDS_MAX = 64
 # measure.
 FUSED_ASSIGN_MAX_DOCS = 8_000_000
 
-# index_meta "docs_layout" attestation: docs files are hash-partitioned
-# by shard, doc_id-sorted within each file (every shard whole and
-# contiguous inside one file) — the stream fast path's precondition
-DOCS_LAYOUT_SHARDED = "sharded_sorted_v1"
+# index_meta "docs_layout" attestation: docs live in hive ``shard=``
+# partition dirs, one whole shard per file, doc_id-sorted within each
+# file — the stream fast path's precondition AND the unit of
+# incremental reuse (a delta update rewrites only changed shards'
+# dirs; the rest are carried by manifest reference, storage.py).
+# v1 (flat hash-partitioned files, ≤ r3) indexes fail this check and
+# take the groupBy fallback — still correct, just re-shuffled.
+DOCS_LAYOUT_SHARDED = "sharded_sorted_v2"
 
 # postings-loop scan sizing: pack docs files into roughly this many
 # scan tasks per core — enough waves to absorb stragglers while paying
@@ -480,8 +484,22 @@ def _build_shard_from_docs(
     return _build_shard(tok_pdf, shard_size)
 
 
+def _expected_shard_docs(
+    shard: int, shard_size: int, doc_ceiling: int, expect_counts: dict | None
+) -> int:
+    """How many docs a full group for ``shard`` must hold. Dense
+    indexes (every fresh build): min(shard_size, ceiling - base).
+    Delta-updated indexes may have ID GAPS (deletions never re-densify,
+    storage doc_ceiling contract) — the updater passes the exact live
+    count per rebuilt shard via ``expect_counts``."""
+    if expect_counts is not None and shard in expect_counts:
+        return expect_counts[shard]
+    return min(shard_size, doc_ceiling - shard * shard_size)
+
+
 def _build_shard_table(table, shard_size: int, hygiene: bool,
-                       n_docs: int | None = None):
+                       n_docs: int | None = None,
+                       expect_counts: dict | None = None):
     """Arrow-native twin of ``_build_shard_from_docs`` — identical
     rows in identical order (pinned by test_build_vectorized), but the
     hot path never round-trips through pandas object columns:
@@ -505,12 +523,14 @@ def _build_shard_table(table, shard_size: int, hygiene: bool,
     shard = int(doc_ids_np[0]) // shard_size
     base = shard * shard_size
     if n_docs is not None:
-        # same loud contract as the stream kernel: doc_ids are dense, so
-        # a full-shard group holds exactly this many rows. Duplicate
-        # (conv_id, turn_idx) input keys multiply rows through the
-        # doc-id broadcast join and would otherwise silently double
-        # tf/dl here (the input contract requires unique keys).
-        expect = min(shard_size, n_docs - base)
+        # same loud contract as the stream kernel: a full-shard group
+        # holds exactly the expected row count (dense rank up to
+        # doc_ceiling, or the delta updater's exact live count for
+        # gapped shards). Duplicate (conv_id, turn_idx) input keys
+        # multiply rows through the doc-id broadcast join and would
+        # otherwise silently double tf/dl here (the input contract
+        # requires unique keys).
+        expect = _expected_shard_docs(shard, shard_size, n_docs, expect_counts)
         if len(doc_ids_np) != expect:
             raise RuntimeError(
                 f"shard {shard} group has {len(doc_ids_np)} docs, expected "
@@ -612,7 +632,8 @@ def _build_shard_table(table, shard_size: int, hygiene: bool,
     return pa.concat_tables([main, _pseudo(dl_lookup)])
 
 
-def _postings_stream(batches, shard_size: int, hygiene: bool, n_docs: int):
+def _postings_stream(batches, shard_size: int, hygiene: bool, n_docs: int,
+                     expect_counts: dict | None = None):
     """mapInArrow kernel for the fresh-layout postings fast path: the
     incoming scan stream is doc_id-sorted per file with every shard
     wholly inside one file, so shards arrive as CONTIGUOUS runs —
@@ -628,7 +649,7 @@ def _postings_stream(batches, shard_size: int, hygiene: bool, n_docs: int):
 
     def _emit():
         tbl = pa.Table.from_batches(pending)
-        expect = min(shard_size, n_docs - cur * shard_size)
+        expect = _expected_shard_docs(cur, shard_size, n_docs, expect_counts)
         if tbl.num_rows != expect:
             raise RuntimeError(
                 f"postings stream: shard {cur} chunk has {tbl.num_rows} docs, "
@@ -653,6 +674,40 @@ def _postings_stream(batches, shard_size: int, hygiene: bool, n_docs: int):
         yield from _emit().to_batches()
 
 
+def _docs_data_files(st: IndexStorage) -> list | None:
+    """os.DirEntry list of every data file the resolved docs snapshot
+    references (manifest-aware: only the referenced ``shard=`` dirs of
+    each base). None ⇒ not walkable (non-local dir)."""
+    import os
+
+    out: list = []
+    try:
+        for base, shards in st.sources("docs"):
+            if shards is None:
+                dirs = [
+                    e.path
+                    for e in os.scandir(base)
+                    if e.is_dir() and e.name.startswith("shard=")
+                ]
+                # v1 flat layout: data files directly under the base
+                out.extend(
+                    e
+                    for e in os.scandir(base)
+                    if e.is_file() and not e.name.startswith((".", "_"))
+                )
+            else:
+                dirs = [os.path.join(base, f"shard={s}") for s in shards]
+            for d in dirs:
+                out.extend(
+                    e
+                    for e in os.scandir(d)
+                    if e.is_file() and not e.name.startswith((".", "_"))
+                )
+    except OSError:
+        return None
+    return out
+
+
 def _docs_layout_streamable(spark: SparkSession, st: IndexStorage) -> bool:
     """True when the docs table satisfies the stream-kernel contract:
 
@@ -660,17 +715,13 @@ def _docs_layout_streamable(spark: SparkSession, st: IndexStorage) -> bool:
        pass (the only docs writer, fresh AND incremental) stamps it
        when it writes the sharded+sorted layout, so RESUMED builds
        inherit the fast path. Footer stats alone cannot prove the
-       contract: a file legitimately holds several NON-adjacent shards
-       (hash collisions), so file-level [min,max] envelopes overlap
-       even for valid layouts.
+       contract (a writer bug could interleave shards within a dir).
     2. every data file is small enough that the scan never splits it
        across tasks (a split file could hand each task half a shard).
 
     Non-local dirs can't be stat'ed cheaply → False (groupBy fallback).
     The stream kernel's exact per-shard doc-count check remains the
     runtime backstop: a stale attestation fails loudly, never silently."""
-    import os
-
     try:
         if st.read_meta().get("docs_layout") != DOCS_LAYOUT_SHARDED:
             return False
@@ -688,13 +739,8 @@ def _docs_layout_streamable(spark: SparkSession, st: IndexStorage) -> bool:
     limit = parse_byte_size(limit_s, default=-1)
     if limit <= 0:
         return False
-    try:
-        files = [
-            e
-            for e in os.scandir(st.path("docs"))
-            if e.is_file() and not e.name.startswith((".", "_"))
-        ]
-    except OSError:
+    files = _docs_data_files(st)
+    if files is None:
         return False
     return bool(files) and all(e.stat().st_size < limit for e in files)
 
@@ -756,6 +802,8 @@ def build_index(
     force_shards: set[int] | None = None,
     claim_owner: str | None = None,
     shard_size: int | None = None,
+    expect_counts: dict | None = None,
+    finalize: bool = True,
 ) -> dict:
     """Full build: docs → per-shard postings (+ doc lengths in the
     same pass) → finalize (norms/doc_lengths/collection_stats/
@@ -782,6 +830,11 @@ def build_index(
     building, so N builders running against the same index partition
     the pending set between them with no shard built twice; finalize
     is deferred to a final single resume pass (see _claim_shard).
+    ``expect_counts`` overrides the per-shard expected doc counts for
+    GAPPED shards (delta updates: deletions never re-densify ids).
+    ``finalize=False`` skips the norms/doc_lengths/term_stats/
+    collection_stats derivation — the delta updater runs its own
+    edit-proportional finalize instead.
     Returns build metrics (also persisted in the ledger).
     """
     # AQE partition coalescing prices partitions by SHUFFLE BYTES, but
@@ -798,6 +851,7 @@ def build_index(
             spark, transcripts, index_dir, n_shards, hygiene, resume,
             shard_batch, lineage, max_shards_to_build,
             storage, force_shards, claim_owner, shard_size,
+            expect_counts, finalize,
         )
     finally:
         spark.conf.set(_coalesce_key, _coalesce_prev)
@@ -817,6 +871,8 @@ def _build_index_impl(
     force_shards: set[int] | None = None,
     claim_owner: str | None = None,
     shard_size: int | None = None,
+    expect_counts: dict | None = None,
+    finalize: bool = True,
 ) -> dict:
     st = storage if storage is not None else IndexStorage(index_dir)
 
@@ -897,6 +953,10 @@ def _build_index_impl(
         st.write_meta(
             {
                 "n_docs": n_docs,
+                # high-water mark: ids are dense 0..n_docs-1 on a fresh
+                # build; delta updates allocate above it and deletions
+                # leave gaps — doc_ceiling is MONOTONE, never reused
+                "doc_ceiling": n_docs,
                 "n_shards": n_shards,
                 "shard_size": shard_size,
                 "hygiene": hygiene,
@@ -905,14 +965,21 @@ def _build_index_impl(
                 "tokenizer": ANALYZER_VERSION,
                 "postings_format": POSTINGS_FORMAT,
                 # layout attestation (the Iceberg sort-order idea):
-                # docs is hash-partitioned by shard and doc_id-sorted
-                # within each file, i.e. every shard's rows are whole
-                # and contiguous inside ONE file. The postings stream
-                # fast path trusts this flag (any future writer that
-                # does not preserve the layout must drop it).
+                # docs live in hive shard= dirs, one whole shard per
+                # doc_id-sorted file. The postings stream fast path
+                # trusts this flag (any future writer that does not
+                # preserve the layout must drop it).
                 "docs_layout": DOCS_LAYOUT_SHARDED,
             }
         )
+        # a DIRECT full rebuild into a previously delta-updated dir
+        # rewrites the resolved version's base dirs WHOLESALE — any
+        # surviving manifest would keep resolving shards to superseded
+        # files. Drop them before the writes (the delta path stages its
+        # own manifests on fresh versions instead).
+        if storage is None:
+            for _t in ("docs", "first_turn_terms"):
+                st.remove_manifest(_t)
         # (format 2: no separate dl pass — doc lengths fall out of the
         # postings pass as per-shard norms pseudo rows; norms /
         # doc_lengths / collection_stats are extracted at finalize)
@@ -959,15 +1026,35 @@ def _build_index_impl(
                 ftt = (
                     tokenize_tokens(turn0.select("doc_id", "text"), hygiene=hygiene)
                     .join(turn0.select("doc_id", "conv_id"), "doc_id")
-                    .select("conv_id", "term")
+                    .select(
+                        "conv_id",
+                        "term",
+                        # ftt rides the docs shard grid (shard of the
+                        # conv's turn-0 doc): a delta update that
+                        # rebuilds a docs shard rebuilds exactly the
+                        # same ftt partition, everything else is reused
+                        # by manifest reference. Term-sorted within
+                        # each partition so the pyarrow point lookup
+                        # prunes row groups per file.
+                        (F.col("doc_id") / F.lit(shard_size)).cast("int").alias("shard"),
+                    )
                 )
-                st.write(ftt.sort("term"), "first_turn_terms")
+                st.write(
+                    ftt.repartition(n_shards, F.col("shard"))
+                    .sortWithinPartitions("shard", "term"),
+                    "first_turn_terms",
+                    partition_by=["shard"],
+                )
             except BaseException as e:  # surfaced after join below
                 _write_err.append(e)
 
         _th = threading.Thread(target=_build_ftt, name="first_turn_terms")
         _th.start()
-        st.write(sharded.sortWithinPartitions("doc_id").drop("shard"), "docs")
+        st.write(
+            sharded.sortWithinPartitions("shard", "doc_id"),
+            "docs",
+            partition_by=["shard"],
+        )
         _mark("docs_write")
         _th.join()
         _mark("first_turn_terms")
@@ -1076,14 +1163,8 @@ def _build_index_impl(
             default=134217728,
         )
         open_cost = max_pb  # no-pack fallback
-        try:
-            sizes = [
-                e.stat().st_size
-                for e in os.scandir(st.path("docs"))
-                if e.is_file() and not e.name.startswith((".", "_"))
-            ]
-        except OSError:
-            sizes = []
+        _files = _docs_data_files(st)
+        sizes = [e.stat().st_size for e in _files] if _files else []
         if sizes:
             target_tasks = PACK_TASKS_PER_CORE * max(
                 1, spark.sparkContext.defaultParallelism
@@ -1105,24 +1186,34 @@ def _build_index_impl(
         tb0 = time.time()
         # merge consecutive shards into doc_id ranges (usually ONE
         # range — avoids an O(n_shards)-clause predicate)
-        runs: list[list[int]] = []
-        for s in batch:
-            if runs and s == runs[-1][1]:
-                runs[-1][1] = s + 1
-            else:
-                runs.append([s, s + 1])
-        cond = F.lit(False)
-        for a, b in runs:
-            cond = cond | (
-                (F.col("doc_id") >= a * shard_size) & (F.col("doc_id") < b * shard_size)
-            )
+        if "shard" in docs_r.columns:
+            # hive-layout docs (v2): filter on the PARTITION column —
+            # Spark prunes to exactly the batch's shard= dirs, so a
+            # delta rebuild of 3 shards scans 3 dirs, not the corpus
+            cond = F.col("shard").isin([int(s) for s in batch])
+        else:
+            # legacy flat layout: doc_id range predicate (row-group
+            # pruned via footer stats)
+            runs: list[list[int]] = []
+            for s in batch:
+                if runs and s == runs[-1][1]:
+                    runs[-1][1] = s + 1
+                else:
+                    runs.append([s, s + 1])
+            cond = F.lit(False)
+            for a, b in runs:
+                cond = cond | (
+                    (F.col("doc_id") >= a * shard_size) & (F.col("doc_id") < b * shard_size)
+                )
         # tokenize + encode inside the shard builder — raw text is ~3×
         # fewer shuffle bytes than the exploded token stream (and on
         # the fresh-layout stream path it never shuffles at all)
-        n_docs_total = meta["n_docs"]
+        n_docs_total = int(meta.get("doc_ceiling", meta["n_docs"]))
         if stream_ok:
             seg = docs_r.filter(cond).select("doc_id", "text").mapInArrow(
-                lambda it: _postings_stream(it, shard_size, hygiene, n_docs_total),
+                lambda it: _postings_stream(
+                    it, shard_size, hygiene, n_docs_total, expect_counts
+                ),
                 schema=POSTINGS_SCHEMA,
             )
         else:
@@ -1135,7 +1226,9 @@ def _build_index_impl(
                 )
                 .groupBy("shard")
                 .applyInArrow(
-                    lambda t: _build_shard_table(t, shard_size, hygiene, n_docs_total),
+                    lambda t: _build_shard_table(
+                        t, shard_size, hygiene, n_docs_total, expect_counts
+                    ),
                     schema=POSTINGS_SCHEMA,
                 )
             )
@@ -1296,7 +1389,7 @@ def _build_index_impl(
     # must not race these rewrites — the caller runs one final
     # resume-without-claims pass, which finalizes exactly once.
     needs_finalize = False
-    if claim_owner is None and max_shards_to_build != 0 and st.exists("postings"):
+    if finalize and claim_owner is None and max_shards_to_build != 0 and st.exists("postings"):
         if (
             built > 0
             or not st.exists("term_stats")
@@ -1340,14 +1433,22 @@ def _build_index_impl(
 
         from .codec import decode_varints
 
-        n_docs_total = int(meta["n_docs"])
+        n_docs_total = int(meta.get("doc_ceiling", meta["n_docs"]))
         _fin_err: list = []
         _fin_out: dict = {}
+        if storage is None:
+            # direct rebuild: the finalize writes below replace the
+            # resolved versions wholesale — drop any stale manifests
+            # left by an earlier delta update (same rule as docs)
+            st.remove_manifest("norms")
+            st.remove_manifest("doc_lengths")
 
         def _norms_chain() -> None:
             """norms → total_dl → doc_lengths, on a background thread
             concurrent with the term_stats shuffle (both only READ the
-            committed postings; they write disjoint tables)."""
+            committed postings; they write disjoint tables). Both land
+            in hive shard= partitions so delta updates rewrite only
+            changed shards (manifest reuse, storage.py)."""
             t0n = time.time()
             try:
                 nrows = (
@@ -1361,7 +1462,11 @@ def _build_index_impl(
                         "dls",
                     )
                 )
-                st.write(nrows.select("shard", "base", "n", "dls"), "norms")
+                st.write(
+                    nrows.select("shard", "base", "n", "dls"),
+                    "norms",
+                    partition_by=["shard"],
+                )
                 _fin_out["total_dl"] = int(
                     st.read(spark, "postings")
                     .filter(F.col("term").isNull())
@@ -1372,13 +1477,14 @@ def _build_index_impl(
 
                 def _dl_rows(batches):
                     for pdf in batches:
-                        for base, blob in zip(pdf["base"], pdf["dls"]):
+                        for shard, base, blob in zip(pdf["shard"], pdf["base"], pdf["dls"]):
                             arr = decode_varints(bytes(blob)).astype(np.int64)
                             hi = min(len(arr), n_docs_total - int(base))
                             if hi <= 0:
                                 continue
                             yield pd.DataFrame(
                                 {
+                                    "shard": np.full(hi, int(shard), dtype=np.int32),
                                     "doc_id": np.arange(
                                         int(base), int(base) + hi, dtype=np.int64
                                     ),
@@ -1388,10 +1494,10 @@ def _build_index_impl(
 
                 dl_df = (
                     st.read(spark, "norms")
-                    .select("base", "dls")
-                    .mapInPandas(_dl_rows, schema="doc_id long, dl long")
+                    .select("shard", "base", "dls")
+                    .mapInPandas(_dl_rows, schema="shard int, doc_id long, dl long")
                 )
-                st.write(dl_df, "doc_lengths")
+                st.write(dl_df, "doc_lengths", partition_by=["shard"])
             except BaseException as e:  # surfaced after the join below
                 _fin_err.append(e)
             phases["finalize_norms"] = round(

@@ -56,6 +56,13 @@ TABLES = (
     "first_turn_terms",
 )
 
+# Tables snapshot-versioned at PARTITION granularity (hive ``shard=``
+# dirs + a per-version manifest mapping shard → partition dir). An
+# incremental update rewrites only the changed shards' partitions and
+# carries the rest by manifest reference — the r4 "prepare ∝ edit"
+# contract extends the r3 postings machinery to every per-shard table.
+PARTITIONED_TABLES = ("postings", "docs", "norms", "doc_lengths", "first_turn_terms")
+
 
 class IndexStorage:
     """Physical layout with a metadata-level version pointer.
@@ -230,6 +237,9 @@ class IndexStorage:
         return self.table_dir(table, v)
 
     def exists(self, table: str) -> bool:
+        if table in PARTITIONED_TABLES and self.read_manifest(table) is not None:
+            srcs = self.sources(table)
+            return any(os.path.isdir(base) for base, _ in srcs)
         if table == "postings":
             srcs = self.postings_sources()
             return any(os.path.isdir(base) for base, _ in srcs)
@@ -249,77 +259,102 @@ class IndexStorage:
         return os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
 
     def read(self, spark, table: str):
-        if table == "postings":
-            return self.read_postings(spark)
+        if table in PARTITIONED_TABLES:
+            return self.read_sharded(spark, table)
         return spark.read.parquet(self.path(table))
 
-    # --- postings manifest (partition-granular snapshot) ---
-    def _postings_manifest_file(self, version: int) -> str:
+    # --- per-table manifests (partition-granular snapshots) ---
+    def _manifest_file(self, table: str, version: int) -> str:
         name = (
-            "postings_manifest.json"
+            f"{table}_manifest.json"
             if version == 0
-            else f"postings_manifest__v{version}.json"
+            else f"{table}_manifest__v{version}.json"
         )
         return os.path.join(self.index_dir, name)
 
-    def postings_version(self) -> int:
-        v = self._staged.get("postings")
+    def table_version(self, table: str) -> int:
+        v = self._staged.get(table)
         if v is None:
-            v = self.versions().get("postings", 0)
+            v = self.versions().get(table, 0)
         return v
 
-    def _read_manifest_at(self, version: int) -> dict[int, str] | None:
+    def postings_version(self) -> int:
+        return self.table_version("postings")
+
+    def _read_manifest_at(self, table: str, version: int) -> dict[int, str] | None:
         try:
-            with open(self._postings_manifest_file(version)) as f:
+            with open(self._manifest_file(table, version)) as f:
                 return {int(k): v for k, v in json.load(f).items()}
         except FileNotFoundError:
             return None
 
-    def read_postings_manifest(self) -> dict[int, str] | None:
+    def read_manifest(self, table: str) -> dict[int, str] | None:
         """shard → index_dir-relative partition dir for the resolved
-        postings version; None ⇒ no manifest (plain dir scan of the
-        version's base dir — every fresh build)."""
-        return self._read_manifest_at(self.postings_version())
+        version of ``table``; None ⇒ no manifest (plain dir scan of
+        the version's base dir — every fresh build)."""
+        return self._read_manifest_at(table, self.table_version(table))
 
-    def write_postings_manifest(self, mapping: dict[int, str]) -> None:
-        self._check_writable("write_postings_manifest")
-        f_ = self._postings_manifest_file(self.postings_version())
+    def write_manifest(self, table: str, mapping: dict[int, str]) -> None:
+        self._check_writable("write_manifest")
+        f_ = self._manifest_file(table, self.table_version(table))
         tmp = f_ + ".tmp"
         with open(tmp, "w") as f:
             json.dump({str(k): v for k, v in sorted(mapping.items())}, f, indent=2)
         os.replace(tmp, f_)
 
-    def postings_sources(self) -> list[tuple[str, list[int] | None]]:
+    def remove_manifest(self, table: str) -> None:
+        """Drop the resolved version's manifest (a direct full rebuild
+        rewrote the whole table into its base dir, so a surviving
+        manifest would keep resolving shards to superseded files)."""
+        self._check_writable("remove_manifest")
+        try:
+            os.remove(self._manifest_file(table, self.table_version(table)))
+        except FileNotFoundError:
+            pass
+
+    # back-compat postings-named wrappers (r3 API)
+    def read_postings_manifest(self) -> dict[int, str] | None:
+        return self.read_manifest("postings")
+
+    def write_postings_manifest(self, mapping: dict[int, str]) -> None:
+        self.write_manifest("postings", mapping)
+
+    def _postings_manifest_file(self, version: int) -> str:
+        return self._manifest_file("postings", version)
+
+    def sources(self, table: str) -> list[tuple[str, list[int] | None]]:
         """[(base_dir, shard_ids | None)] — the physical scan plan of
-        the resolved postings snapshot, grouped by base dir so each
-        group reads with one ``basePath`` (hive partition column
-        intact). ``None`` shards ⇒ whole-dir scan (no manifest)."""
-        man = self.read_postings_manifest()
+        the resolved snapshot of a partition-granular table, grouped by
+        base dir so each group reads with one ``basePath`` (hive
+        partition column intact). ``None`` shards ⇒ whole-dir scan (no
+        manifest)."""
+        man = self.read_manifest(table)
         if man is None:
-            return [(self.table_dir("postings", self.postings_version()), None)]
+            return [(self.table_dir(table, self.table_version(table)), None)]
         by_base: dict[str, list[int]] = {}
         for shard, rel in man.items():
             base = os.path.join(self.index_dir, os.path.dirname(rel))
             by_base.setdefault(base, []).append(shard)
         return [(b, sorted(s)) for b, s in sorted(by_base.items())]
 
-    def read_postings(self, spark):
-        """Manifest-aware postings scan: per base dir, read exactly
-        the referenced shard partitions (basePath keeps the hive
-        ``shard`` column); union across base dirs. One base dir — the
-        common case — stays a single plain parquet scan."""
-        srcs = self.postings_sources()
+    def postings_sources(self) -> list[tuple[str, list[int] | None]]:
+        return self.sources("postings")
+
+    def read_sharded(self, spark, table: str):
+        """Manifest-aware scan of a partition-granular table: per base
+        dir, read exactly the referenced shard partitions (basePath
+        keeps the hive ``shard`` column); union across base dirs. One
+        base dir — the common case — stays a single plain parquet scan."""
+        srcs = self.sources(table)
         dfs = []
         for base, shards in srcs:
             if shards is None:
                 dfs.append(spark.read.parquet(base))
             else:
-                # manifest-referenced shards MUST exist: manifests are
-                # format-2-era artifacts and every in-grid shard emits
-                # at least its norms pseudo row, so an absent dir means
-                # corruption (over-eager vacuum, manual deletion, a
-                # lost mount) — scanning around it would silently serve
-                # incomplete results and wrong global stats. On a
+                # manifest-referenced shards MUST exist: an absent dir
+                # means corruption (over-eager vacuum, manual deletion,
+                # a lost mount) — scanning around it would silently
+                # serve incomplete results and wrong global stats. On a
                 # non-local index dir the os-level check can't see the
                 # files; pass every path through and let Spark's own
                 # missing-path error be the loud failure.
@@ -328,7 +363,7 @@ class IndexStorage:
                     missing = [p for p in paths if not os.path.isdir(p)]
                     if missing:
                         raise FileNotFoundError(
-                            f"postings manifest references missing shard "
+                            f"{table} manifest references missing shard "
                             f"partition(s): {missing[:5]}"
                             f"{'...' if len(missing) > 5 else ''} "
                             f"({len(missing)} of {len(shards)} under {base})"
@@ -336,27 +371,35 @@ class IndexStorage:
                 if paths:
                     dfs.append(spark.read.option("basePath", base).parquet(*paths))
         if not dfs:
-            return spark.createDataFrame(
-                [],
-                "shard int, term string, df long, cf long, "
-                "block_tfmax array<long>, block_dlmin array<long>, "
-                "block_last array<long>, postings binary, dls binary",
-            )
+            if table == "postings":
+                return spark.createDataFrame(
+                    [],
+                    "shard int, term string, df long, cf long, "
+                    "block_tfmax array<long>, block_dlmin array<long>, "
+                    "block_last array<long>, postings binary, dls binary",
+                )
+            return spark.read.parquet(self.path(table))
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
 
-    def postings_shard_dir(self, shard: int) -> str:
+    def read_postings(self, spark):
+        return self.read_sharded(spark, "postings")
+
+    def shard_dir(self, table: str, shard: int) -> str:
         """The partition dir that holds (or will hold) ``shard`` under
         the resolved snapshot — manifest entry if present, else the
         version's base dir."""
-        man = self.read_postings_manifest()
+        man = self.read_manifest(table)
         if man is not None and shard in man:
             return os.path.join(self.index_dir, man[shard])
         return os.path.join(
-            self.table_dir("postings", self.postings_version()), f"shard={shard}"
+            self.table_dir(table, self.table_version(table)), f"shard={shard}"
         )
+
+    def postings_shard_dir(self, shard: int) -> str:
+        return self.shard_dir("postings", shard)
 
     def append_rows(self, table: str, arrow_table) -> bool:
         """Append a small driver-side batch as ONE uniquely-named
@@ -412,7 +455,13 @@ class IndexStorage:
         self._check_writable("write")
         w = df.write.mode(mode)
         if partition_by:
-            w = w.partitionBy(*partition_by)
+            # every st.write is a WHOLE-TABLE (or fresh-staged-dir)
+            # write: pin static overwrite per-write so the build's
+            # session-level dynamic mode (postings phase 2) can never
+            # leave stale partition dirs behind a re-grid
+            w = w.partitionBy(*partition_by).option(
+                "partitionOverwriteMode", "static"
+            )
         if table == "docs":
             # unique-per-row text dominates the table; the dictionary
             # attempt always falls back, costing hash time for zero
@@ -480,18 +529,19 @@ class IndexStorage:
 
     def _paths_for(self, vmap: dict[str, int]) -> set[str]:
         """Every path one version map references: table dirs, its meta
-        file, its postings manifest file, and the exact postings
-        partition dirs of its snapshot (the whole base dir when that
-        version has no manifest — a fresh build's plain scan)."""
+        file, each partition-granular table's manifest file, and the
+        exact partition dirs of its snapshot (the whole base dir when
+        that version has no manifest — a fresh build's plain scan)."""
         paths = {self.table_dir(t, vmap.get(t, 0)) for t in TABLES}
         paths.add(self._meta_file(vmap.get("index_meta", 0)))
-        pv = vmap.get("postings", 0)
-        paths.add(self._postings_manifest_file(pv))
-        man = self._read_manifest_at(pv)
-        if man is None:
-            paths.add(self.table_dir("postings", pv))
-        else:
-            paths.update(os.path.join(self.index_dir, rel) for rel in man.values())
+        for t in PARTITIONED_TABLES:
+            tv = vmap.get(t, 0)
+            paths.add(self._manifest_file(t, tv))
+            man = self._read_manifest_at(t, tv)
+            if man is None:
+                paths.add(self.table_dir(t, tv))
+            else:
+                paths.update(os.path.join(self.index_dir, rel) for rel in man.values())
         return paths
 
     def _retained_snapshots(

@@ -140,6 +140,10 @@ class SearchIndex:
         self.n_docs = int(row.n_docs)
         self.avgdl = float(row.avgdl)
         self.shard_size = int(self.meta["shard_size"])
+        # id-space high-water mark: n_docs is the LIVE count; delta
+        # updates leave gaps (deletions) and allocate above the ceiling
+        # (inserts), so every doc_id-indexed array sizes by ceiling
+        self.doc_ceiling = int(self.meta.get("doc_ceiling", self.meta["n_docs"]))
         # postings format 1 stored per-block tf_norm float bounds;
         # format 2 stores per-block (max tf, min dl) ints and the
         # bound tfn(max_tf, min_dl, avgdl) is computed here at query
@@ -200,12 +204,12 @@ class SearchIndex:
     @property
     def dl_of(self) -> np.ndarray:
         if self._dl is None:
-            rows = self.st.read(self.spark, "norms").collect()
+            rows = self.st.read(self.spark, "norms").select("base", "dls").collect()
             out = np.zeros(self.meta["n_shards"] * self.shard_size, dtype=np.int64)
             for r in rows:
                 dls = decode_varints(bytes(r.dls)).astype(np.int64)
                 out[r.base : r.base + len(dls)] = dls
-            self._dl = out[: self.n_docs]
+            self._dl = out[: self.doc_ceiling]
         return self._dl
 
     def _dl_broadcast(self):
@@ -229,8 +233,15 @@ class SearchIndex:
         ids = np.unique(np.asarray(ids, dtype=np.int64))
         missing = [int(i) for i in ids if int(i) not in self._meta_cache]
         if missing:
+            # hive-layout docs (v2): prune the lookup to exactly the
+            # shard= dirs the requested ids live in
+            sharded = str(self.meta.get("docs_layout", "")).startswith("sharded_sorted_v2")
+            restrict = (
+                sorted({int(i) // self.shard_size for i in missing}) if sharded else None
+            )
             tbl = self._arrow_lookup(
-                "docs", missing, ["doc_id", *self._META_COLS], key_field="doc_id"
+                "docs", missing, ["doc_id", *self._META_COLS], key_field="doc_id",
+                partitioning="hive" if sharded else None, shard_restrict=restrict,
             )
             if tbl is not None:
                 got = tbl.to_pandas()
@@ -362,11 +373,19 @@ class SearchIndex:
             try:
                 import pyarrow.dataset as ds_mod
 
+                from ..indexer.storage import PARTITIONED_TABLES
+
                 self._ds_mod = ds_mod
-                if table == "postings":
+                if table in PARTITIONED_TABLES:
                     import os as _os
 
-                    srcs = self.st.postings_sources()
+                    srcs = self.st.sources(table)
+                    # manifest-restricted sources filter on the shard
+                    # partition field — the dataset must discover it
+                    if partitioning is None and any(
+                        sh is not None for _, sh in srcs
+                    ):
+                        partitioning = "hive"
                     for base, shards in srcs:
                         if not _os.path.isdir(base):
                             continue  # non-local dir: dataset() below decides
@@ -376,11 +395,11 @@ class SearchIndex:
                             if not _os.path.isdir(_os.path.join(base, f"shard={s}"))
                         ]
                         if missing:
-                            # same loud contract as read_postings: a
+                            # same loud contract as read_sharded: a
                             # manifest-referenced shard with no dir is
                             # corruption, not a legitimately empty shard
                             raise FileNotFoundError(
-                                f"postings manifest references missing shard "
+                                f"{table} manifest references missing shard "
                                 f"partition(s) {missing[:5]} under {base}"
                             )
                     self._arrow_cache[table] = [
@@ -925,7 +944,7 @@ class SearchIndex:
         # queries pay nothing. Larger corpora keep the norms join (a
         # 10^12-doc dl array can't live in one broadcast; each shard
         # then decodes only its own blob).
-        use_dl_bc = self.n_docs <= self.dl_broadcast_max_docs
+        use_dl_bc = self.doc_ceiling <= self.dl_broadcast_max_docs
         if use_dl_bc:
             b_dl = self._dl_broadcast()
             joined = posts
@@ -1027,7 +1046,7 @@ class SearchIndex:
             if not allowed:
                 return empty
             posts = posts.filter(F.col("shard").isin(allowed))
-        use_dl_bc = self.n_docs <= self.dl_broadcast_max_docs
+        use_dl_bc = self.doc_ceiling <= self.dl_broadcast_max_docs
         b_dl = self._dl_broadcast() if use_dl_bc else None
 
         def _score_one(pdf: pd.DataFrame, dl_global) -> pd.DataFrame:

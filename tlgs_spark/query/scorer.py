@@ -265,16 +265,21 @@ def search_or(
         theta = -np.inf
 
     # phase 1: per-doc upper bounds from block maxes.
+    # id-space bound for dense arrays: the caller's dl array spans the
+    # whole addressable id range (doc_ceiling on the driver path — the
+    # LIVE n_docs undercounts when deletions left gaps; shard end on
+    # the per-shard path), so its length is the one safe scatter size.
+    id_space = int(dl_of.shape[0])
     total_postings = sum(td.doc_ids.size for td in terms)
-    dense_ok = n_docs <= max(4 * total_postings, 1 << 20) and n_docs <= (1 << 26)
+    dense_ok = id_space <= max(4 * total_postings, 1 << 20) and id_space <= (1 << 26)
     if dense_ok:
-        # dense id space (doc_ids are [0, n_docs) by construction):
+        # dense id space (doc_ids are [0, id_space) by construction):
         # a direct scatter-add over the id space beats the sort-based
-        # unique/inverse path. Gated on n_docs ∝ work so a per-shard
+        # unique/inverse path. Gated on id_space ∝ work so a per-shard
         # scorer over a huge global id space (distributed path at
-        # 10^12 docs) never allocates an O(n_docs) array.
-        ub_doc = np.zeros(n_docs, dtype=np.float64)
-        seen = np.zeros(n_docs, dtype=bool)
+        # 10^12 docs) never allocates an O(id_space) array.
+        ub_doc = np.zeros(id_space, dtype=np.float64)
+        seen = np.zeros(id_space, dtype=bool)
         for td in terms:
             w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
             # ids are unique within one term ⇒ fancy += is one write per id
@@ -332,7 +337,7 @@ def search_or(
         dense_ok and survivors.size * 16 > total_postings and survivors.size > seed_cap
     )
     if dense_exact:
-        dscores = np.zeros(n_docs, dtype=np.float64)
+        dscores = np.zeros(id_space, dtype=np.float64)
         for td in terms:
             w_idf = math.log(1.0 + (n_docs - td.df_global + 0.5) / (td.df_global + 0.5))
             t = td.tfs.astype(np.float64)

@@ -4,28 +4,46 @@ Reference semantics being reproduced (as resumable batch over the
 index tables):
 
 - raw-hash short-circuit: a page whose content hash is unchanged is
-  not re-indexed (tlgs/crawler/crawler.cpp:424-429, 488-496)
-- here lifted to shard granularity: a doc-range shard whose
-  (doc_id → text_hash) multiset is unchanged keeps its postings
-  segment verbatim; only changed shards rebuild
+  not re-indexed (tlgs/crawler/crawler.cpp:424-429, 488-496); the
+  crawler touches only stale rows (crawler.cpp:100-130), never the
+  whole ``pages`` table
+- here lifted to shard granularity: a doc-range shard whose live
+  (doc_id → text_hash) set is unchanged keeps its docs, postings,
+  norms, doc_lengths and first_turn_terms partitions verbatim; only
+  changed shards rebuild
 - the checkpoint ledger records rebuilt shards with lineage
   "incremental:<reason>"
 
-Stats/norms/doc_lengths are re-DERIVED from the postings metadata at
-finalize (the per-shard norms pseudo rows) — df/avgdl are global and
-must stay exact (north rule), so any text change anywhere invalidates
-them, but deriving them reads only metadata columns: unchanged shards'
-TEXT is never touched again.
+r4 delta prepare — work ∝ edit, never ∝ corpus:
 
-Object-store-safe: no staging-directory copy, no os.rename.
-Recomputed tables land in NEW version dirs (storage.py version
-pointer) while readers keep the committed ones. Postings are
-snapshot-versioned at partition granularity: changed shards land in
-the fresh staged version dir, unchanged shards are carried by
-manifest reference (their committed files are never touched), and the
-cutover is one small-file pointer write — a reader opened pre-update
-returns bit-identical results through the update; superseded
-partitions retire later via IndexStorage.vacuum.
+- **diff**: one metadata-column scan (doc_id, conv_id, turn_idx,
+  text_hash — never text) of the committed docs against the new
+  input's (keys, xxhash64(text)); the full-outer join classifies every
+  row as unchanged / edited / inserted / deleted. Reading the whole
+  input once is inherent to the API (the caller hands the full
+  corpus); all WRITES from here on touch only changed shards.
+- **stable doc_ids**: matched keys keep their committed id (edits
+  included — text changes in place). Inserted keys allocate densely
+  ABOVE the committed ``doc_ceiling`` high-water mark; deletions leave
+  GAPS (delta-varint absorbs them) and the ceiling never decreases, so
+  a retired id is never reissued. ``meta["n_docs"]`` is the LIVE
+  count (BM25's N); ``meta["doc_ceiling"]`` sizes id-indexed arrays.
+- **partition-granular rewrite**: changed shards' docs / postings /
+  norms / doc_lengths / first_turn_terms partitions land in fresh
+  staged version dirs; unchanged shards are carried by per-table
+  manifest reference (storage.py) — their files are never touched.
+- **edit-proportional finalize**: term_stats is updated by ±delta
+  (old stats minus the changed shards' old contributions plus their
+  new ones — integer-exact, same values as a full re-derivation);
+  collection_stats totals adjust by the changed shards' pseudo-row
+  deltas. No full postings-metadata re-aggregation.
+- the cutover is one small-file pointer write — a reader opened
+  pre-update returns bit-identical results through the update;
+  superseded partitions retire later via IndexStorage.vacuum.
+
+Updates whose analyzer/hygiene/format/layout cannot reuse the
+committed index fall back to a full rebuild (``mode="full"`` — the r3
+flow: re-rank everything, rewrite every table, signature-diff shards).
 """
 
 from __future__ import annotations
@@ -36,14 +54,22 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..indexer.build import build_index
-from ..indexer.storage import IndexStorage
+from ..indexer.build import (
+    DOCS_LAYOUT_SHARDED,
+    FUSED_ASSIGN_MAX_DOCS,
+    POSTINGS_FORMAT,
+    assign_doc_ids,
+    build_index,
+    tokenize_tokens,
+)
+from ..indexer.storage import PARTITIONED_TABLES, IndexStorage
+from ..tokenizer import ANALYZER_VERSION
 
 # tables recomputed by every incremental update → staged as new versions
 # (index_meta is a versioned small file, not a parquet dir — same
-# pointer, special-cased in GC; postings is the partition-granular
-# snapshot: changed shards land in the staged version dir, reused
-# shards are carried by manifest reference)
+# pointer, special-cased in GC; the PARTITIONED_TABLES are staged at
+# partition granularity: changed shards in the staged version dir,
+# reused shards carried by manifest reference)
 _STAGED_TABLES = (
     "docs",
     "doc_lengths",
@@ -61,13 +87,35 @@ def shard_signatures(docs: DataFrame, shard_size: int) -> DataFrame:
     """(shard, sig): order-independent signature of the shard's
     (doc_id, text_hash) pairs — bit_xor of a derived 64-bit mix
     (order-independent, no ANSI overflow; xxhash64 over both id and
-    content so moved OR edited docs both flip the signature)."""
+    content so moved OR edited docs both flip the signature). Used by
+    the full-rebuild fallback; the delta path diffs rows directly."""
     return (
         docs.withColumn("shard", (F.col("doc_id") / F.lit(shard_size)).cast("int"))
         .withColumn("mix", F.xxhash64(F.col("doc_id").cast("string"), F.col("text_hash").cast("string")))
         .groupBy("shard")
         .agg(F.expr("bit_xor(mix)").alias("sig"), F.count("*").alias("n"))
     )
+
+
+def _rel(index_dir: str, path: str) -> str:
+    return os.path.relpath(path, index_dir)
+
+
+def _old_entry_fn(st_old: IndexStorage, table: str, committed: dict):
+    """shard → index_dir-relative partition dir under the COMMITTED
+    snapshot of ``table`` (manifest entry when present, else the
+    committed version's base dir)."""
+    man = st_old.read_manifest(table)
+    base_rel = _rel(
+        st_old.index_dir, st_old.table_dir(table, committed.get(table, 0))
+    )
+
+    def _entry(s: int) -> str:
+        if man is not None and s in man:
+            return man[s]
+        return f"{base_rel}/shard={s}"
+
+    return _entry
 
 
 def incremental_update(
@@ -80,26 +128,11 @@ def incremental_update(
 ) -> dict:
     """Bring ``index_dir`` up to date with ``transcripts``.
 
-    ``n_shards``/``hygiene`` default from the committed index's meta;
-    the shard GRID always pins the committed ``shard_size`` (stable
-    doc-range geometry — growth appends trailing shards, so interior
-    shards stay signature-reusable).
-
-    1. Prepare the new docs/meta/first_turn_terms into STAGED table
-       versions; norms/doc_lengths/collection_stats are extracted at
-       finalize from the postings union, so only changed shards ever
-       re-tokenize.
-    2. Diff per-shard signatures committed vs staged.
-    3. Stage a ledger carrying the unchanged shards as 'reused' rows;
-       write a staged postings manifest (reused shards by reference to
-       their committed partition dirs) and rebuild only the changed
-       shards into the staged postings version dir.
-    4. Commit the version pointer (one small-file write). Superseded
-       version dirs are queued in gc_pending.json — ``gc="defer"``
-       (default) leaves deletion to a later ``IndexStorage.vacuum``
-       call so pre-update readers keep working; ``gc="now"`` vacuums
-       immediately (the old eager behavior).
-    Returns {"changed": [...], "reused": [...]}.
+    ``hygiene`` defaults from the committed index's meta; the shard
+    GRID always pins the committed ``shard_size`` (stable doc-range
+    geometry — growth appends trailing shards, so interior shards stay
+    reusable). Returns {"changed": [...], "reused": [...], "mode":
+    "delta" | "full", ...}.
     """
     st_old = IndexStorage(index_dir)
     meta = st_old.read_meta()
@@ -118,6 +151,568 @@ def incremental_update(
         )
     if hygiene is None:
         hygiene = meta.get("hygiene", False)
+
+    # delta preconditions: the committed index must be reusable as-is.
+    # Analyzer/hygiene/format guard (r2 ADVICE + r3): reusing postings
+    # built under a different tokenizer spec, hygiene setting, or
+    # physical format would mix incompatible segments inside one index.
+    # Layout guard: partition-granular reuse needs the v2 hive layout.
+    # Health guard: a -1 collection_stats placeholder (crashed direct
+    # build) cannot seed exact ±deltas.
+    delta_ok = (
+        meta.get("tokenizer") == ANALYZER_VERSION
+        and meta.get("hygiene", False) == hygiene
+        and meta.get("postings_format") == POSTINGS_FORMAT
+        and meta.get("docs_layout") == DOCS_LAYOUT_SHARDED
+        and all(
+            st_old.exists(t)
+            for t in ("docs", "postings", "norms", "term_stats", "collection_stats")
+        )
+    )
+    if delta_ok:
+        stats_row = st_old.read(spark, "collection_stats").collect()[0]
+        delta_ok = int(stats_row.n_terms) >= 0
+    if not delta_ok:
+        return _full_update(spark, transcripts, index_dir, meta, hygiene, gc)
+    return _delta_update(spark, transcripts, index_dir, meta, stats_row, gc)
+
+
+# ---------------------------------------------------------------------------
+# delta path (r4): prepare ∝ edit
+# ---------------------------------------------------------------------------
+
+def _delta_update(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    meta: dict,
+    old_stats,
+    gc: str,
+) -> dict:
+    st_old = IndexStorage(index_dir)
+    shard_size = int(meta["shard_size"])
+    ceiling0 = int(meta.get("doc_ceiling", meta["n_docs"]))
+    old_n_shards = int(meta["n_shards"])
+    hygiene = meta.get("hygiene", False)
+
+    # -- 1. diff (read-only; metadata columns, never committed text) --
+    docs_old = st_old.read(spark, "docs")
+    old_keys = docs_old.select("doc_id", "conv_id", "turn_idx", "text_hash")
+    new_keys = transcripts.select(
+        "conv_id", "turn_idx", F.xxhash64("text").alias("_th")
+    )
+    j = old_keys.join(new_keys, ["conv_id", "turn_idx"], "full_outer")
+    delta = j.filter(
+        F.col("_th").isNull()  # deleted
+        | F.col("doc_id").isNull()  # inserted
+        | (F.col("text_hash") != F.col("_th"))  # edited in place
+    ).select("conv_id", "turn_idx", "doc_id", "text_hash", "_th")
+    delta.persist()
+    try:
+        counts = delta.agg(
+            F.count(F.when(F.col("_th").isNull(), 1)).alias("n_del"),
+            F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_ins"),
+            F.count(
+                F.when(F.col("_th").isNotNull() & F.col("doc_id").isNotNull(), 1)
+            ).alias("n_edit"),
+        ).collect()[0]
+        n_del, n_ins = int(counts.n_del), int(counts.n_ins)
+        if n_del == 0 and n_ins == 0 and int(counts.n_edit) == 0:
+            # no-op: nothing staged, nothing committed — an unchanged
+            # corpus costs one diff scan and zero writes
+            return {
+                "changed": [],
+                "reused": list(range(old_n_shards)),
+                "mode": "delta",
+                "fields_rebuilt": [],
+            }
+        return _delta_apply(
+            spark, transcripts, index_dir, meta, old_stats, gc,
+            st_old, delta, shard_size, ceiling0, old_n_shards, hygiene,
+            n_del, n_ins,
+        )
+    finally:
+        delta.unpersist()
+
+
+def _delta_apply(
+    spark, transcripts, index_dir, meta, old_stats, gc,
+    st_old, delta, shard_size, ceiling0, old_n_shards, hygiene,
+    n_del, n_ins,
+) -> dict:
+    persisted: list = []
+
+    # -- 2. allocate inserted ids above the high-water mark --
+    # dense rank among the inserted keys + ceiling: append-only growth
+    # (new keys sort after every committed one) reproduces exactly the
+    # dense ids a fresh build would assign, so even the grown shards
+    # stay byte-identical to a from-scratch build
+    ins_map = None
+    if n_ins:
+        ins_keys = delta.filter(F.col("doc_id").isNull()).select("conv_id", "turn_idx")
+        ins_map = (
+            assign_doc_ids(ins_keys, cleanup=persisted)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(ceiling0))
+        )
+        ins_map.persist()
+        persisted.append(ins_map)
+    ceiling1 = ceiling0 + n_ins
+    n_shards1 = max(old_n_shards, -(-ceiling1 // shard_size))
+    n_docs1 = int(meta["n_docs"]) - n_del + n_ins
+
+    # -- 3. changed shard set + per-shard live counts --
+    sh = lambda c: (F.col(c) / F.lit(shard_size)).cast("int")  # noqa: E731
+    old_touched = (
+        delta.filter(F.col("doc_id").isNotNull())
+        .select(sh("doc_id").alias("shard"))
+        .distinct()
+    )
+    if ins_map is not None:
+        touched = old_touched.union(
+            ins_map.select(sh("doc_id").alias("shard")).distinct()
+        ).distinct()
+    else:
+        touched = old_touched
+    changed = sorted(int(r.shard) for r in touched.collect())
+    reused = [s for s in range(n_shards1) if s not in set(changed)]
+
+    # live id-map of the changed shards: committed ids minus deletions,
+    # plus the inserted allocations — edit-proportional (bounded by
+    # |changed shards| × shard_size). The committed-side read is
+    # PARTITION-PRUNED to the changed shard= dirs.
+    del_keys = delta.filter(F.col("_th").isNull()).select("conv_id", "turn_idx")
+    docs_old = st_old.read(spark, "docs")
+    old_live = (
+        docs_old.filter(F.col("shard").isin(changed))
+        .select("doc_id", "conv_id", "turn_idx")
+        .join(del_keys, ["conv_id", "turn_idx"], "left_anti")
+    )
+    live_map = (
+        old_live.unionByName(ins_map.select("doc_id", "conv_id", "turn_idx"))
+        if ins_map is not None
+        else old_live
+    )
+    live_map.persist()
+    persisted.append(live_map)
+    live_counts = {
+        int(r.shard): int(r.n)
+        for r in live_map.groupBy(sh("doc_id").alias("shard"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expect_counts = {s: live_counts.get(s, 0) for s in changed}
+    n_live_changed = sum(expect_counts.values())
+
+    # -- 4. stage versions --
+    committed = st_old.versions()
+    staged = {t: committed.get(t, 0) + 1 for t in _STAGED_TABLES}
+    st_new = IndexStorage(index_dir, staged_versions=staged)
+
+    # -- 5. changed docs partitions (text from the input, by key) --
+    id_map = live_map
+    if n_live_changed <= FUSED_ASSIGN_MAX_DOCS:
+        id_map = F.broadcast(live_map)
+    docs_new = (
+        transcripts.join(id_map, ["conv_id", "turn_idx"])
+        .select(
+            "doc_id",
+            *[f.name for f in transcripts.schema.fields],
+        )
+        .withColumn("size", F.length("text"))
+        .withColumn("text_hash", F.xxhash64("text"))
+        .withColumn("shard", sh("doc_id").alias("shard"))
+    )
+    st_new.write(
+        docs_new.repartition(max(1, len(changed)), F.col("shard"))
+        .sortWithinPartitions("shard", "doc_id"),
+        "docs",
+        partition_by=["shard"],
+    )
+
+    # staged meta BEFORE the postings build (phase 2 reads it)
+    meta1 = dict(meta)
+    meta1.update(
+        {
+            "n_docs": n_docs1,
+            "doc_ceiling": ceiling1,
+            "n_shards": n_shards1,
+            "lineage": "incremental:delta",
+        }
+    )
+    st_new.write_meta(meta1)
+
+    # -- 6. per-table manifests: reused by committed reference, changed
+    # into the staged version dirs --
+    def _stage_manifest(table: str, changed_with_data: list[int]) -> None:
+        old_entry = _old_entry_fn(st_old, table, committed)
+        new_base_rel = _rel(index_dir, st_new.table_dir(table, staged[table]))
+        man = {}
+        for s in reused:
+            e = old_entry(s)
+            if os.path.isdir(os.path.join(index_dir, e)):
+                man[s] = e
+        man.update({s: f"{new_base_rel}/shard={s}" for s in changed_with_data})
+        st_new.write_manifest(table, man)
+
+    docs_changed_dirs = [
+        s
+        for s in changed
+        if os.path.isdir(
+            os.path.join(st_new.table_dir("docs", staged["docs"]), f"shard={s}")
+        )
+    ]
+    _stage_manifest("docs", docs_changed_dirs)
+
+    # -- 7. first_turn_terms partitions for changed shards (turn-0 docs
+    # of the rebuilt shards only — tiny) --
+    docs_new_r = st_new.read(spark, "docs")  # manifest-aware union
+    turn0 = docs_new_r.filter(
+        F.col("shard").isin(changed) & (F.col("turn_idx") == 0)
+    ).select("doc_id", "conv_id", "text")
+    ftt = (
+        tokenize_tokens(turn0.select("doc_id", "text"), hygiene=hygiene)
+        .join(turn0.select("doc_id", "conv_id"), "doc_id")
+        .select("conv_id", "term", sh("doc_id").alias("shard"))
+    )
+    st_new.write(
+        ftt.repartition(max(1, len(changed)), F.col("shard"))
+        .sortWithinPartitions("shard", "term"),
+        "first_turn_terms",
+        partition_by=["shard"],
+    )
+    ftt_base = st_new.table_dir("first_turn_terms", staged["first_turn_terms"])
+    _stage_manifest(
+        "first_turn_terms",
+        [s for s in changed if os.path.isdir(os.path.join(ftt_base, f"shard={s}"))],
+    )
+
+    # -- 8. staged ledger: committed rows for REUSED shards (marked) --
+    if reused and st_old.exists("ledger"):
+        led = (
+            st_old.read(spark, "ledger")
+            .filter(F.col("shard").isin(reused))
+            .withColumn("status", F.lit("reused"))
+            .withColumn("lineage", F.lit("incremental:reused"))
+        )
+        led.write.mode("append").parquet(st_new.path("ledger"))
+
+    # -- 9. postings: manifest + rebuild only the changed shards --
+    old_entry_p = _old_entry_fn(st_old, "postings", committed)
+    post_base_rel = _rel(index_dir, st_new.table_dir("postings", staged["postings"]))
+    post_man = {s: old_entry_p(s) for s in reused}
+    post_man.update({s: f"{post_base_rel}/shard={s}" for s in changed})
+    st_new.write_manifest("postings", post_man)
+
+    # shards whose live set emptied still need their norms pseudo row
+    # (slot count + all-zero dls) — the builder's scan sees no rows for
+    # them, so write the partition driver-side before the build
+    for s in changed:
+        if expect_counts[s] == 0:
+            _write_empty_shard_partition(st_new, staged["postings"], s, shard_size)
+
+    build_index(
+        spark,
+        transcripts,
+        index_dir,
+        hygiene=hygiene,
+        resume=True,
+        lineage="incremental:changed",
+        storage=st_new,
+        force_shards=set(changed),
+        shard_size=shard_size,
+        expect_counts=expect_counts,
+        finalize=False,
+    )
+
+    # -- 10. edit-proportional finalize --
+    _delta_finalize(
+        spark, st_old, st_new, committed, staged, changed, reused,
+        shard_size, ceiling1, n_docs1, old_stats, old_n_shards,
+    )
+
+    for h in persisted:
+        try:
+            h.unpersist()
+        except Exception:
+            pass
+
+    # the field sub-indexes derive from the (now superseded) docs
+    # table — note which exist, rebuild them fresh after the commit
+    fields = [
+        d.split("field_", 1)[1]
+        for d in os.listdir(index_dir)
+        if d.startswith("field_") and os.path.isdir(os.path.join(index_dir, d))
+    ]
+
+    # -- 11. metadata-level cutover + deferred GC --
+    st_new.commit_versions(staged)
+    superseded = [
+        st_old._meta_file(committed.get("index_meta", 0))
+        if t == "index_meta"
+        else st_old.table_dir(t, committed.get(t, 0))
+        for t in _STAGED_TABLES
+        if t not in PARTITIONED_TABLES
+    ]
+    for t in PARTITIONED_TABLES:
+        old_entry = _old_entry_fn(st_old, t, committed)
+        for s in changed:
+            p = os.path.join(index_dir, old_entry(s))
+            if os.path.isdir(p):
+                superseded.append(p)
+        superseded.append(st_old._manifest_file(t, committed.get(t, 0)))
+        superseded.append(st_old.table_dir(t, committed.get(t, 0)))
+    st_new.gc_queue(superseded)
+    if gc == "now":
+        st_new.vacuum(0.0)
+
+    if fields:
+        from ..indexer.build import build_field_index
+
+        for f_ in fields:
+            shutil.rmtree(os.path.join(index_dir, f"field_{f_}"), ignore_errors=True)
+            build_field_index(spark, index_dir, field=f_)
+    return {
+        "changed": changed,
+        "reused": reused,
+        "mode": "delta",
+        "fields_rebuilt": fields,
+        "n_inserted": n_ins,
+        "n_deleted": n_del,
+    }
+
+
+def _write_empty_shard_partition(
+    st_new: IndexStorage, postings_version: int, shard: int, shard_size: int
+) -> None:
+    """One pseudo-row postings partition for a shard whose live doc set
+    emptied (format 2: every in-grid shard carries its norms pseudo
+    row — df = slot count, cf = Σdl = 0, dls = all-zero varints)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..indexer.codec import encode_varints
+
+    d = os.path.join(
+        st_new.table_dir("postings", postings_version), f"shard={shard}"
+    )
+    os.makedirs(d, exist_ok=True)
+    tbl = pa.table(
+        {
+            "term": pa.nulls(1, pa.string()),
+            "df": pa.array([int(shard_size)], pa.int64()),
+            "cf": pa.array([0], pa.int64()),
+            "block_tfmax": pa.nulls(1, pa.list_(pa.int64())),
+            "block_dlmin": pa.nulls(1, pa.list_(pa.int64())),
+            "block_last": pa.array([[shard * shard_size]], pa.list_(pa.int64())),
+            "postings": pa.nulls(1, pa.binary()),
+            "dls": pa.array(
+                [encode_varints(np.zeros(shard_size, dtype=np.int64))], pa.binary()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "part-00000-empty.zstd.parquet"),
+                   compression="zstd")
+
+
+def _delta_finalize(
+    spark, st_old, st_new, committed, staged, changed, reused,
+    shard_size, ceiling, n_docs_live, old_stats, old_n_shards,
+) -> None:
+    """norms / doc_lengths partitions for the changed shards (manifest
+    reuse for the rest), term_stats by ±delta, collection_stats by
+    pseudo-row deltas — all edit-proportional, all integer-exact (the
+    same values a full re-derivation produces)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..indexer.build import TERM_SHARDS_MAX
+    from ..indexer.codec import decode_varints
+
+    # the changed shards' NEW postings (staged dir, partition-pruned)
+    new_base = st_new.table_dir("postings", staged["postings"])
+    new_posts = spark.read.option("basePath", new_base).parquet(
+        *[os.path.join(new_base, f"shard={s}") for s in changed]
+    )
+    # the changed shards' OLD postings (committed snapshot resolution;
+    # only shards that existed in the old grid)
+    old_entry_p = _old_entry_fn(st_old, "postings", committed)
+    old_changed = [s for s in changed if s < old_n_shards]
+    old_posts = None
+    if old_changed:
+        by_base: dict[str, list[str]] = {}
+        for s in old_changed:
+            p = os.path.join(st_old.index_dir, old_entry_p(s))
+            by_base.setdefault(os.path.dirname(p), []).append(p)
+        parts = []
+        for base, paths in sorted(by_base.items()):
+            parts.append(spark.read.option("basePath", base).parquet(*paths))
+        old_posts = parts[0]
+        for p in parts[1:]:
+            old_posts = old_posts.unionByName(p)
+
+    # -- norms + doc_lengths partitions for changed shards --
+    nrows = (
+        new_posts.filter(F.col("term").isNull())
+        .select(
+            "shard",
+            F.col("block_last")[0].alias("base"),
+            F.col("df").alias("n"),
+            "dls",
+        )
+    )
+    st_new.write(nrows, "norms", partition_by=["shard"])
+
+    def _dl_rows(batches):
+        for pdf in batches:
+            for shard, base, blob in zip(pdf["shard"], pdf["base"], pdf["dls"]):
+                arr = decode_varints(bytes(blob)).astype(np.int64)
+                hi = min(len(arr), ceiling - int(base))
+                if hi <= 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "shard": np.full(hi, int(shard), dtype=np.int32),
+                        "doc_id": np.arange(int(base), int(base) + hi, dtype=np.int64),
+                        "dl": arr[:hi],
+                    }
+                )
+
+    dl_df = (
+        st_new.read(spark, "norms")  # staged dir only (manifest below)
+        .select("shard", "base", "dls")
+        .filter(F.col("shard").isin(changed))
+        .mapInPandas(_dl_rows, schema="shard int, doc_id long, dl long")
+    )
+    st_new.write(dl_df, "doc_lengths", partition_by=["shard"])
+
+    for t in ("norms", "doc_lengths"):
+        old_entry = _old_entry_fn(st_old, t, committed)
+        base_rel = _rel(st_new.index_dir, st_new.table_dir(t, staged[t]))
+        man = {}
+        for s in reused:
+            e = old_entry(s)
+            if os.path.isdir(os.path.join(st_new.index_dir, e)):
+                man[s] = e
+        man.update({s: f"{base_rel}/shard={s}" for s in changed})
+        st_new.write_manifest(t, man)
+
+    # -- term_stats ±delta --
+    def _contrib(posts, name):
+        return (
+            posts.filter(F.col("term").isNotNull())
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias(f"df_{name}"),
+                F.sum("cf").alias(f"cf_{name}"),
+                F.sort_array(F.collect_set(F.col("shard").cast("int"))).alias(
+                    f"sh_{name}"
+                ),
+            )
+        )
+
+    new_c = _contrib(new_posts, "n")
+    deltas = (
+        _contrib(old_posts, "o").join(new_c, "term", "full_outer")
+        if old_posts is not None
+        else new_c.withColumn("df_o", F.lit(None).cast("long"))
+        .withColumn("cf_o", F.lit(None).cast("long"))
+        .withColumn("sh_o", F.lit(None).cast("array<int>"))
+    )
+    ts_old = st_old.read(spark, "term_stats")
+    has_shards = "shards" in ts_old.columns
+    if not has_shards:
+        ts_old = ts_old.withColumn("shards", F.lit(None).cast("array<int>"))
+    changed_lit = F.array(*[F.lit(int(s)).cast("int") for s in changed])
+    jt = ts_old.join(deltas, "term", "full_outer")
+    df1 = (
+        F.coalesce(F.col("df"), F.lit(0))
+        - F.coalesce(F.col("df_o"), F.lit(0))
+        + F.coalesce(F.col("df_n"), F.lit(0))
+    )
+    cf1 = (
+        F.coalesce(F.col("cf"), F.lit(0))
+        - F.coalesce(F.col("cf_o"), F.lit(0))
+        + F.coalesce(F.col("cf_n"), F.lit(0))
+    )
+    # presence list: start from the committed list with every CHANGED
+    # shard removed, add back the new presence; a committed NULL
+    # ("everywhere/wide") stays NULL — conservative, never wrong (NULL
+    # only disables scan pruning for that term)
+    sh_new = F.coalesce(F.col("sh_n"), F.array().cast("array<int>"))
+    sh1 = (
+        F.when(F.col("df").isNull(), sh_new)  # brand-new term
+        .when(F.col("shards").isNull(), F.lit(None).cast("array<int>"))
+        .otherwise(
+            F.sort_array(F.array_union(F.array_except("shards", changed_lit), sh_new))
+        )
+    )
+    sh1 = F.when(F.size(sh1) <= TERM_SHARDS_MAX, sh1).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+    ts_new = (
+        jt.select(
+            "term",
+            df1.alias("df"),
+            cf1.alias("cf"),
+            sh1.alias("shards"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    st_new.write(ts_new.sortWithinPartitions("term"), "term_stats")
+
+    # -- collection_stats by pseudo-row deltas (integer-exact) --
+    def _pseudo_sums(posts):
+        if posts is None:
+            return 0, 0
+        r = (
+            posts.filter(F.col("term").isNull())
+            .agg(F.sum("cf").alias("dl"))
+            .collect()[0]
+        )
+        r2 = (
+            posts.filter(F.col("term").isNotNull())
+            .agg(F.sum("df").alias("np"))
+            .collect()[0]
+        )
+        return int(r.dl or 0), int(r2.np or 0)
+
+    dl_o, np_o = _pseudo_sums(old_posts)
+    dl_n, np_n = _pseudo_sums(new_posts)
+    total_dl = int(old_stats.total_dl) - dl_o + dl_n
+    n_postings = int(old_stats.n_postings) - np_o + np_n
+    n_terms = st_new.read(spark, "term_stats").count()
+    stats_final = spark.createDataFrame(
+        [(
+            n_docs_live,
+            total_dl,
+            int(n_terms),
+            n_postings,
+            float(total_dl) / max(1, n_docs_live),
+        )],
+        "n_docs long, total_dl long, n_terms long, n_postings long, avgdl double",
+    )
+    st_new.write(stats_final, "collection_stats")
+
+
+# ---------------------------------------------------------------------------
+# full-rebuild fallback (the r3 flow)
+# ---------------------------------------------------------------------------
+
+def _full_update(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    meta: dict,
+    hygiene: bool,
+    gc: str,
+) -> dict:
+    """Analyzer/hygiene/format/layout changed (or the committed index
+    is unhealthy): re-prepare everything — rank doc_ids afresh, rewrite
+    every table into staged versions — then signature-diff shards so
+    textually-unchanged shards still reuse their postings when the
+    analyzer allows it (it usually doesn't here, by construction)."""
+    st_old = IndexStorage(index_dir)
     old_n_shards = meta["n_shards"]
 
     committed = st_old.versions()
@@ -125,13 +720,8 @@ def incremental_update(
     st_new = IndexStorage(index_dir, staged_versions=staged)
 
     # prepare pass: docs/meta/first_turn_terms only (max_shards_to_
-    # build=0 defers all postings; norms/stats/doc_lengths are
-    # finalize products extracted from the postings union, so
-    # unchanged shards' text is never touched again). PIN the original
-    # shard_size: a grown corpus appends trailing shards instead of
-    # re-gridding, so interior shards whose doc ranges are untouched
-    # keep their signatures (append-mostly updates reuse almost
-    # everything — the 10^12-turn regime)
+    # build=0 defers all postings). PIN the original shard_size: a
+    # grown corpus appends trailing shards instead of re-gridding.
     build_index(
         spark,
         transcripts,
@@ -153,12 +743,6 @@ def incremental_update(
         or meta.get("hygiene", False) != new_meta.get("hygiene", False)
         or meta.get("postings_format") != new_meta.get("postings_format")
     ):
-        # analyzer/hygiene/format guard (r2 ADVICE + r3): shard
-        # signatures key on TEXT only, so reusing postings built under
-        # a different tokenizer spec, hygiene setting, or physical
-        # postings format would mix incompatible segments inside one
-        # index (silent missed matches, or unreadable block metadata).
-        # Force a full rebuild instead.
         old_sigs = {}
     else:
         old = shard_signatures(
@@ -173,31 +757,18 @@ def incremental_update(
     reused = sorted(s for s in new_sigs if old_sigs.get(s) == new_sigs[s])
     changed = sorted(s for s in new_sigs if s not in set(reused))
 
-    # staged postings manifest — the snapshot-isolation core: reused
-    # shards keep pointing at their COMMITTED partition dirs (files
-    # untouched), changed shards point into the fresh staged version
-    # dir the rebuild below writes. Written before the rebuild so the
-    # rebuild's finalize (term_stats rollup) reads the correct union.
-    old_man = st_old.read_postings_manifest()
-    old_base_rel = os.path.relpath(
-        st_old.table_dir("postings", committed.get("postings", 0)), index_dir
+    # staged postings manifest — reused shards keep pointing at their
+    # COMMITTED partition dirs, changed shards point into the staged
+    # version dir the rebuild below writes.
+    old_entry = _old_entry_fn(st_old, "postings", committed)
+    new_base_rel = _rel(
+        index_dir, st_new.table_dir("postings", staged["postings"])
     )
-
-    def _old_entry(s: int) -> str:
-        if old_man is not None and s in old_man:
-            return old_man[s]
-        return f"{old_base_rel}/shard={s}"
-
-    new_base_rel = os.path.relpath(
-        st_new.table_dir("postings", staged["postings"]), index_dir
-    )
-    manifest = {s: _old_entry(s) for s in reused}
+    manifest = {s: old_entry(s) for s in reused}
     manifest.update({s: f"{new_base_rel}/shard={s}" for s in changed})
-    st_new.write_postings_manifest(manifest)
+    st_new.write_manifest("postings", manifest)
 
-    # staged ledger: committed rows for REUSED shards only (marked), so
-    # resume skips exactly them; changed shards get fresh 'built' rows
-    # from the rebuild below — no double-counted ledger metrics
+    # staged ledger: committed rows for REUSED shards only (marked)
     if reused and st_old.exists("ledger"):
         led = (
             st_old.read(spark, "ledger")
@@ -207,9 +778,8 @@ def incremental_update(
         )
         led.write.mode("append").parquet(st_new.path("ledger"))
 
-    # rebuild only the changed shards in place (resume skips the
-    # reused ones; force_shards overrides their pre-update ledger
-    # rows). Called even when changed == []: the prepare pass deferred
+    # rebuild only the changed shards (resume skips the reused ones).
+    # Called even when changed == []: the prepare pass deferred
     # finalize, so term_stats / exact collection stats only exist
     # after this run.
     build_index(
@@ -224,19 +794,12 @@ def incremental_update(
         shard_size=meta["shard_size"],
     )
 
-    # the field sub-indexes derive from the (now superseded) docs
-    # table — note which exist, rebuild them fresh after the commit
-    # (cheap: the title field is 5 tokens/doc)
     fields = [
         d.split("field_", 1)[1]
         for d in os.listdir(index_dir)
         if d.startswith("field_") and os.path.isdir(os.path.join(index_dir, d))
     ]
 
-    # metadata-level cutover; superseded version dirs are QUEUED for
-    # deferred deletion instead of removed at commit (r2 ADVICE: a
-    # SearchIndex opened pre-update holds the old resolved paths and
-    # must keep working until vacuum's grace window passes)
     st_new.commit_versions(staged)
     superseded = [
         st_old._meta_file(committed.get("index_meta", 0))
@@ -245,20 +808,20 @@ def incremental_update(
         for t in _STAGED_TABLES
         if t != "postings"
     ]
-    # postings retire at PARTITION granularity: the old dirs of changed
-    # shards, any shards beyond the new grid, the old manifest file,
-    # and the old base dir itself (vacuum holds it while any reused
-    # shard inside is still referenced by the new manifest)
+    # postings retire at PARTITION granularity; other partitioned
+    # tables were rewritten wholesale into their staged dirs, so their
+    # old base dirs (queued above) plus their manifests retire too
     superseded += [
-        os.path.join(index_dir, _old_entry(s))
+        os.path.join(index_dir, old_entry(s))
         for s in changed
-        if s < old_n_shards or (old_man is not None and s in old_man)
+        if s < old_n_shards or (st_old.read_manifest("postings") or {}).get(s)
     ]
     superseded += [
-        os.path.join(index_dir, _old_entry(s))
+        os.path.join(index_dir, old_entry(s))
         for s in range(new_meta["n_shards"], old_n_shards)
     ]
-    superseded.append(st_old._postings_manifest_file(committed.get("postings", 0)))
+    for t in PARTITIONED_TABLES:
+        superseded.append(st_old._manifest_file(t, committed.get(t, 0)))
     superseded.append(st_old.table_dir("postings", committed.get("postings", 0)))
     st_new.gc_queue(superseded)
     if gc == "now":
@@ -270,7 +833,7 @@ def incremental_update(
         for f_ in fields:
             shutil.rmtree(os.path.join(index_dir, f"field_{f_}"), ignore_errors=True)
             build_field_index(spark, index_dir, field=f_)
-    return {"changed": changed, "reused": reused, "fields_rebuilt": fields}
+    return {"changed": changed, "reused": reused, "mode": "full", "fields_rebuilt": fields}
 
 
 def purge_conversations(
@@ -279,8 +842,9 @@ def purge_conversations(
     """S8/I5: purge — remove every turn of conversations matching the
     SQL LIKE pattern and bring the index up to date (``DELETE FROM
     pages WHERE url LIKE $1``, tlgs_ctl/main.cpp:87-95; 30-day
-    tombstone purge, crawler.cpp:255,480,595). Doc_ids re-densify;
-    only shards whose doc range shifted rebuild."""
+    tombstone purge, crawler.cpp:255,480,595). Rides the delta path:
+    deletions leave id gaps and rewrite only the affected shards'
+    partitions."""
     kept = transcripts.filter(~F.col("conv_id").like(conv_like))
     res = incremental_update(spark, kept, index_dir)
     res["purged_pattern"] = conv_like

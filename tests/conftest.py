@@ -34,12 +34,18 @@ def index_dir(spark):
     if meta_ok:
         import json
 
-        from tlgs_spark.indexer.build import DOCS_LAYOUT_SHARDED
+        from tlgs_spark.indexer.build import DOCS_LAYOUT_SHARDED, POSTINGS_FORMAT
+        from tlgs_spark.tokenizer import ANALYZER_VERSION
 
         with open(os.path.join(INDEX_DIR, "index_meta.json")) as f:
             cached = json.load(f)
-        # stale cache from an older layout/analyzer generation → rebuild
-        meta_ok = cached.get("docs_layout") == DOCS_LAYOUT_SHARDED
+        # stale cache from an older layout/format/analyzer generation →
+        # rebuild
+        meta_ok = (
+            cached.get("docs_layout") == DOCS_LAYOUT_SHARDED
+            and cached.get("postings_format") == POSTINGS_FORMAT
+            and cached.get("tokenizer") == ANALYZER_VERSION
+        )
     if not meta_ok:
         shutil.rmtree(INDEX_DIR, ignore_errors=True)
         sdf = generate_spark(spark, N_CONV, partitions=4)

@@ -225,6 +225,54 @@ def test_purge_is_partition_local_now(spark, tmp_path):
     assert "conv000005" not in set(hits["conv_id"])
 
 
+def test_fielded_search_correct_after_gapped_delete(spark, tmp_path):
+    """A delta delete leaves id GAPS; the field sub-index rebuild must
+    inherit the main index's committed ids (dense re-ranking would
+    misaddress every doc after the gap) — fielded results must match a
+    fresh dense build of the same corpus, compared by (conv, turn)."""
+    from tlgs_spark.indexer.build import build_field_index
+    from tlgs_spark.query.engine import SearchIndex
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_fgap")
+    pdf = generate_pandas(20)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=6)
+    build_field_index(spark, idx)
+
+    kept = pdf[pdf.conv_id != "conv000003"].reset_index(drop=True)
+    res = incremental_update(spark, _sdf(spark, kept), idx)
+    assert res.get("mode") == "delta" and res["fields_rebuilt"] == ["first5"]
+    meta = IndexStorage(idx).read_meta()
+    assert meta["doc_ceiling"] > meta["n_docs"]  # really gapped
+
+    fresh = str(tmp_path / "fresh_fgap")
+    build_index(spark, _sdf(spark, kept), fresh, n_shards=6)
+    build_field_index(spark, fresh)
+
+    si_d, si_f = SearchIndex(spark, idx), SearchIndex(spark, fresh)
+
+    def fp(si, q, mode):
+        r = si.search_fielded(q, k=10, mode=mode)
+        hyd = si.hydrate(r) if hasattr(si, "hydrate") else None
+        if hyd is None:
+            # map ids → (conv, turn) through the docs table
+            ids = [int(d) for d in r["doc_id"]]
+            rows = {
+                int(x.doc_id): (x.conv_id, int(x.turn_idx))
+                for x in si.st.read(si.spark, "docs")
+                .filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "conv_id", "turn_idx")
+                .collect()
+            }
+            return sorted(
+                (s, *rows[i]) for i, s in zip(ids, r["score"].tolist())
+            )
+        raise AssertionError
+
+    for q, mode in [("tok0000 tok0001", "or"), ("tok0002", "and")]:
+        assert fp(si_d, q, mode) == fp(si_f, q, mode), (q, mode)
+
+
 def test_noop_update_short_circuits(spark, tmp_path):
     from tlgs_spark.streaming.incremental import incremental_update
 

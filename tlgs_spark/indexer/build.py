@@ -64,11 +64,29 @@ from .storage import IndexStorage
 # row per shard (dls = varint blob, cf = Σdl, block_last = [base]);
 # finalize extracts them into the norms/doc_lengths/collection_stats
 # tables with column-pruned metadata scans.
-POSTINGS_FORMAT = 2
+# postings format 3 adds true block-skipping (block-max WAND):
+# - ``block_off`` — the byte offset of each 128-posting block's first
+#   varint within the term's blob, so the query side can decode ONLY
+#   the blocks whose bound clears the running top-k threshold θ (at
+#   10^12 docs a dense term's multi-GB blob must never be fully
+#   decoded for a top-10 query);
+# - ``block_fn``/``block_ftf``/``block_fdl`` — each block's PARETO
+#   FRONT of real (tf, dl) pairs (max tf, min dl dominance; fronts
+#   flattened per term, block_fn = per-block front length). The
+#   format-2 (max tf, min dl) bound combines the best tf and best dl
+#   from DIFFERENT docs and is so loose it prunes nothing on
+#   short-document corpora; the front's max tf_norm over REAL pairs is
+#   the block's exact score ceiling for ANY avgdl — still avgdl-free
+#   at build time (dominance in (tf↑, dl↓) is avgdl-independent), so
+#   the build stays one-pass. Readers of format-2 indexes never see
+#   the columns and take the eager whole-blob decode path.
+POSTINGS_FORMAT = 3
 POSTINGS_SCHEMA = (
     "shard int, term string, df long, cf long, "
     "block_tfmax array<long>, block_dlmin array<long>, "
-    "block_last array<long>, postings binary, dls binary"
+    "block_fn array<long>, block_ftf array<long>, block_fdl array<long>, "
+    "block_last array<long>, block_off array<long>, "
+    "postings binary, dls binary"
 )
 NORMS_SCHEMA = "shard int, base long, n long, dls binary"
 
@@ -352,6 +370,37 @@ def tokenize_tokens(docs: DataFrame, hygiene: bool = False, with_dl: bool = Fals
 # per-shard segment build (applyInPandas body)
 # ---------------------------------------------------------------------------
 
+def _block_fronts(
+    tfs: np.ndarray, dls: np.ndarray, bstarts: np.ndarray, n_all: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block Pareto fronts of real (tf, dl) pairs under (tf↑, dl↓)
+    dominance — the avgdl-free exact block score ceiling (format 3).
+    Vectorized across ALL blocks of the shard: one lexsort by
+    (block, -tf, dl), then a segmented running-min of dl (the offset
+    trick keeps segments independent); an entry joins the front iff its
+    dl strictly undercuts every higher-tf entry of its block.
+
+    Returns (front length per block, flat front tfs, flat front dls),
+    front entries in block order, tf-descending within each block."""
+    blk = np.zeros(n_all, dtype=np.int64)
+    blk[bstarts] = 1
+    blk = np.cumsum(blk) - 1
+    order = np.lexsort((dls, -tfs, blk))
+    blk_s = blk[order]
+    tf_s = tfs[order]
+    dl_s = dls[order]
+    big = int(dls.max()) + 1
+    # segmented cummin: earlier blocks' offset values exceed the
+    # current block's by ≥ big > dl range, so they never win the min
+    m = np.minimum.accumulate(dl_s - blk_s * big) + blk_s * big
+    keep = np.empty(n_all, dtype=bool)
+    keep[0] = True
+    keep[1:] = dl_s[1:] < m[:-1]
+    keep[bstarts] = True  # lexsort keeps blocks contiguous, sizes intact
+    fn = np.add.reduceat(keep.astype(np.int64), bstarts)
+    return fn, tf_s[keep], dl_s[keep]
+
+
 def _build_shard(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
     """All (doc_id, term, tf) rows of ONE shard → one postings row per
     term (delta+varint postings, per-128-block (max tf, min dl) integer
@@ -415,9 +464,18 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
     nb_per_term = (seg_len + bs - 1) // bs
     nb_ends = np.cumsum(nb_per_term)
     nb_starts = nb_ends - nb_per_term
+    # format 3: per-block byte offsets within each term's blob — the
+    # byte position of value index 2·block_start, rebased per term
+    cumv = np.concatenate(([0], np.cumsum(vlen)))
+    boff_all = cumv[bstarts * 2] - np.repeat(byte_starts, nb_per_term)
+    # format 3: per-block (tf, dl) Pareto fronts (exact block bound)
+    fn_all, ftf_all, fdl_all = _block_fronts(tfs, dls, bstarts, n_all)
+    fcum = np.concatenate(([0], np.cumsum(fn_all)))
 
     rows = []
     for i in range(len(starts)):
+        f0 = fcum[nb_starts[i]]
+        f1 = fcum[nb_ends[i]]
         rows.append(
             (
                 shard,
@@ -426,7 +484,11 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
                 int(cf[i]),
                 btfmax[nb_starts[i] : nb_ends[i]],
                 bdlmin[nb_starts[i] : nb_ends[i]],
+                fn_all[nb_starts[i] : nb_ends[i]],
+                ftf_all[f0:f1],
+                fdl_all[f0:f1],
                 blast_all[nb_starts[i] : nb_ends[i]],
+                boff_all[nb_starts[i] : nb_ends[i]],
                 buf[byte_starts[i] : byte_ends[i]],
                 None,
             )
@@ -441,7 +503,11 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
             int(dl_lookup.sum()),
             None,
             None,
+            None,
+            None,
+            None,
             np.asarray([base], dtype=np.int64),
+            None,
             None,
             encode_varints(dl_lookup),
         )
@@ -450,7 +516,8 @@ def _build_shard(pdf: pd.DataFrame, shard_size: int) -> pd.DataFrame:
 
 
 _POSTINGS_COLS = ["shard", "term", "df", "cf", "block_tfmax", "block_dlmin",
-                  "block_last", "postings", "dls"]
+                  "block_fn", "block_ftf", "block_fdl",
+                  "block_last", "block_off", "postings", "dls"]
 
 
 def _build_shard_from_docs(
@@ -467,8 +534,8 @@ def _build_shard_from_docs(
         shard = int(pdf["doc_id"].iloc[0]) // shard_size
         base = shard * shard_size
         return pd.DataFrame(
-            [(shard, None, int(shard_size), 0, None, None,
-              np.asarray([base], dtype=np.int64), None,
+            [(shard, None, int(shard_size), 0, None, None, None, None, None,
+              np.asarray([base], dtype=np.int64), None, None,
               encode_varints(np.zeros(shard_size, dtype=np.int64)))],
             columns=_POSTINGS_COLS,
         )
@@ -547,7 +614,11 @@ def _build_shard_table(table, shard_size: int, hygiene: bool,
                 "cf": pa.array([int(dl_lookup.sum())], pa.int64()),
                 "block_tfmax": pa.nulls(1, pa.list_(pa.int64())),
                 "block_dlmin": pa.nulls(1, pa.list_(pa.int64())),
+                "block_fn": pa.nulls(1, pa.list_(pa.int64())),
+                "block_ftf": pa.nulls(1, pa.list_(pa.int64())),
+                "block_fdl": pa.nulls(1, pa.list_(pa.int64())),
                 "block_last": pa.array([[base]], pa.list_(pa.int64())),
+                "block_off": pa.nulls(1, pa.list_(pa.int64())),
                 "postings": pa.nulls(1, pa.binary()),
                 "dls": pa.array([encode_varints(dl_lookup)], pa.binary()),
             }
@@ -595,11 +666,23 @@ def _build_shard_table(table, shard_size: int, hygiene: bool,
     blast_all = doc_ids[bends]
     nb_per_term = (seg_len + bs - 1) // bs
     nb_ends = np.cumsum(nb_per_term)
+    # format 3: per-block byte offsets within each term's blob
+    cumv = np.concatenate(([0], np.cumsum(vlen)))
+    boff_all = cumv[bstarts * 2] - np.repeat(byte_ends - term_bytes, nb_per_term)
+    # format 3: per-block (tf, dl) Pareto fronts (exact block bound)
+    fn_all, ftf_all, fdl_all = _block_fronts(tfs, dls, bstarts, n_all)
+    fcum = np.concatenate(([0], np.cumsum(fn_all)))
 
     list_offs = pa.array(np.concatenate(([0], nb_ends)).astype(np.int32))
+    front_offs = pa.array(
+        fcum[np.concatenate(([0], nb_ends))].astype(np.int32)
+    )
 
     def _list_arr(vals: np.ndarray) -> "pa.Array":
         return pa.ListArray.from_arrays(list_offs, pa.array(vals, pa.int64()))
+
+    def _front_arr(vals: np.ndarray) -> "pa.Array":
+        return pa.ListArray.from_arrays(front_offs, pa.array(vals, pa.int64()))
 
     if byte_ends.size and int(byte_ends[-1]) >= (1 << 31):
         # pa.binary() carries int32 offsets; a cast past 2^31 would wrap
@@ -624,7 +707,11 @@ def _build_shard_table(table, shard_size: int, hygiene: bool,
             "cf": pa.array(cf.astype(np.int64)),
             "block_tfmax": _list_arr(btfmax),
             "block_dlmin": _list_arr(bdlmin),
+            "block_fn": _list_arr(fn_all),
+            "block_ftf": _front_arr(ftf_all),
+            "block_fdl": _front_arr(fdl_all),
             "block_last": _list_arr(blast_all),
+            "block_off": _list_arr(boff_all),
             "postings": postings_arr,
             "dls": pa.nulls(n_terms, pa.binary()),
         }
@@ -804,6 +891,8 @@ def build_index(
     shard_size: int | None = None,
     expect_counts: dict | None = None,
     finalize: bool = True,
+    id_map: DataFrame | None = None,
+    doc_ceiling: int | None = None,
 ) -> dict:
     """Full build: docs → per-shard postings (+ doc lengths in the
     same pass) → finalize (norms/doc_lengths/collection_stats/
@@ -835,6 +924,11 @@ def build_index(
     ``finalize=False`` skips the norms/doc_lengths/term_stats/
     collection_stats derivation — the delta updater runs its own
     edit-proportional finalize instead.
+    ``id_map`` ((conv_id, turn_idx, doc_id)) pre-assigns doc ids
+    instead of dense-ranking — field sub-index rebuilds over a
+    delta-updated (gapped) main index MUST address the same documents
+    by the same ids; pass ``doc_ceiling`` (the id-space high-water
+    mark) and ``expect_counts`` alongside.
     Returns build metrics (also persisted in the ledger).
     """
     # AQE partition coalescing prices partitions by SHUFFLE BYTES, but
@@ -851,7 +945,7 @@ def build_index(
             spark, transcripts, index_dir, n_shards, hygiene, resume,
             shard_batch, lineage, max_shards_to_build,
             storage, force_shards, claim_owner, shard_size,
-            expect_counts, finalize,
+            expect_counts, finalize, id_map, doc_ceiling,
         )
     finally:
         spark.conf.set(_coalesce_key, _coalesce_prev)
@@ -873,6 +967,8 @@ def _build_index_impl(
     shard_size: int | None = None,
     expect_counts: dict | None = None,
     finalize: bool = True,
+    id_map: DataFrame | None = None,
+    doc_ceiling: int | None = None,
 ) -> dict:
     st = storage if storage is not None else IndexStorage(index_dir)
 
@@ -913,42 +1009,58 @@ def _build_index_impl(
         # the key projection IS the (conv_id, turn_idx) → doc_id map:
         # dense rank is a property of the keys alone, so the ids are
         # identical to ranking the full rows.
-        key_map = assign_doc_ids(
-            transcripts.select("conv_id", "turn_idx"),
-            cleanup=_persisted,
-            meta_out=_meta_out,
-        )
-        n_docs = _meta_out["n_docs"]  # known from the assign count pass
-        if n_docs <= FUSED_ASSIGN_MAX_DOCS:
+        if id_map is not None:
+            # pre-assigned ids (gapped field rebuild): join the caller's
+            # committed (conv_id, turn_idx) → doc_id map instead of
+            # dense-ranking — ids MUST match the main index's
+            id_map.persist()
+            _persisted.append(id_map)
+            n_docs = id_map.count()
             numbered = transcripts.join(
-                F.broadcast(key_map), ["conv_id", "turn_idx"]
+                F.broadcast(id_map) if n_docs <= FUSED_ASSIGN_MAX_DOCS else id_map,
+                ["conv_id", "turn_idx"],
             )
         else:
-            # corpus too large for the per-executor map — fall back to
-            # range-shuffling the full rows (no memory envelope)
-            for h in _persisted:
-                h.unpersist()
-            _persisted.clear()
-            numbered = assign_doc_ids(
-                transcripts, cleanup=_persisted, meta_out=_meta_out
+            key_map = assign_doc_ids(
+                transcripts.select("conv_id", "turn_idx"),
+                cleanup=_persisted,
+                meta_out=_meta_out,
             )
+            n_docs = _meta_out["n_docs"]  # known from the assign count pass
+            if n_docs <= FUSED_ASSIGN_MAX_DOCS:
+                numbered = transcripts.join(
+                    F.broadcast(key_map), ["conv_id", "turn_idx"]
+                )
+            else:
+                # corpus too large for the per-executor map — fall back
+                # to range-shuffling the full rows (no memory envelope)
+                for h in _persisted:
+                    h.unpersist()
+                _persisted.clear()
+                numbered = assign_doc_ids(
+                    transcripts, cleanup=_persisted, meta_out=_meta_out
+                )
         docs = numbered.select(
             "doc_id", *[f.name for f in transcripts.schema.fields]
         ).withColumn("size", F.length("text")).withColumn(
             "text_hash", F.xxhash64("text")
         )
         _mark("docs_count")
+        # id-space extent: the grid spans the CEILING, not the live
+        # count — gapped pre-assigned ids (field rebuild over a
+        # delta-updated main index) address shards past n_docs
+        ceiling = int(doc_ceiling) if doc_ceiling is not None else n_docs
         if shard_size is not None:
             # explicit geometry (incremental updates pin the ORIGINAL
             # shard_size so corpus growth appends trailing shards
             # instead of re-gridding — interior shards stay reusable)
             shard_size = max(1, shard_size)
-            n_shards = max(1, math.ceil(n_docs / shard_size))
+            n_shards = max(1, math.ceil(ceiling / shard_size))
         else:
             if n_shards is None:
                 n_shards = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
-            shard_size = max(1, math.ceil(n_docs / n_shards))
-        n_shards = math.ceil(n_docs / shard_size)
+            shard_size = max(1, math.ceil(ceiling / n_shards))
+        n_shards = math.ceil(ceiling / shard_size)
         _expire_stale_log()  # first destructive write follows
         st.write_meta(
             {
@@ -956,7 +1068,7 @@ def _build_index_impl(
                 # high-water mark: ids are dense 0..n_docs-1 on a fresh
                 # build; delta updates allocate above it and deletions
                 # leave gaps — doc_ceiling is MONOTONE, never reused
-                "doc_ceiling": n_docs,
+                "doc_ceiling": ceiling,
                 "n_shards": n_shards,
                 "shard_size": shard_size,
                 "hygiene": hygiene,
@@ -1544,14 +1656,17 @@ def _build_index_impl(
         total_dl = _fin_out["total_dl"]
         # exact collection stats (north rule: no approx): totals are
         # exact longs summed from the per-shard pseudo rows; avgdl is
-        # the same IEEE double division the oracle performs
+        # the same IEEE double division the oracle performs. BM25's N
+        # is the LIVE doc count — n_docs_total (the id-space ceiling)
+        # sizes arrays but over-counts gap slots on a gapped build
+        n_docs_live = int(meta["n_docs"])
         stats_final = spark.createDataFrame(
             [(
-                n_docs_total,
+                n_docs_live,
                 total_dl,
                 int(totals.n_terms),
                 int(totals.n_postings or 0),
-                float(total_dl) / n_docs_total,
+                float(total_dl) / n_docs_live,
             )],
             "n_docs long, total_dl long, n_terms long, n_postings long, avgdl double",
         )
@@ -1581,6 +1696,44 @@ def _build_index_impl(
 FIELD_TITLE_TOKENS = 5
 
 
+def write_empty_shard_partition(
+    st: IndexStorage, postings_version: int, shard: int, shard_size: int
+) -> None:
+    """One pseudo-row postings partition for an in-grid shard whose
+    live doc set is EMPTY (gapped ids: every doc in its range deleted).
+    Format 2+: every in-grid shard carries its norms pseudo row —
+    df = slot count, cf = Σdl = 0, dls = all-zero varints — so finalize
+    and the dl array see the shard's slots as zero-length docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .codec import encode_varints as _enc
+
+    d = os.path.join(st.table_dir("postings", postings_version), f"shard={shard}")
+    os.makedirs(d, exist_ok=True)
+    tbl = pa.table(
+        {
+            "term": pa.nulls(1, pa.string()),
+            "df": pa.array([int(shard_size)], pa.int64()),
+            "cf": pa.array([0], pa.int64()),
+            "block_tfmax": pa.nulls(1, pa.list_(pa.int64())),
+            "block_dlmin": pa.nulls(1, pa.list_(pa.int64())),
+            "block_fn": pa.nulls(1, pa.list_(pa.int64())),
+            "block_ftf": pa.nulls(1, pa.list_(pa.int64())),
+            "block_fdl": pa.nulls(1, pa.list_(pa.int64())),
+            "block_last": pa.array([[shard * shard_size]], pa.list_(pa.int64())),
+            "block_off": pa.nulls(1, pa.list_(pa.int64())),
+            "postings": pa.nulls(1, pa.binary()),
+            "dls": pa.array(
+                [_enc(np.zeros(shard_size, dtype=np.int64))], pa.binary()
+            ),
+        }
+    )
+    pq.write_table(
+        tbl, os.path.join(d, "part-00000-empty.zstd.parquet"), compression="zstd"
+    )
+
+
 def field_index_dir(index_dir: str, field: str = "first5") -> str:
     import os
 
@@ -1593,10 +1746,16 @@ def build_field_index(spark: SparkSession, index_dir: str, field: str = "first5"
     are the first heading1, crawler.cpp:443,452). The transcript
     'title' is the first 5 [a-z0-9]+ tokens of each turn.
 
-    Reuses build_index verbatim on a derived corpus: identical
-    (conv_id, turn_idx) ordering ⇒ identical doc_ids, so field and
-    body postings address the same documents with no mapping table.
-    Same shard grid as the main index (same n_docs ⇒ same shard_size).
+    Reuses build_index verbatim on a derived corpus. Dense main index
+    (every fresh build): identical (conv_id, turn_idx) ordering ⇒
+    identical doc_ids, so field and body postings address the same
+    documents with no mapping table, same shard grid. GAPPED main
+    index (after a delta update — deletions leave id gaps, inserts sit
+    above the high-water mark): dense re-ranking would MISADDRESS
+    documents, so the committed (conv_id, turn_idx) → doc_id map is
+    passed through and the field index inherits the main grid,
+    ceiling, and per-shard live counts; wholly-empty shards get their
+    norms pseudo partition directly.
     """
     if field != "first5":
         raise ValueError(f"unknown field {field!r}")
@@ -1620,12 +1779,43 @@ def build_field_index(spark: SparkSession, index_dir: str, field: str = "first5"
             " ",
         ).alias("text"),
     )
-    return build_index(
+    fdir = field_index_dir(index_dir, field)
+    ceiling = int(meta.get("doc_ceiling", meta["n_docs"]))
+    if ceiling == int(meta["n_docs"]):
+        return build_index(
+            spark,
+            derived,
+            fdir,
+            n_shards=meta["n_shards"],
+            hygiene=False,
+            resume=True,
+            lineage=f"field:{field} of {index_dir}",
+        )
+    shard_size = int(meta["shard_size"])
+    sh = (F.col("doc_id") / F.lit(shard_size)).cast("int")
+    live_counts = {
+        int(r.s): int(r.n)
+        for r in docs.groupBy(sh.alias("s")).agg(F.count("*").alias("n")).collect()
+    }
+    n_shards = int(meta["n_shards"])
+    expect_counts = {s: live_counts.get(s, 0) for s in range(n_shards)}
+    res = build_index(
         spark,
         derived,
-        field_index_dir(index_dir, field),
-        n_shards=meta["n_shards"],
+        fdir,
         hygiene=False,
         resume=True,
         lineage=f"field:{field} of {index_dir}",
+        shard_size=shard_size,
+        expect_counts=expect_counts,
+        id_map=docs.select("conv_id", "turn_idx", "doc_id"),
+        doc_ceiling=ceiling,
     )
+    fst = IndexStorage(fdir)
+    empties = [s for s in range(n_shards) if expect_counts[s] == 0]
+    if empties:
+        v = fst.versions().get("postings", 0)
+        for s in empties:
+            if not os.path.isdir(fst.shard_dir("postings", s)):
+                write_empty_shard_partition(fst, v, s, shard_size)
+    return res

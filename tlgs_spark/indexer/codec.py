@@ -127,6 +127,84 @@ def decode_postings_batch(
     return doc_ids, tfs
 
 
+def range_indices(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """The flat index array selecting ``[starts[i], starts[i]+lengths[i])``
+    for every range i, in range order — the vectorized multi-slice
+    gather primitive (no per-range Python loop)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(lengths)
+    # position j of the output maps to starts[r] + (j - out_start[r])
+    return np.arange(total, dtype=np.int64) + np.repeat(
+        starts - (ends - lengths), lengths
+    )
+
+
+def gather_ranges(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Gather the byte ranges ``[starts[i], starts[i]+lengths[i])`` from
+    a uint8 buffer into one contiguous uint8 array (range order kept).
+    One fancy-index pass, so selecting tens of thousands of 128-posting
+    blocks out of a multi-MB blob stays NumPy-speed."""
+    idx = range_indices(starts, lengths)
+    if idx.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    return buf[idx]
+
+
+def decode_postings_blocks(
+    buf: np.ndarray,
+    boff: np.ndarray,
+    blen: np.ndarray,
+    sizes: np.ndarray,
+    prevs: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode SELECTED posting blocks out of a concatenated blob stream
+    (postings format 3: per-block byte offsets stored at build time).
+
+    ``buf``   uint8 view of the whole blob stream;
+    ``boff``  byte offset of each selected block's first varint;
+    ``blen``  byte length of each selected block;
+    ``sizes`` postings per selected block;
+    ``prevs`` the doc_id PREDECESSOR of each block's first posting
+              (block_last of the previous block, or the shard base for
+              a segment's first block) — gap_0 is relative to it.
+
+    Returns concatenated (doc_ids, tfs) in block order; blocks must be
+    passed in ascending doc order for globally-sorted output. Exactly
+    the bytes of the selected blocks are touched — the block-skipping
+    BMW decode path's primitive.
+    """
+    sizes = np.asarray(sizes, dtype=np.int64)
+    prevs = np.asarray(prevs, dtype=np.int64)
+    if sizes.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    boff = np.asarray(boff, dtype=np.int64)
+    blen = np.asarray(blen, dtype=np.int64)
+    # contiguous full-cover selection (decode-everything): skip the
+    # gather copy and decode the buffer directly
+    if (
+        int(boff[0]) == 0
+        and int(boff[-1] + blen[-1]) == buf.size
+        and np.array_equal(boff[1:], boff[:-1] + blen[:-1])
+    ):
+        sel = buf.tobytes()
+    else:
+        sel = gather_ranges(buf, boff, blen).tobytes()
+    vals = decode_varints(sel)
+    gaps = vals[0::2].astype(np.int64)
+    tfs = vals[1::2].astype(np.int64)
+    c = np.cumsum(gaps)
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    prev_c = np.where(starts > 0, c[starts - 1], 0)
+    # per-block base fix: doc = cumsum(gaps) + (prev - cumsum before block)
+    doc_ids = c + np.repeat(prevs - prev_c, sizes)
+    return doc_ids, tfs
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, base: int = 0) -> bytes:
     """doc_ids strictly increasing; returns interleaved (gap, tf) varints."""
     d = np.asarray(doc_ids, dtype=np.uint64)

@@ -19,7 +19,10 @@ Tables (Iceberg DDL equivalent):
                       n_terms BIGINT, n_postings BIGINT)
     postings         (shard INT, term STRING, df BIGINT, cf BIGINT,
                       block_tfmax ARRAY<BIGINT>, block_dlmin ARRAY<BIGINT>,
-                      block_last ARRAY<BIGINT>, postings BINARY,
+                      block_fn ARRAY<BIGINT>, block_ftf ARRAY<BIGINT>,
+                      block_fdl ARRAY<BIGINT>,
+                      block_last ARRAY<BIGINT>, block_off ARRAY<BIGINT>,
+                      postings BINARY,
                       dls BINARY)                        PARTITIONED BY (shard)
                      -- format 2: one term=NULL pseudo row per shard
                      -- carries the doc-length varint blob (dls),
@@ -376,7 +379,10 @@ class IndexStorage:
                     [],
                     "shard int, term string, df long, cf long, "
                     "block_tfmax array<long>, block_dlmin array<long>, "
-                    "block_last array<long>, postings binary, dls binary",
+                    "block_fn array<long>, block_ftf array<long>, "
+                    "block_fdl array<long>, "
+                    "block_last array<long>, block_off array<long>, "
+                    "postings binary, dls binary",
                 )
             return spark.read.parquet(self.path(table))
         out = dfs[0]

@@ -37,20 +37,46 @@ from ..indexer.codec import decode_postings, decode_postings_batch, decode_varin
 from ..indexer.storage import IndexStorage
 from ..tokenizer import s_stem, tokenize_query
 from .parser import SearchFilter, eval_filter_row, parse_search_query
-from .scorer import TermData, _exact_scores, _topk_order, search_and, search_or
+from .scorer import (
+    LazyTermData,
+    TermData,
+    _exact_scores,
+    _topk_order,
+    search_and,
+    search_or,
+    tf_norm_vec,
+)
 from .snippet import make_snippet
 
 
 def block_bounds_arr(row, fmt: int, avgdl: float) -> np.ndarray:
     """Per-block admissible tf_norm upper bound (float64) from a
-    postings row, under either format — THE single authority for the
+    postings row, under any format — THE single authority for the
     bound (the driver path's method and every executor closure call
-    this one function, so the K1/B constants and the 1e-12 pad can
-    never fork between copies). Format 2 computes
-    tfn(max_tf, min_dl, avgdl) and pads it by 1e-12 relative: the same
-    monotone formula evaluated at the block's extremes dominates every
-    element up to float rounding, and the pad swallows that rounding
-    (WAND stays exact, pruning loss negligible)."""
+    this one function, so the K1/B constants can never fork between
+    copies).
+
+    Format 3 evaluates tf_norm over the block's stored (tf, dl) PARETO
+    FRONT — real pairs, same float expression and op order as scoring
+    (tf_norm_vec), so the bound is the block's EXACT maximum tf_norm:
+    admissible with zero slack, no rounding pad needed, and tight
+    enough that block-max WAND actually skips blocks.
+
+    Format 2 computes tfn(max_tf, min_dl, avgdl) — best tf and best dl
+    from possibly DIFFERENT docs — padded by 1e-12 relative: the
+    monotone formula at the block's extremes dominates every element
+    up to float rounding, and the pad swallows that rounding (WAND
+    stays exact; bound loose)."""
+    if fmt >= 3:
+        fn = np.asarray(row["block_fn"], dtype=np.int64)
+        if fn.size == 0:
+            return np.zeros(0, dtype=np.float64)
+        s = tf_norm_vec(
+            np.asarray(row["block_ftf"], dtype=np.int64),
+            np.asarray(row["block_fdl"], dtype=np.int64),
+            avgdl,
+        )
+        return np.maximum.reduceat(s, np.cumsum(fn) - fn)
     if fmt >= 2:
         t = np.asarray(row["block_tfmax"], dtype=np.float64)
         d = np.asarray(row["block_dlmin"], dtype=np.float64)
@@ -324,9 +350,13 @@ class SearchIndex:
 
     @property
     def _block_cols(self) -> list[str]:
-        return (
-            ["block_tfmax", "block_dlmin"] if self.postings_format >= 2 else ["block_max"]
-        )
+        if self.postings_format >= 3:
+            # (tf, dl) Pareto fronts — exact block bounds; block_fn's
+            # length is the segment's block count
+            return ["block_fn", "block_ftf", "block_fdl"]
+        if self.postings_format >= 2:
+            return ["block_tfmax", "block_dlmin"]
+        return ["block_max"]
 
     def _block_bounds(self, row) -> np.ndarray:
         return block_bounds_arr(row, self.postings_format, self.avgdl)
@@ -342,13 +372,18 @@ class SearchIndex:
         partitions (caller guarantees they cover every requested term's
         full presence list — partial coverage would silently truncate
         postings and corrupt the per-term cache)."""
+        cols = ["term", "shard", "df", *self._block_cols, "postings"]
+        if self.postings_format >= 3:
+            # lazy-decode metadata (block-skipped BMW): skip pointers +
+            # per-block byte offsets ride along
+            cols[-1:-1] = ["block_last", "block_off"]
         tbl = self._arrow_lookup(
-            "postings", terms, ["term", "shard", "df", *self._block_cols, "postings"],
+            "postings", terms, cols,
             partitioning="hive", shard_restrict=shards,
         )
         if tbl is not None:
             return tbl.to_pandas()
-        pdf = self._postings_df.filter(F.col("term").isin(terms))
+        pdf = self._postings_df.select(*cols).filter(F.col("term").isin(terms))
         if shards is not None:
             pdf = pdf.filter(F.col("shard").isin(shards))
         return pdf.toPandas()
@@ -605,7 +640,6 @@ class SearchIndex:
             dfs = g["df"].to_numpy(dtype=np.int64)
             bases = g["shard"].to_numpy(dtype=np.int64) * self.shard_size
             blobs = [bytes(b) for b in g["postings"]]
-            doc_ids, tfs = decode_postings_batch(blobs, dfs, bases)
             # block bounds: concatenate the per-segment block columns
             # and evaluate the (elementwise) bound formula ONCE per
             # term — a hot term spans hundreds of shard segments and
@@ -628,6 +662,53 @@ class SearchIndex:
             nz = nbs > 0
             last_idx = np.cumsum(nbs) - 1
             sizes[last_idx[nz]] = dfs[nz] - 128 * (nbs[nz] - 1)
+            if self.postings_format >= 3:
+                # LAZY term: no decode here. Assemble the global block
+                # metadata (skip pointers, absolute byte offsets into
+                # the concatenated blob stream, per-block predecessor
+                # doc ids) — the scorer decodes only the blocks the
+                # top-k threshold cannot prune.
+                seg_lens = np.array([len(b) for b in blobs], dtype=np.int64)
+                seg_off = np.cumsum(seg_lens) - seg_lens
+                bl_lists = [np.asarray(x, dtype=np.int64) for x in g["block_last"]]
+                bo_lists = [np.asarray(x, dtype=np.int64) for x in g["block_off"]]
+                block_last = (
+                    np.concatenate(bl_lists) if bl_lists else np.zeros(0, np.int64)
+                )
+                block_off = (
+                    np.concatenate([bo + so for bo, so in zip(bo_lists, seg_off)])
+                    if bo_lists
+                    else np.zeros(0, np.int64)
+                )
+                block_bytes = (
+                    np.concatenate(
+                        [
+                            np.diff(np.append(bo, ln))
+                            for bo, ln in zip(bo_lists, seg_lens)
+                        ]
+                    )
+                    if bo_lists
+                    else np.zeros(0, np.int64)
+                )
+                block_prev = (
+                    np.concatenate(
+                        [
+                            np.concatenate(([b], bl[:-1]))
+                            for b, bl in zip(bases, bl_lists)
+                        ]
+                    )
+                    if bl_lists
+                    else np.zeros(0, np.int64)
+                )
+                blob_cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+                out.append(
+                    LazyTermData(
+                        t, int(dfs.sum()), blob_cat, bm_all, sizes,
+                        block_last, block_prev, block_off, block_bytes,
+                    )
+                )
+                continue
+            doc_ids, tfs = decode_postings_batch(blobs, dfs, bases)
             out.append(TermData(t, int(dfs.sum()), doc_ids, tfs, bm_all, sizes))
         return out
 

@@ -61,6 +61,7 @@ from ..indexer.build import (
     assign_doc_ids,
     build_index,
     tokenize_tokens,
+    write_empty_shard_partition,
 )
 from ..indexer.storage import PARTITIONED_TABLES, IndexStorage
 from ..tokenizer import ANALYZER_VERSION
@@ -408,7 +409,7 @@ def _delta_apply(
     # them, so write the partition driver-side before the build
     for s in changed:
         if expect_counts[s] == 0:
-            _write_empty_shard_partition(st_new, staged["postings"], s, shard_size)
+            write_empty_shard_partition(st_new, staged["postings"], s, shard_size)
 
     build_index(
         spark,
@@ -479,40 +480,6 @@ def _delta_apply(
         "n_inserted": n_ins,
         "n_deleted": n_del,
     }
-
-
-def _write_empty_shard_partition(
-    st_new: IndexStorage, postings_version: int, shard: int, shard_size: int
-) -> None:
-    """One pseudo-row postings partition for a shard whose live doc set
-    emptied (format 2: every in-grid shard carries its norms pseudo
-    row — df = slot count, cf = Σdl = 0, dls = all-zero varints)."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from ..indexer.codec import encode_varints
-
-    d = os.path.join(
-        st_new.table_dir("postings", postings_version), f"shard={shard}"
-    )
-    os.makedirs(d, exist_ok=True)
-    tbl = pa.table(
-        {
-            "term": pa.nulls(1, pa.string()),
-            "df": pa.array([int(shard_size)], pa.int64()),
-            "cf": pa.array([0], pa.int64()),
-            "block_tfmax": pa.nulls(1, pa.list_(pa.int64())),
-            "block_dlmin": pa.nulls(1, pa.list_(pa.int64())),
-            "block_last": pa.array([[shard * shard_size]], pa.list_(pa.int64())),
-            "postings": pa.nulls(1, pa.binary()),
-            "dls": pa.array(
-                [encode_varints(np.zeros(shard_size, dtype=np.int64))], pa.binary()
-            ),
-        }
-    )
-    pq.write_table(tbl, os.path.join(d, "part-00000-empty.zstd.parquet"),
-                   compression="zstd")
 
 
 def _delta_finalize(

@@ -128,6 +128,119 @@ def _group_scorer(score_one, b_dl):
     return score_shard
 
 
+# ---------------- Arrow-native executor kernels (format 3) ----------------
+# The pandas kernels copy every posting blob into a Python bytes object
+# and every block-metadata list into an object array during Arrow→pandas
+# conversion — ~60 ms/task of pure conversion on dense terms, which IS
+# the single-wave latency floor a large cluster would see. The Arrow
+# kernels read blobs as zero-copy buffer slices and block metadata as
+# zero-copy int64 views, and hand the scorer LazyTermData so per-shard
+# block skipping applies on executors exactly as on the driver.
+
+def _list_cell(col, i: int) -> np.ndarray:
+    """ChunkedArray list cell → int64 NumPy view (empty on NULL)."""
+    v = col[i]
+    if not v.is_valid:
+        return np.zeros(0, dtype=np.int64)
+    return np.asarray(v.values.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
+def _lazy_terms_arrow(tbl, q_terms, df_map, shard_size: int, avgdl: float, fmt: int):
+    """One shard's SELECTED postings rows (Arrow table) → per-query-term
+    LazyTermData, zero-copy: the blob stays an Arrow buffer view, block
+    metadata stays int64 views. Missing terms become empty TermData."""
+    from .scorer import LazyTermData as _LTD
+    from .scorer import TermData as _TD
+
+    term_col = tbl.column("term").to_pylist()
+    shard0 = int(tbl.column("shard")[0].as_py())
+    base = shard0 * shard_size
+    by = {t: i for i, t in enumerate(term_col)}
+    post_col = tbl.column("postings")
+    df_col = tbl.column("df")
+    out = []
+    for t in q_terms:
+        i = by.get(t)
+        if i is None:
+            out.append(_TD(t, df_map.get(t, 0), np.zeros(0, np.int64),
+                           np.zeros(0, np.int64), np.zeros(0, np.float64),
+                           np.zeros(0, np.int64)))
+            continue
+        fn = _list_cell(tbl.column("block_fn"), i)
+        row = {
+            "block_fn": fn,
+            "block_ftf": _list_cell(tbl.column("block_ftf"), i),
+            "block_fdl": _list_cell(tbl.column("block_fdl"), i),
+        }
+        blast = _list_cell(tbl.column("block_last"), i)
+        boff = _list_cell(tbl.column("block_off"), i)
+        df = int(df_col[i].as_py())
+        blob = np.frombuffer(post_col[i].as_buffer(), dtype=np.uint8)
+        bm = block_bounds_arr(row, fmt, avgdl)
+        nb = int(fn.size)
+        sizes = np.full(nb, 128, dtype=np.int64)
+        if nb:
+            sizes[-1] = df - 128 * (nb - 1)
+        bbytes = np.diff(np.append(boff, blob.size)) if nb else np.zeros(0, np.int64)
+        prev = (
+            np.concatenate(([base], blast[:-1])) if nb else np.zeros(0, np.int64)
+        )
+        out.append(_LTD(t, df_map.get(t, 0), blob, bm, sizes, blast, prev, boff, bbytes))
+    return out
+
+
+def _arrow_stream_scorer(score_tbl, b_dl):
+    """mapInArrow kernel: a scan task's rows cover only whole shards
+    (one unsplit file each, gated by _one_file_per_shard), so shards
+    arrive as contiguous runs; non-contiguous repeats (defensive) are
+    re-joined zero-copy via concat_tables."""
+
+    def run(batches):
+        import pyarrow as pa
+
+        bl = list(batches)
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        if tbl.num_rows == 0:
+            return
+        dl_global = b_dl.value
+        shard_np = np.asarray(tbl.column("shard").to_numpy(zero_copy_only=False))
+        change = np.nonzero(np.diff(shard_np))[0] + 1
+        bounds = np.concatenate(([0], change, [shard_np.size]))
+        parts: dict[int, list] = {}
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            parts.setdefault(int(shard_np[a]), []).append(tbl.slice(int(a), int(b - a)))
+        for s, ps in parts.items():
+            sub = ps[0] if len(ps) == 1 else pa.concat_tables(ps)
+            yield score_tbl(sub, dl_global)
+
+    return run
+
+
+def _arrow_group_scorer(score_tbl, b_dl):
+    """groupBy(shard).applyInArrow twin of _arrow_stream_scorer: doc
+    lengths from the broadcast when it fits, else from the norms-join
+    columns riding the group (per-shard dls blob)."""
+
+    def score_shard(tbl):
+        import pyarrow as pa
+
+        if b_dl is not None:
+            dl_global = b_dl.value
+        else:
+            base = int(tbl.column("base")[0].as_py())
+            dls_shard = decode_varints(
+                bytes(tbl.column("dls")[0].as_buffer())
+            ).astype(np.int64)
+            dl_global = np.zeros(base + len(dls_shard), dtype=np.int64)
+            dl_global[base:] = dls_shard
+        rb = score_tbl(tbl, dl_global)
+        return pa.Table.from_batches([rb])
+
+    return score_shard
+
+
 class EmptyQueryError(ValueError):
     """Query has no text terms (filter-only queries are rejected, like
     the reference: doc_search.csp:28-29)."""
@@ -1026,17 +1139,18 @@ class SearchIndex:
         # 10^12-doc dl array can't live in one broadcast; each shard
         # then decodes only its own blob).
         use_dl_bc = self.doc_ceiling <= self.dl_broadcast_max_docs
+        sel_cols = ["shard", "term", "df", *self._block_cols, "postings"]
+        if self.postings_format >= 3:
+            sel_cols[-1:-1] = ["block_last", "block_off"]
         if use_dl_bc:
             b_dl = self._dl_broadcast()
-            joined = posts
+            joined = posts.select(*sel_cols)
         else:
             b_dl = None
             # project BEFORE the join: format-2 postings carry their own
             # per-shard `dls` pseudo-column, which would collide with the
             # norms table's `dls` (and the blobs are dead weight anyway)
-            joined = posts.select(
-                "shard", "term", *self._block_cols, "postings"
-            ).join(
+            joined = posts.select(*sel_cols).join(
                 F.broadcast(self._norms_df.select("shard", "base", "dls")),
                 "shard",
             )
@@ -1047,7 +1161,8 @@ class SearchIndex:
         fmt = self.postings_format
 
         def _score_one(pdf: pd.DataFrame, dl_global) -> pd.DataFrame:
-            """Score ONE complete shard's postings rows."""
+            """Score ONE complete shard's postings rows (pandas kernel,
+            format ≤ 2)."""
             shard0 = int(pdf["shard"].iloc[0])
             base = shard0 * shard_size
             tds = []
@@ -1071,16 +1186,36 @@ class SearchIndex:
             ids, sc = fn(tds, dl_global, n_docs, avgdl, fetch_k)
             return pd.DataFrame({"doc_id": ids, "score": sc})
 
+        def _score_one_arrow(sub, dl_global):
+            """Arrow kernel (format 3): zero-copy blob/metadata handoff
+            + per-shard block skipping via LazyTermData."""
+            import pyarrow as pa
+
+            tds = _lazy_terms_arrow(sub, q_terms, df_map, shard_size, avgdl, fmt)
+            fn = search_and if mode == "and" else search_or
+            ids, sc = fn(tds, dl_global, n_docs, avgdl, fetch_k)
+            return pa.record_batch(
+                {"doc_id": pa.array(ids, pa.int64()), "score": pa.array(sc, pa.float64())}
+            )
+
+        out_schema = "doc_id long, score double"
         if use_dl_bc and self._one_file_per_shard:
-            # single-stage: score inside the scan (see _stream_scorer)
-            local = posts.select(
-                "shard", "term", *self._block_cols, "postings"
-            ).mapInPandas(
-                _stream_scorer(_score_one, b_dl), schema="doc_id long, score double"
+            # single-stage: score inside the scan (see the kernels)
+            if fmt >= 3:
+                local = posts.select(*sel_cols).mapInArrow(
+                    _arrow_stream_scorer(_score_one_arrow, b_dl), schema=out_schema
+                )
+            else:
+                local = posts.select(*sel_cols).mapInPandas(
+                    _stream_scorer(_score_one, b_dl), schema=out_schema
+                )
+        elif fmt >= 3:
+            local = joined.groupBy("shard").applyInArrow(
+                _arrow_group_scorer(_score_one_arrow, b_dl), schema=out_schema
             )
         else:
             local = joined.groupBy("shard").applyInPandas(
-                _group_scorer(_score_one, b_dl), schema="doc_id long, score double"
+                _group_scorer(_score_one, b_dl), schema=out_schema
             )
         if not filt.is_empty():
             meta_cols = self.st.read(self.spark, "docs").select(
@@ -1129,6 +1264,7 @@ class SearchIndex:
             posts = posts.filter(F.col("shard").isin(allowed))
         use_dl_bc = self.doc_ceiling <= self.dl_broadcast_max_docs
         b_dl = self._dl_broadcast() if use_dl_bc else None
+        fmt = self.postings_format
 
         def _score_one(pdf: pd.DataFrame, dl_global) -> pd.DataFrame:
             base = int(pdf["shard"].iloc[0]) * shard_size
@@ -1163,19 +1299,67 @@ class SearchIndex:
             sc = _exact_scores(cand, tds, dl_global, n_docs, avgdl)
             return pd.DataFrame({"doc_id": cand, "score": sc})
 
-        if use_dl_bc and self._one_file_per_shard:
-            return posts.select("shard", "term", "postings").mapInPandas(
-                _stream_scorer(_score_one, b_dl), schema="doc_id long, score double"
+        def _exact_one_arrow(sub, dl_global):
+            """Arrow kernel (format 3): AND-mode decodes the rarest term
+            plus only the blocks covering surviving candidates; OR-mode
+            must score every match, so it materializes (but blobs and
+            metadata still hand off zero-copy)."""
+            import pyarrow as pa
+
+            def _empty():
+                return pa.record_batch(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
+
+            tds = _lazy_terms_arrow(sub, q_terms, dfm, shard_size, avgdl, fmt)
+            if mode == "and":
+                if any(td.n_postings == 0 for td in tds):
+                    return _empty()
+                by_df = sorted(tds, key=lambda t: t.n_postings)
+                cand = by_df[0].doc_ids
+                for td in by_df[1:]:
+                    hit, _ = td.lookup(cand)
+                    cand = cand[hit]
+                    if cand.size == 0:
+                        return _empty()
+            else:
+                nonempty = [td.doc_ids for td in tds if td.n_postings]
+                if not nonempty:
+                    return _empty()
+                cand = np.unique(np.concatenate(nonempty))
+            sc = _exact_scores(cand, tds, dl_global, n_docs, avgdl)
+            return pa.record_batch(
+                {"doc_id": pa.array(cand, pa.int64()),
+                 "score": pa.array(sc, pa.float64())}
             )
 
-        joined = posts if b_dl is not None else posts.select(
-            "shard", "term", "postings"
+        sel_cols = ["shard", "term", "postings"]
+        if fmt >= 3:
+            sel_cols = ["shard", "term", "df", *self._block_cols,
+                        "block_last", "block_off", "postings"]
+        out_schema = "doc_id long, score double"
+        if use_dl_bc and self._one_file_per_shard:
+            if fmt >= 3:
+                return posts.select(*sel_cols).mapInArrow(
+                    _arrow_stream_scorer(_exact_one_arrow, b_dl), schema=out_schema
+                )
+            return posts.select(*sel_cols).mapInPandas(
+                _stream_scorer(_score_one, b_dl), schema=out_schema
+            )
+
+        joined = posts.select(*sel_cols) if b_dl is not None else posts.select(
+            *sel_cols
         ).join(
             F.broadcast(self._norms_df.select("shard", "base", "dls")),
             "shard",
         )
+        if fmt >= 3:
+            return joined.groupBy("shard").applyInArrow(
+                _arrow_group_scorer(_exact_one_arrow, b_dl), schema=out_schema
+            )
         return joined.groupBy("shard").applyInPandas(
-            _group_scorer(_score_one, b_dl), schema="doc_id long, score double"
+            _group_scorer(_score_one, b_dl), schema=out_schema
         )
 
     def search_df_fielded(

@@ -196,6 +196,9 @@ def _delta_update(
     old_n_shards = int(meta["n_shards"])
     hygiene = meta.get("hygiene", False)
 
+    import time as _time
+
+    _t0 = _time.time()
     # -- 1. diff (read-only; metadata columns, never committed text) --
     docs_old = st_old.read(spark, "docs")
     old_keys = docs_old.select("doc_id", "conv_id", "turn_idx", "text_hash")
@@ -226,11 +229,12 @@ def _delta_update(
                 "reused": list(range(old_n_shards)),
                 "mode": "delta",
                 "fields_rebuilt": [],
+                "phases": {"diff": round(_time.time() - _t0, 3)},
             }
         return _delta_apply(
             spark, transcripts, index_dir, meta, old_stats, gc,
             st_old, delta, shard_size, ceiling0, old_n_shards, hygiene,
-            n_del, n_ins,
+            n_del, n_ins, {"diff": round(_time.time() - _t0, 3)},
         )
     finally:
         delta.unpersist()
@@ -239,8 +243,19 @@ def _delta_update(
 def _delta_apply(
     spark, transcripts, index_dir, meta, old_stats, gc,
     st_old, delta, shard_size, ceiling0, old_n_shards, hygiene,
-    n_del, n_ins,
+    n_del, n_ins, phases: dict | None = None,
 ) -> dict:
+    import time as _time
+
+    phases = phases if phases is not None else {}
+    _pt = _time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _pt
+        now = _time.time()
+        phases[name] = round(now - _pt, 3)
+        _pt = now
+
     persisted: list = []
 
     # -- 2. allocate inserted ids above the high-water mark --
@@ -303,6 +318,7 @@ def _delta_apply(
     }
     expect_counts = {s: live_counts.get(s, 0) for s in changed}
     n_live_changed = sum(expect_counts.values())
+    _mark("ids_live_map")
 
     # -- 4. stage versions --
     committed = st_old.versions()
@@ -363,6 +379,7 @@ def _delta_apply(
         )
     ]
     _stage_manifest("docs", docs_changed_dirs)
+    _mark("docs_write")
 
     # -- 7. first_turn_terms partitions for changed shards (turn-0 docs
     # of the rebuilt shards only — tiny) --
@@ -386,6 +403,7 @@ def _delta_apply(
         "first_turn_terms",
         [s for s in changed if os.path.isdir(os.path.join(ftt_base, f"shard={s}"))],
     )
+    _mark("first_turn_terms")
 
     # -- 8. staged ledger: committed rows for REUSED shards (marked) --
     if reused and st_old.exists("ledger"):
@@ -424,12 +442,14 @@ def _delta_apply(
         expect_counts=expect_counts,
         finalize=False,
     )
+    _mark("postings_rebuild")
 
     # -- 10. edit-proportional finalize --
     _delta_finalize(
         spark, st_old, st_new, committed, staged, changed, reused,
         shard_size, ceiling1, n_docs1, old_stats, old_n_shards,
     )
+    _mark("finalize")
 
     for h in persisted:
         try:
@@ -466,12 +486,14 @@ def _delta_apply(
     if gc == "now":
         st_new.vacuum(0.0)
 
+    _mark("commit")
     if fields:
         from ..indexer.build import build_field_index
 
         for f_ in fields:
             shutil.rmtree(os.path.join(index_dir, f"field_{f_}"), ignore_errors=True)
             build_field_index(spark, index_dir, field=f_)
+        _mark("fields_rebuild")
     return {
         "changed": changed,
         "reused": reused,
@@ -479,6 +501,7 @@ def _delta_apply(
         "fields_rebuilt": fields,
         "n_inserted": n_ins,
         "n_deleted": n_del,
+        "phases": phases,
     }
 
 

@@ -115,9 +115,9 @@ def test_incremental_hygiene_flip_recomputes_doc_lengths(spark, tmp_path):
 # ---------------------------------------------------------------- 4 --
 
 def test_bm25_helpers_dedupe_post_stem(spark):
-    from tlgs_spark.entry_queries import _bm25_sql
+    from tlgs_spark.oracle_sql import bm25_sql
 
-    sql = _bm25_sql(["window", "windows"], 5, "and")
+    sql = bm25_sql(["window", "windows"], 5, "and")
     # one VALUES row and an AND-cardinality of 1, not 2
     assert sql.count("('window')") == 1
     assert "count(*) = 1" in sql

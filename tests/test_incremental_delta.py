@@ -111,6 +111,46 @@ def test_pure_edit_touches_only_changed_docs_partitions(spark, tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_metadata_only_edit_rewrites_its_docs_partition(spark, tmp_path):
+    """Same text, new tool value: the diff's row signature covers the
+    metadata columns, so the edit marks its shards changed and the
+    committed docs serve the NEW metadata — while postings (a function
+    of text alone) stay byte-identical to the pre-edit index."""
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_meta")
+    pdf = generate_pandas(20)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=6)
+    st = IndexStorage(idx)
+    pre = _docs_file_snap(st, spark)
+
+    def _postings(st_):
+        return (
+            st_.read(spark, "postings")
+            .select("shard", "term", "df", "postings")
+            .toPandas().sort_values(["shard", "term"]).reset_index(drop=True)
+        )
+
+    posts_before = _postings(st)
+
+    pdf2 = pdf.copy()
+    mask = pdf2.conv_id == "conv000003"
+    pdf2.loc[mask, "tool"] = "editedtool"
+    res = incremental_update(spark, _sdf(spark, pdf2), idx)
+    assert res.get("mode") == "delta"
+    assert res["changed"], "metadata-only edit must mark its shards changed"
+
+    post = _docs_file_snap(IndexStorage(idx), spark)
+    for s in res["reused"]:
+        assert post[s] == pre[s], f"reused shard {s} docs files were rewritten"
+    docs = IndexStorage(idx).read(spark, "docs")
+    vals = {
+        r.tool for r in docs.filter(F.col("conv_id") == "conv000003").collect()
+    }
+    assert vals == {"editedtool"}, "committed docs must carry the new metadata"
+    pd.testing.assert_frame_equal(posts_before, _postings(IndexStorage(idx)))
+
+
 def test_append_only_growth_stays_byte_identical(spark, tmp_path):
     from tlgs_spark.streaming.incremental import incremental_update
 

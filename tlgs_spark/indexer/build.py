@@ -1587,27 +1587,10 @@ def _build_index_impl(
                     or 0
                 )
 
-                def _dl_rows(batches):
-                    for pdf in batches:
-                        for shard, base, blob in zip(pdf["shard"], pdf["base"], pdf["dls"]):
-                            arr = decode_varints(bytes(blob)).astype(np.int64)
-                            hi = min(len(arr), n_docs_total - int(base))
-                            if hi <= 0:
-                                continue
-                            yield pd.DataFrame(
-                                {
-                                    "shard": np.full(hi, int(shard), dtype=np.int32),
-                                    "doc_id": np.arange(
-                                        int(base), int(base) + hi, dtype=np.int64
-                                    ),
-                                    "dl": arr[:hi],
-                                }
-                            )
-
                 dl_df = (
                     st.read(spark, "norms")
                     .select("shard", "base", "dls")
-                    .mapInPandas(_dl_rows, schema="shard int, doc_id long, dl long")
+                    .mapInPandas(dl_rows_kernel(n_docs_total), schema=DL_ROWS_SCHEMA)
                 )
                 st.write(dl_df, "doc_lengths", partition_by=["shard"])
             except BaseException as e:  # surfaced after the join below
@@ -1694,6 +1677,38 @@ def _build_index_impl(
 # ---------------------------------------------------------------------------
 
 FIELD_TITLE_TOKENS = 5
+
+DL_ROWS_SCHEMA = "shard int, doc_id long, dl long"
+
+
+def dl_rows_kernel(ceiling: int):
+    """mapInPandas kernel expanding norms pseudo rows (shard, base,
+    dls varint blob) into (shard, doc_id, dl) rows, clamped to
+    ``ceiling`` — the id-space end: total doc count on a dense build,
+    ``doc_ceiling`` on a gapped delta index. One authority for the
+    blob→rows expansion, shared by finalize and the delta finalize."""
+
+    def _rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .codec import decode_varints
+
+        for pdf in batches:
+            for shard, base, blob in zip(pdf["shard"], pdf["base"], pdf["dls"]):
+                arr = decode_varints(bytes(blob)).astype(np.int64)
+                hi = min(len(arr), ceiling - int(base))
+                if hi <= 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "shard": np.full(hi, int(shard), dtype=np.int32),
+                        "doc_id": np.arange(int(base), int(base) + hi, dtype=np.int64),
+                        "dl": arr[:hi],
+                    }
+                )
+
+    return _rows
 
 
 def write_empty_shard_partition(

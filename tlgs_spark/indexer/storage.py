@@ -105,6 +105,7 @@ class IndexStorage:
         self.index_dir = index_dir
         self._staged = dict(staged_versions or {})
         self._versions: dict[str, int] | None = None
+        self._tmp_swept: set[str] = set()  # append_rows sweeps once/table
         # time travel (Iceberg VERSION AS OF analog): pin every read to
         # the version map a past commit recorded in the snapshot log.
         # Snapshot 0 is the implicit fresh-build state (bare dirs, no
@@ -440,17 +441,22 @@ class IndexStorage:
         # os.replace in an earlier build — readers ignore dot-files so
         # they were never a correctness issue, but nothing else ever
         # deleted them. Age-gated so a CONCURRENT builder's in-flight
-        # tmp (seconds old) is never yanked mid-rename.
-        import time as _time
+        # tmp (seconds old) is never yanked mid-rename. Once per
+        # (instance, table): the dir gains one file per append, so an
+        # every-append scandir would make appends quadratic over the
+        # index's lifetime to re-find nothing.
+        if table not in self._tmp_swept:
+            self._tmp_swept.add(table)
+            import time as _time
 
-        cutoff = _time.time() - 3600.0
-        for e in os.scandir(d):
-            if e.name.startswith(".") and e.name.endswith(".tmp") and e.is_file():
-                try:
-                    if e.stat().st_mtime < cutoff:
-                        os.remove(e.path)
-                except OSError:
-                    pass  # concurrent sweep/rename won the race
+            cutoff = _time.time() - 3600.0
+            for e in os.scandir(d):
+                if e.name.startswith(".") and e.name.endswith(".tmp") and e.is_file():
+                    try:
+                        if e.stat().st_mtime < cutoff:
+                            os.remove(e.path)
+                    except OSError:
+                        pass  # concurrent sweep/rename won the race
         name = f"part-{uuid.uuid4().hex}-driver.zstd.parquet"
         tmp = os.path.join(d, f".{name}.tmp")
         pq.write_table(arrow_table, tmp, compression="zstd")

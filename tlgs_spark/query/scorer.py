@@ -595,12 +595,19 @@ def _search_or_lazy(
         for i, td in enumerate(terms)
     ]
     s_all = sum(maxs)
+    # float-fold slack: (s_all - maxs[i]) can undershoot the true
+    # other-terms fold by a few ulps, making the survival threshold an
+    # ulp too high and over-pruning a block that holds an exactly-θ
+    # doc. Pad by a relative epsilon orders of magnitude above fold
+    # error (~n·2⁻⁵²·s_all) and below any real bound gap — survivors
+    # still pass the exact per-candidate admissible test below.
+    slack = 1e-9 * max(1.0, abs(s_all))
     cand_parts = []
     n_blocks_total = 0
     n_blocks_surv = 0
     for i, td in enumerate(terms):
         bub = td.block_max * idfs[i]
-        surv = np.nonzero(bub >= theta - (s_all - maxs[i]))[0]
+        surv = np.nonzero(bub >= theta - (s_all - maxs[i]) - slack)[0]
         n_blocks_total += td.n_blocks
         n_blocks_surv += int(surv.size)
         if surv.size:

@@ -17,11 +17,15 @@ index tables):
 r4 delta prepare — work ∝ edit, never ∝ corpus:
 
 - **diff**: one metadata-column scan (doc_id, conv_id, turn_idx,
-  text_hash — never text) of the committed docs against the new
-  input's (keys, xxhash64(text)); the full-outer join classifies every
-  row as unchanged / edited / inserted / deleted. Reading the whole
-  input once is inherent to the API (the caller hands the full
-  corpus); all WRITES from here on touch only changed shards.
+  text_hash, role/tool/ts — never text) of the committed docs against
+  the new input's (keys, xxhash64(text), same metadata); the
+  full-outer join compares a row signature over text hash AND the
+  stored metadata columns, classifying every row as unchanged /
+  edited / inserted / deleted — so a metadata-only edit (same text,
+  new role/tool/ts) rewrites its docs partition instead of silently
+  serving stale metadata. Reading the whole input once is inherent to
+  the API (the caller hands the full corpus); all WRITES from here on
+  touch only changed shards.
 - **stable doc_ids**: matched keys keep their committed id (edits
   included — text changes in place). Inserted keys allocate densely
   ABOVE the committed ``doc_ceiling`` high-water mark; deletions leave
@@ -119,6 +123,31 @@ def _old_entry_fn(st_old: IndexStorage, table: str, committed: dict):
     return _entry
 
 
+def _stage_manifest(
+    st_old: IndexStorage,
+    st_new: IndexStorage,
+    table: str,
+    committed: dict,
+    staged: dict,
+    reused: list[int],
+    changed_entries: list[int],
+) -> None:
+    """Write ``table``'s staged manifest: reused shards carried by
+    committed reference (skipping entries whose dir vanished), changed
+    shards pointed into the staged version dir. One authority for the
+    carry-by-reference loop — docs / first_turn_terms / norms /
+    doc_lengths all stage identically."""
+    old_entry = _old_entry_fn(st_old, table, committed)
+    base_rel = _rel(st_new.index_dir, st_new.table_dir(table, staged[table]))
+    man = {}
+    for s in reused:
+        e = old_entry(s)
+        if os.path.isdir(os.path.join(st_new.index_dir, e)):
+            man[s] = e
+    man.update({s: f"{base_rel}/shard={s}" for s in changed_entries})
+    st_new.write_manifest(table, man)
+
+
 def incremental_update(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -201,16 +230,38 @@ def _delta_update(
     _t0 = _time.time()
     # -- 1. diff (read-only; metadata columns, never committed text) --
     docs_old = st_old.read(spark, "docs")
-    old_keys = docs_old.select("doc_id", "conv_id", "turn_idx", "text_hash")
+    # row signature = text hash + the stored metadata columns: a
+    # metadata-only edit (same text, new role/tool/ts) must flip the
+    # signature, or its committed docs partition would be carried by
+    # manifest reference and filtered search would serve stale
+    # metadata forever. (The shard rebuild this triggers re-derives
+    # postings too — byte-identical for a metadata-only edit, a
+    # conservative price for a rare edit shape.) Nulls are
+    # sentinel-coalesced: Spark's xxhash64 skips null inputs, which
+    # would conflate (null, 'x') with ('x', null).
+    meta_cols = [
+        c for c in ("role", "tool", "ts")
+        if c in docs_old.columns and c in transcripts.columns
+    ]
+
+    def _row_sig(th_col):
+        return F.xxhash64(
+            th_col.cast("string"),
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in meta_cols],
+        )
+
+    old_keys = docs_old.select(
+        "doc_id", "conv_id", "turn_idx", _row_sig(F.col("text_hash")).alias("_sig")
+    )
     new_keys = transcripts.select(
-        "conv_id", "turn_idx", F.xxhash64("text").alias("_th")
+        "conv_id", "turn_idx", _row_sig(F.xxhash64("text")).alias("_th")
     )
     j = old_keys.join(new_keys, ["conv_id", "turn_idx"], "full_outer")
     delta = j.filter(
         F.col("_th").isNull()  # deleted
         | F.col("doc_id").isNull()  # inserted
-        | (F.col("text_hash") != F.col("_th"))  # edited in place
-    ).select("conv_id", "turn_idx", "doc_id", "text_hash", "_th")
+        | (F.col("_sig") != F.col("_th"))  # edited (text OR metadata)
+    ).select("conv_id", "turn_idx", "doc_id", "_sig", "_th")
     delta.persist()
     try:
         counts = delta.agg(
@@ -359,18 +410,7 @@ def _delta_apply(
     st_new.write_meta(meta1)
 
     # -- 6. per-table manifests: reused by committed reference, changed
-    # into the staged version dirs --
-    def _stage_manifest(table: str, changed_with_data: list[int]) -> None:
-        old_entry = _old_entry_fn(st_old, table, committed)
-        new_base_rel = _rel(index_dir, st_new.table_dir(table, staged[table]))
-        man = {}
-        for s in reused:
-            e = old_entry(s)
-            if os.path.isdir(os.path.join(index_dir, e)):
-                man[s] = e
-        man.update({s: f"{new_base_rel}/shard={s}" for s in changed_with_data})
-        st_new.write_manifest(table, man)
-
+    # into the staged version dirs (shared _stage_manifest authority) --
     docs_changed_dirs = [
         s
         for s in changed
@@ -378,7 +418,7 @@ def _delta_apply(
             os.path.join(st_new.table_dir("docs", staged["docs"]), f"shard={s}")
         )
     ]
-    _stage_manifest("docs", docs_changed_dirs)
+    _stage_manifest(st_old, st_new, "docs", committed, staged, reused, docs_changed_dirs)
     _mark("docs_write")
 
     # -- 7. first_turn_terms partitions for changed shards (turn-0 docs
@@ -400,7 +440,7 @@ def _delta_apply(
     )
     ftt_base = st_new.table_dir("first_turn_terms", staged["first_turn_terms"])
     _stage_manifest(
-        "first_turn_terms",
+        st_old, st_new, "first_turn_terms", committed, staged, reused,
         [s for s in changed if os.path.isdir(os.path.join(ftt_base, f"shard={s}"))],
     )
     _mark("first_turn_terms")
@@ -513,11 +553,11 @@ def _delta_finalize(
     reuse for the rest), term_stats by ±delta, collection_stats by
     pseudo-row deltas — all edit-proportional, all integer-exact (the
     same values a full re-derivation produces)."""
-    import numpy as np
-    import pandas as pd
-
-    from ..indexer.build import TERM_SHARDS_MAX
-    from ..indexer.codec import decode_varints
+    from ..indexer.build import (
+        DL_ROWS_SCHEMA,
+        TERM_SHARDS_MAX,
+        dl_rows_kernel,
+    )
 
     # the changed shards' NEW postings (staged dir, partition-pruned)
     new_base = st_new.table_dir("postings", staged["postings"])
@@ -553,39 +593,18 @@ def _delta_finalize(
     )
     st_new.write(nrows, "norms", partition_by=["shard"])
 
-    def _dl_rows(batches):
-        for pdf in batches:
-            for shard, base, blob in zip(pdf["shard"], pdf["base"], pdf["dls"]):
-                arr = decode_varints(bytes(blob)).astype(np.int64)
-                hi = min(len(arr), ceiling - int(base))
-                if hi <= 0:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "shard": np.full(hi, int(shard), dtype=np.int32),
-                        "doc_id": np.arange(int(base), int(base) + hi, dtype=np.int64),
-                        "dl": arr[:hi],
-                    }
-                )
-
     dl_df = (
         st_new.read(spark, "norms")  # staged dir only (manifest below)
         .select("shard", "base", "dls")
         .filter(F.col("shard").isin(changed))
-        .mapInPandas(_dl_rows, schema="shard int, doc_id long, dl long")
+        .mapInPandas(dl_rows_kernel(ceiling), schema=DL_ROWS_SCHEMA)
     )
     st_new.write(dl_df, "doc_lengths", partition_by=["shard"])
 
+    # every changed shard has a norms pseudo row (emptied shards get one
+    # written driver-side), so both manifests list all of `changed`
     for t in ("norms", "doc_lengths"):
-        old_entry = _old_entry_fn(st_old, t, committed)
-        base_rel = _rel(st_new.index_dir, st_new.table_dir(t, staged[t]))
-        man = {}
-        for s in reused:
-            e = old_entry(s)
-            if os.path.isdir(os.path.join(st_new.index_dir, e)):
-                man[s] = e
-        man.update({s: f"{base_rel}/shard={s}" for s in changed})
-        st_new.write_manifest(t, man)
+        _stage_manifest(st_old, st_new, t, committed, staged, reused, changed)
 
     # -- term_stats ±delta --
     def _contrib(posts, name):

@@ -50,8 +50,8 @@ oracle):
 
    **Divergence contract (deliberate, frozen at v3):** Snowball
    conflations OUTSIDE these rules remain distinct terms here:
-   "tried" ≠ "try" (-ied untouched), "happiness" ≠ "happy"
-   (-ness untouched), and e-final families can split where the 1b2
+   "happiness" ≠ "happy" (-ness untouched), "adjustment" ≠ "adjust"
+   (-ment untouched), and e-final families can split where the 1b2
    subset can't restore the e ("create"/"creates" → create but
    "created"/"creating" → creat). The trade is unchanged from v2:
    one SQL-renderable authority shared by every execution path and

@@ -21,9 +21,12 @@ def _corpus(spark, marker: str):
     for c in range(8):
         for t in range(6):
             rows.append((f"c{c:04d}", t, "user", f"alpha tok{t:02d} {marker}", None))
+    # fixed ts: the delta diff is metadata-aware (a changed ts IS a changed
+    # doc), so current_timestamp() here would mark every row edited on the
+    # second generation and leave nothing to reuse
     return spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, tool string"
-    ).withColumn("ts", F.current_timestamp())
+    ).withColumn("ts", F.to_timestamp(F.lit("2025-01-01 00:00:00")))
 
 
 def test_parse_byte_size():

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Large-corpus scale probe (run by hand in a quiet window).
+
+Grows the weak-scaling evidence beyond the per-round bench corpus:
+synthesizes an N-conversation corpus (default 3M convs ≈ 63M turns, the
+next decade past the round-3 21M probe), builds the index at two pinned
+parallelism levels (2 and 8 cores — the sandbox stand-in for N vs 4N
+executors), and appends the raw pair to .bench_scaling_history.jsonl
+with its corpus size, so bench.py's history buckets pick it up as a
+large-corpus record.
+
+Afterwards (unless --no-extras) it exercises the scale envelopes the
+round-3 verdict asked to re-verify on the big index:
+  - a 1-conversation delta update (prepare must be ∝ edit, with
+    per-phase timings — NOT a full docs rewrite)
+  - the serving profile (driver BM25 p50/p95 incl. cache-bypass warm
+    tiers, distributed-path mean) at the probe's 8-core index
+
+Usage: python tools/scale_probe.py [--convs 3000000] [--work DIR]
+       [--skip-n | --skip-4n] [--no-extras] [--trials 1]
+
+Writes probe results as one JSON line to stdout and appends history
+rows; never touches BENCH_r*.json (bench.py owns those).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, work: str) -> dict:
+    out = os.path.join(work, f"probe_build_{cores}.json")
+    cmd = [
+        sys.executable, "-m", "tlgs_spark.bench", "--build-worker",
+        "--cores", str(cores), "--corpus", corpus,
+        "--index-dir", index_dir, "--n-shards", str(n_shards), "--out", out,
+    ]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    env = dict(os.environ)
+    env.setdefault("TLGS_SPARK_LOCAL_DIR", os.path.join(work, "spark_local"))
+    subprocess.run(cmd, check=True, cwd=REPO, env=env)
+    with open(out) as f:
+        return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=3_000_000)
+    ap.add_argument("--work", default=os.environ.get(
+        "TLGS_PROBE_DIR",
+        "/dev/shm/tlgs_probe" if os.path.isdir("/dev/shm") else "/tmp/tlgs_probe"))
+    ap.add_argument("--n-shards", type=int, default=1024)
+    ap.add_argument("--trials", type=int, default=1)
+    ap.add_argument("--skip-n", action="store_true")
+    ap.add_argument("--skip-4n", action="store_true")
+    ap.add_argument("--no-extras", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.work, exist_ok=True)
+    os.environ.setdefault("TLGS_SPARK_LOCAL_DIR", os.path.join(args.work, "spark_local"))
+    corpus = os.path.join(args.work, f"transcripts_{args.convs}")
+    result: dict = {"convs": args.convs, "work": args.work,
+                    "loadavg_start": list(os.getloadavg())}
+
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        from tlgs_spark.corpus import write_corpus
+        from tlgs_spark.session import get_spark, stop_spark
+
+        t0 = time.time()
+        spark = get_spark(app_name="probe_corpus", cores=32)
+        write_corpus(spark, args.convs, corpus, partitions=256)
+        stop_spark()
+        result["corpus_gen_s"] = round(time.time() - t0, 1)
+
+    hist = os.path.join(REPO, ".bench_scaling_history.jsonl")
+    pairs = []
+    lo = hi = None
+    for _ in range(max(1, args.trials)):
+        if not args.skip_n:
+            lo = run_build(2, corpus, os.path.join(args.work, "idx_n"),
+                           args.n_shards, args.work)
+            result["n"] = lo
+        if not args.skip_4n:
+            hi = run_build(8, corpus, os.path.join(args.work, "idx_4n"),
+                           args.n_shards, args.work)
+            result["4n"] = hi
+        if lo and hi:
+            eff = round(hi["turns_per_sec"] / lo["turns_per_sec"] / 4.0, 3)
+            pairs.append(eff)
+            with open(hist, "a") as f:
+                f.write(json.dumps({
+                    "t": time.time(), "n": lo["turns_per_sec"],
+                    "4n": hi["turns_per_sec"], "eff": eff,
+                    "turns": lo["n_docs"],
+                    "load": round(os.getloadavg()[0], 1),
+                }) + "\n")
+    result["pair_effs"] = pairs
+
+    if not args.no_extras and hi:
+        from pyspark.sql import functions as F
+
+        from tlgs_spark.bench import query_bench
+        from tlgs_spark.session import get_spark, stop_spark
+        from tlgs_spark.streaming.incremental import incremental_update
+
+        idx = os.path.join(args.work, "idx_4n")
+        spark = get_spark(app_name="probe_extras", cores=32)
+        # 1-conv edit: delta prepare must be ∝ the edit, not the corpus
+        edited = spark.read.parquet(corpus).withColumn(
+            "text",
+            F.when(F.col("conv_id") == "conv000000",
+                   F.concat(F.col("text"), F.lit(" probeedit")))
+            .otherwise(F.col("text")),
+        )
+        t0 = time.time()
+        inc = incremental_update(spark, edited, idx)
+        result["delta_1conv"] = {
+            "elapsed_s": round(time.time() - t0, 2),
+            "mode": inc.get("mode"),
+            "phases": inc.get("phases", {}),
+            "shards_changed": len(inc.get("changed", [])),
+            "shards_reused": len(inc.get("reused", [])),
+        }
+        result["serving"] = query_bench(spark, idx)
+        stop_spark()
+
+    result["loadavg_end"] = list(os.getloadavg())
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--skip-n", action="store_true")
     ap.add_argument("--skip-4n", action="store_true")
     ap.add_argument("--no-extras", action="store_true")
+    ap.add_argument("--drop-n-index", action="store_true",
+                    help="delete the 2-core index right after its build is "
+                         "timed (the pair only needs the timing JSON; halves "
+                         "peak disk at big corpora)")
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -89,6 +93,10 @@ def main():
             lo = run_build(2, corpus, os.path.join(args.work, "idx_n"),
                            args.n_shards, args.work)
             result["n"] = lo
+            if args.drop_n_index:
+                import shutil
+                shutil.rmtree(os.path.join(args.work, "idx_n"),
+                              ignore_errors=True)
         if not args.skip_4n:
             hi = run_build(8, corpus, os.path.join(args.work, "idx_4n"),
                            args.n_shards, args.work)

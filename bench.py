@@ -324,15 +324,15 @@ def main():
     t0 = time.time()
     inc = incremental_update(spark, edited, inc_idx)
     inc_s = round(time.time() - t0, 3)
-    # reported as context, not a headline timing: at bench scale (2.1M
-    # docs, ~60 s full build) the mandatory-exact prepare (docs
-    # rewrite) dominates, so wall-clock doesn't show the win — the
-    # reuse fraction does (postings, the expensive artifact, are
-    # carried by manifest reference for unchanged shards, and since
-    # format 2 the global stats re-derive from postings metadata
-    # without touching unchanged text at all)
+    # since r4 the delta path makes the whole update ∝ the edit: the
+    # diff reads metadata columns only, changed shards' partitions
+    # rewrite, unchanged shards carry by manifest reference, and the
+    # global stats adjust by exact ±deltas — mode + per-phase timings
+    # ride along so the edit-proportional claim is auditable
     extra["incremental"] = {
         "elapsed_s": inc_s,
+        "mode": inc.get("mode"),
+        "phases": inc.get("phases", {}),
         "shards_changed": len(inc["changed"]),
         "shards_reused": len(inc["reused"]),
         "reuse_frac": round(

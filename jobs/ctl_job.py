@@ -12,8 +12,10 @@ Subcommands (each prints one JSON line):
                  stale counts; collection_stats carries ours)
     purge        remove conversations matching a SQL LIKE pattern and
                  bring the index up to date (main.cpp:87-95 ``DELETE
-                 FROM pages WHERE url like $1``); needs the transcript
-                 source to re-derive the kept corpus
+                 FROM pages WHERE url like $1``). Corpus-free by
+                 default since r4 (one metadata key scan builds a
+                 delete changelog); pass --input to ride the
+                 full-corpus incremental path instead
     vacuum       expire superseded snapshot files past a grace window
                  (Iceberg expire_snapshots analog; PG VACUUM is what the
                  reference leans on implicitly)
@@ -38,8 +40,11 @@ def main():
 
     pu_p = sub.add_parser("purge", help="remove conversations from the index")
     pu_p.add_argument("--index-dir", required=True)
-    pu_p.add_argument("--input", required=True,
-                      help="transcripts parquet/table the index was built from")
+    pu_p.add_argument("--input", default=None,
+                      help="transcripts parquet/table the index was built from "
+                           "(optional since r4: without it the purge rides the "
+                           "corpus-free changelog path — one metadata key scan "
+                           "of the committed docs, no corpus read)")
     pu_p.add_argument("--pattern", required=True,
                       help="conv_id SQL LIKE pattern to purge (wildcards allowed)")
 
@@ -83,10 +88,15 @@ def main():
 
         print(json.dumps(index_status(spark, args.index_dir), default=str))
     elif args.cmd == "purge":
-        from tlgs_spark.streaming.incremental import purge_conversations
+        if args.input is None:
+            from tlgs_spark.streaming.incremental import purge_index
 
-        transcripts = spark.read.parquet(args.input)
-        res = purge_conversations(spark, transcripts, args.index_dir, args.pattern)
+            res = purge_index(spark, args.index_dir, args.pattern)
+        else:
+            from tlgs_spark.streaming.incremental import purge_conversations
+
+            transcripts = spark.read.parquet(args.input)
+            res = purge_conversations(spark, transcripts, args.index_dir, args.pattern)
         print(json.dumps(res, default=str))
 
 

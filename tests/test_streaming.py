@@ -152,7 +152,9 @@ def test_incremental_reuses_zero_posting_shard(spark, tmp_path):
         rows.append((f"c{i:04d}", 0, "user", text, None))
     sdf = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, tool string"
-    ).withColumn("ts", F.current_timestamp())
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    # pinned ts: the delta diff is metadata-aware — current_timestamp()
+    # re-evaluates per action and would classify every row as edited
     idx = str(tmp_path / "idx_inc0")
     build_index(spark, sdf, idx, n_shards=2)
     res = incremental_update(spark, sdf, idx, n_shards=2)

@@ -148,6 +148,43 @@ def _stage_manifest(
     st_new.write_manifest(table, man)
 
 
+def _row_sig_col(th_col, meta_cols: list[str]):
+    """Row signature = text hash + the stored metadata columns, so a
+    metadata-only edit (same text, new role/tool/ts) flips it. Nulls
+    are sentinel-coalesced: Spark's xxhash64 skips null inputs, which
+    would conflate (null, 'x') with ('x', null)."""
+    return F.xxhash64(
+        th_col.cast("string"),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in meta_cols],
+    )
+
+
+def _delta_ready(spark: SparkSession, st_old: IndexStorage, meta: dict, hygiene: bool):
+    """(delta_ok, committed collection_stats row | None): the committed
+    index must be reusable as-is for the edit-proportional path.
+    Analyzer/hygiene/format guard (r2 ADVICE + r3): reusing postings
+    built under a different tokenizer spec, hygiene setting, or
+    physical format would mix incompatible segments inside one index.
+    Layout guard: partition-granular reuse needs the v2 hive layout.
+    Health guard: a -1 collection_stats placeholder (crashed direct
+    build) cannot seed exact ±deltas."""
+    ok = (
+        meta.get("tokenizer") == ANALYZER_VERSION
+        and meta.get("hygiene", False) == hygiene
+        and meta.get("postings_format") == POSTINGS_FORMAT
+        and meta.get("docs_layout") == DOCS_LAYOUT_SHARDED
+        and all(
+            st_old.exists(t)
+            for t in ("docs", "postings", "norms", "term_stats", "collection_stats")
+        )
+    )
+    stats_row = None
+    if ok:
+        stats_row = st_old.read(spark, "collection_stats").collect()[0]
+        ok = int(stats_row.n_terms) >= 0
+    return ok, stats_row
+
+
 def incremental_update(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -182,26 +219,7 @@ def incremental_update(
     if hygiene is None:
         hygiene = meta.get("hygiene", False)
 
-    # delta preconditions: the committed index must be reusable as-is.
-    # Analyzer/hygiene/format guard (r2 ADVICE + r3): reusing postings
-    # built under a different tokenizer spec, hygiene setting, or
-    # physical format would mix incompatible segments inside one index.
-    # Layout guard: partition-granular reuse needs the v2 hive layout.
-    # Health guard: a -1 collection_stats placeholder (crashed direct
-    # build) cannot seed exact ±deltas.
-    delta_ok = (
-        meta.get("tokenizer") == ANALYZER_VERSION
-        and meta.get("hygiene", False) == hygiene
-        and meta.get("postings_format") == POSTINGS_FORMAT
-        and meta.get("docs_layout") == DOCS_LAYOUT_SHARDED
-        and all(
-            st_old.exists(t)
-            for t in ("docs", "postings", "norms", "term_stats", "collection_stats")
-        )
-    )
-    if delta_ok:
-        stats_row = st_old.read(spark, "collection_stats").collect()[0]
-        delta_ok = int(stats_row.n_terms) >= 0
+    delta_ok, stats_row = _delta_ready(spark, st_old, meta, hygiene)
     if not delta_ok:
         return _full_update(spark, transcripts, index_dir, meta, hygiene, gc)
     return _delta_update(spark, transcripts, index_dir, meta, stats_row, gc)
@@ -243,18 +261,16 @@ def _delta_update(
         c for c in ("role", "tool", "ts")
         if c in docs_old.columns and c in transcripts.columns
     ]
-
-    def _row_sig(th_col):
-        return F.xxhash64(
-            th_col.cast("string"),
-            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in meta_cols],
-        )
-
     old_keys = docs_old.select(
-        "doc_id", "conv_id", "turn_idx", _row_sig(F.col("text_hash")).alias("_sig")
+        "doc_id",
+        "conv_id",
+        "turn_idx",
+        _row_sig_col(F.col("text_hash"), meta_cols).alias("_sig"),
     )
     new_keys = transcripts.select(
-        "conv_id", "turn_idx", _row_sig(F.xxhash64("text")).alias("_th")
+        "conv_id",
+        "turn_idx",
+        _row_sig_col(F.xxhash64("text"), meta_cols).alias("_th"),
     )
     j = old_keys.join(new_keys, ["conv_id", "turn_idx"], "full_outer")
     delta = j.filter(
@@ -843,6 +859,210 @@ def _full_update(
             shutil.rmtree(os.path.join(index_dir, f"field_{f_}"), ignore_errors=True)
             build_field_index(spark, index_dir, field=f_)
     return {"changed": changed, "reused": reused, "mode": "full", "fields_rebuilt": fields}
+
+
+# ---------------------------------------------------------------------------
+# changelog maintenance (r4): no full-corpus scan anywhere
+# ---------------------------------------------------------------------------
+
+def apply_changes(
+    spark: SparkSession, changes: DataFrame, index_dir: str, gc: str = "defer"
+) -> dict:
+    """Bring the index up to date from a CHANGELOG — the 10^12-turn
+    maintenance API. ``incremental_update`` takes the full corpus and
+    its diff must at least hash every input row's text; at web scale
+    nobody hands the engine 100 TB per update — they hand the changed
+    rows. This path never reads unchanged text anywhere: the only
+    corpus-proportional work left is ONE metadata-column scan of the
+    committed docs (keys + text_hash + role/tool/ts — never ``text``)
+    to resolve keys → ids and drop no-op upserts, streamed against a
+    broadcast of the changelog keys (no shuffle of the corpus side).
+
+    ``changes`` carries the transcript columns; a row whose ``text``
+    IS NULL deletes its (conv_id, turn_idx); any other row upserts
+    (insert or in-place edit). Unmentioned keys stay untouched — the
+    changelog contract (unlike ``incremental_update``, absence means
+    "unchanged", not "deleted"). Upserts identical to the committed row
+    (same text AND metadata) are dropped, so a redundant changelog
+    rewrites nothing. Duplicate keys in one batch fail loudly (last-
+    wins would be a silent guess — same contract as the build's
+    duplicate-input guard).
+
+    Everything downstream is the shared edit-proportional delta flow:
+    changed shards' partitions rewrite (their surviving text comes from
+    a PARTITION-PRUNED read of the committed docs plus the changelog
+    itself), unchanged shards carry by manifest reference, term_stats /
+    collection_stats adjust by exact ±deltas, one pointer commit.
+
+    Reference analog: the crawler updates exactly the rows it fetched
+    (crawler.cpp:548-558) — nothing re-reads the whole ``pages`` table.
+
+    Requires a delta-capable committed index (current analyzer/format/
+    layout, healthy stats); raises otherwise — a changelog cannot seed
+    the full-rebuild fallback.
+    """
+    import time as _time
+
+    _t0 = _time.time()
+    st_old = IndexStorage(index_dir)
+    meta = st_old.read_meta()
+    hygiene = meta.get("hygiene", False)
+    delta_ok, stats_row = _delta_ready(spark, st_old, meta, hygiene)
+    if not delta_ok:
+        raise ValueError(
+            "apply_changes needs a delta-capable committed index (current "
+            "analyzer/hygiene/postings-format/docs-layout and healthy "
+            "collection_stats); run a full build or incremental_update "
+            "with the full corpus first"
+        )
+    shard_size = int(meta["shard_size"])
+    ceiling0 = int(meta.get("doc_ceiling", meta["n_docs"]))
+    old_n_shards = int(meta["n_shards"])
+
+    docs_old = st_old.read(spark, "docs")
+    derived = {"doc_id", "size", "text_hash", "shard"}
+    input_cols = [c for c in docs_old.columns if c not in derived]
+    missing = [c for c in input_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes is missing transcript columns: {missing}")
+    meta_cols = [c for c in ("role", "tool", "ts") if c in input_cols]
+
+    ch = changes.select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.col("text").isNotNull(),
+            _row_sig_col(F.xxhash64("text"), meta_cols),
+        ).alias("_th"),
+    )
+    ch.persist()
+    try:
+        n_changes = ch.count()
+        if n_changes == 0:
+            return {
+                "changed": [],
+                "reused": list(range(old_n_shards)),
+                "mode": "delta",
+                "fields_rebuilt": [],
+                "n_changes": 0,
+                "phases": {"diff": round(_time.time() - _t0, 3)},
+            }
+        if ch.select("conv_id", "turn_idx").distinct().count() != n_changes:
+            raise ValueError(
+                "apply_changes: duplicate (conv_id, turn_idx) keys in the "
+                "changelog batch — resolve to one row per key first"
+            )
+
+        # keys → committed ids: stream the metadata scan against a
+        # broadcast of the changelog keys (inner join keeps it
+        # shuffle-free on the corpus side); huge batches fall back to a
+        # real join — still metadata-only
+        old_keys = docs_old.select(
+            "doc_id",
+            "conv_id",
+            "turn_idx",
+            _row_sig_col(F.col("text_hash"), meta_cols).alias("_sig"),
+        )
+        ch_keys = ch.select("conv_id", "turn_idx")
+        if n_changes <= FUSED_ASSIGN_MAX_DOCS:
+            ch_keys = F.broadcast(ch_keys)
+        matched = old_keys.join(ch_keys, ["conv_id", "turn_idx"], "inner")
+        delta = (
+            ch.join(matched, ["conv_id", "turn_idx"], "left")
+            .filter(
+                # real delete (missing-key deletes are no-ops) …
+                (F.col("_th").isNull() & F.col("doc_id").isNotNull())
+                # … insert, or an upsert whose signature actually changed
+                | (
+                    F.col("_th").isNotNull()
+                    & (F.col("doc_id").isNull() | (F.col("_sig") != F.col("_th")))
+                )
+            )
+            .select("conv_id", "turn_idx", "doc_id", "_sig", "_th")
+        )
+        delta.persist()
+        try:
+            counts = delta.agg(
+                F.count(F.when(F.col("_th").isNull(), 1)).alias("n_del"),
+                F.count(F.when(F.col("doc_id").isNull(), 1)).alias("n_ins"),
+                F.count(
+                    F.when(F.col("_th").isNotNull() & F.col("doc_id").isNotNull(), 1)
+                ).alias("n_edit"),
+            ).collect()[0]
+            n_del, n_ins = int(counts.n_del), int(counts.n_ins)
+            if n_del == 0 and n_ins == 0 and int(counts.n_edit) == 0:
+                return {
+                    "changed": [],
+                    "reused": list(range(old_n_shards)),
+                    "mode": "delta",
+                    "fields_rebuilt": [],
+                    "n_changes": n_changes,
+                    "phases": {"diff": round(_time.time() - _t0, 3)},
+                }
+
+            # committed shards whose surviving text the rebuild needs:
+            # shards holding a deleted/edited doc, PLUS the shards the
+            # dense insert range [ceiling0, ceiling0+n_ins) will land in
+            # — the FIRST insert shard can be the committed tail shard,
+            # whose untouched docs must still reach the rebuilt
+            # partition (ids are dense, so the range is known before
+            # assignment)
+            text_shards = {
+                int(r.s)
+                for r in delta.filter(F.col("doc_id").isNotNull())
+                .select((F.col("doc_id") / F.lit(shard_size)).cast("int").alias("s"))
+                .distinct()
+                .collect()
+            }
+            if n_ins:
+                text_shards.update(
+                    range(
+                        ceiling0 // shard_size,
+                        (ceiling0 + n_ins - 1) // shard_size + 1,
+                    )
+                )
+            anti_keys = ch.select("conv_id", "turn_idx")
+            if n_changes <= FUSED_ASSIGN_MAX_DOCS:
+                anti_keys = F.broadcast(anti_keys)
+            committed_part = (
+                docs_old.filter(F.col("shard").isin(sorted(text_shards)))
+                .select(*input_cols)
+                .join(anti_keys, ["conv_id", "turn_idx"], "left_anti")
+            )
+            upserts = changes.filter(F.col("text").isNotNull()).select(*input_cols)
+            synthetic = committed_part.unionByName(upserts)
+
+            res = _delta_apply(
+                spark, synthetic, index_dir, meta, stats_row, gc,
+                st_old, delta, shard_size, ceiling0, old_n_shards, hygiene,
+                n_del, n_ins, {"diff": round(_time.time() - _t0, 3)},
+            )
+            res["n_changes"] = n_changes
+            return res
+        finally:
+            delta.unpersist()
+    finally:
+        ch.unpersist()
+
+
+def purge_index(spark: SparkSession, index_dir: str, conv_like: str) -> dict:
+    """Corpus-free purge: delete every turn of conversations matching
+    the SQL LIKE pattern straight from the committed index — no input
+    corpus needed (``DELETE FROM pages WHERE url LIKE $1``,
+    tlgs_ctl/main.cpp:87-95, which likewise needs only the database).
+    One metadata key scan builds the delete changelog; ``apply_changes``
+    does the edit-proportional rest."""
+    st = IndexStorage(index_dir)
+    docs = st.read(spark, "docs")
+    derived = {"doc_id", "size", "text_hash", "shard"}
+    dels = docs.filter(F.col("conv_id").like(conv_like)).select("conv_id", "turn_idx")
+    for f in docs.schema.fields:
+        if f.name in derived or f.name in ("conv_id", "turn_idx"):
+            continue
+        dels = dels.withColumn(f.name, F.lit(None).cast(f.dataType))
+    res = apply_changes(spark, dels, index_dir)
+    res["purged_pattern"] = conv_like
+    return res
 
 
 def purge_conversations(

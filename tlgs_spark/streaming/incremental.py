@@ -48,6 +48,17 @@ r4 delta prepare — work ∝ edit, never ∝ corpus:
 Updates whose analyzer/hygiene/format/layout cannot reuse the
 committed index fall back to a full rebuild (``mode="full"`` — the r3
 flow: re-rank everything, rewrite every table, signature-diff shards).
+
+Two maintenance entry points share the delta flow:
+
+- ``incremental_update(spark, full_corpus, index_dir)`` — snapshot
+  semantics: the input IS the new truth; absence means deleted. Its
+  diff must hash every input row's text once per update.
+- ``apply_changes(spark, changelog, index_dir)`` — changelog
+  semantics: only the listed keys change (text IS NULL deletes);
+  absence means unchanged. Never reads unchanged text anywhere — the
+  10^12-turn API. ``purge_index`` builds a delete changelog from the
+  committed docs alone (no corpus needed).
 """
 
 from __future__ import annotations

@@ -268,6 +268,42 @@ def test_apply_changes_refuses_non_delta_index(spark, tmp_path):
         apply_changes(spark, _sdf(spark, pdf.head(1)), idx)
 
 
+def test_stream_refresh_index_via_changelog(spark, tmp_path):
+    """foreachBatch stream → apply_changes per micro-batch: already-
+    indexed files replay as redundant upserts (no-op — the idempotence
+    that makes the checkpoint-retry window exactly-once in effect), new
+    files insert and serve, an empty trigger applies nothing."""
+    from tlgs_spark.query.engine import SearchIndex
+    from tlgs_spark.streaming.ingest import stream_refresh_index
+
+    src = str(tmp_path / "sr_src")
+    ckpt = str(tmp_path / "sr_ckpt")
+    idx = str(tmp_path / "sr_idx")
+
+    pdf = generate_pandas(12)
+    _sdf(spark, pdf).write.mode("overwrite").parquet(src)
+    build_index(spark, spark.read.parquet(src), idx, n_shards=4)
+
+    # a fresh checkpoint replays the initial files: all redundant
+    # upserts, so every batch is a no-op and nothing is staged
+    versions_before = dict(IndexStorage(idx).versions())
+    res1 = stream_refresh_index(spark, src, idx, ckpt)
+    assert res1 and all(r["changed"] == [] for r in res1)
+    assert dict(IndexStorage(idx).versions()) == versions_before
+
+    # a new conversation arrives on the stream
+    extra = generate_pandas(1, start=500)
+    extra["text"] = extra["text"] + " streammarker"
+    _sdf(spark, extra).write.mode("append").parquet(src)
+    res2 = stream_refresh_index(spark, src, idx, ckpt)
+    assert sum(r.get("n_inserted", 0) for r in res2) == len(extra)
+    hits = SearchIndex(spark, idx).search("streammarker", k=5)
+    assert len(hits) > 0 and set(hits["conv_id"]) == {"conv000500"}
+
+    # nothing new → no batches fire
+    assert stream_refresh_index(spark, src, idx, ckpt) == []
+
+
 def test_missing_columns_raise(spark, tmp_path):
     from tlgs_spark.streaming.incremental import apply_changes
 

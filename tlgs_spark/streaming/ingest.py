@@ -10,6 +10,9 @@ micro-batch stream over the landing area. Two provided jobs:
 - land_new_turns: file-source stream that appends raw turns into a
   landing parquet, checkpointed — the upstream of
   incremental_update(), giving end-to-end "crawl → index refresh".
+- stream_refresh_index: foreachBatch stream where every micro-batch
+  IS a changelog for apply_changes() — index refresh with no
+  full-corpus scan anywhere, idempotent across trigger retries.
 """
 
 from __future__ import annotations
@@ -125,6 +128,47 @@ def conversation_sessions_stream(turns: DataFrame, gap_minutes: int = 30) -> Dat
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_refresh_index(
+    spark: SparkSession, source_dir: str, index_dir: str, checkpoint: str
+) -> list[dict]:
+    """Stream → changelog → index refresh, end to end: every micro-batch
+    of newly-arrived turn files IS a changelog batch for
+    ``apply_changes`` — the index stays current without a full-corpus
+    scan anywhere (the ``incremental_update`` flow re-hashes the whole
+    landing area per refresh; this path touches only the new rows plus
+    one metadata scan of the committed docs).
+
+    Effectively exactly-once: the streaming checkpoint replays a batch
+    only if the trigger died before committing, and re-applying an
+    already-applied batch is a NO-OP (``apply_changes`` drops upserts
+    identical to the committed rows), so the crash window between the
+    index's pointer commit and the stream's checkpoint commit converges
+    to the same index state. Upstream must emit one row per
+    (conv_id, turn_idx) per batch — duplicate keys fail loudly.
+
+    Returns the per-batch apply_changes results (deterministic with
+    trigger(availableNow); empty when no new files arrived).
+    """
+    from .incremental import apply_changes
+
+    results: list[dict] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        res = apply_changes(batch_df.sparkSession, batch_df, index_dir)
+        res["batch_id"] = batch_id
+        results.append(res)
+
+    q = (
+        read_turn_stream(spark, source_dir)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return results
 
 
 def land_new_turns(spark: SparkSession, source_dir: str, landing_dir: str, checkpoint: str):

@@ -349,3 +349,99 @@ def test_analyzer_mismatch_falls_back_to_full_rebuild(spark, tmp_path, monkeypat
 
     hits = SearchIndex(spark, idx).search("tok0000", k=5)
     assert list(hits.columns[:2]) == ["doc_id", "score"]
+
+
+def test_fielded_ids_correct_after_insert_only_delta(spark, tmp_path):
+    """Insert-only delta whose new keys sort BEFORE every committed key:
+    the id space stays dense (doc_ceiling == n_docs — no gaps), but the
+    committed ids are NOT the dense rank of (conv_id, turn_idx) — the
+    insert took ids above the old ceiling. The field sub-index rebuild
+    must inherit the committed id map; a dense re-rank discriminated on
+    doc_ceiling == n_docs would assign the inserted conv doc_id 0 and
+    shift every other doc by +1, silently applying every title score to
+    the wrong document (r4 review finding, confirmed by repro)."""
+    from tlgs_spark.indexer.build import build_field_index, field_index_dir
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_fins")
+    pdf = generate_pandas(6)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=3)
+    build_field_index(spark, idx)
+
+    ins = generate_pandas(1, start=7)
+    ins["conv_id"] = "aaaa" + ins["conv_id"]  # sorts before every 'conv…'
+    grown = pd.concat([pdf, ins], ignore_index=True)
+    res = incremental_update(spark, _sdf(spark, grown), idx)
+    assert res.get("mode") == "delta" and res["fields_rebuilt"] == ["first5"]
+    meta = IndexStorage(idx).read_meta()
+    assert meta["doc_ceiling"] == meta["n_docs"]  # dense — no gaps
+
+    main = {
+        (r.conv_id, int(r.turn_idx)): int(r.doc_id)
+        for r in IndexStorage(idx).read(spark, "docs")
+        .select("conv_id", "turn_idx", "doc_id").collect()
+    }
+    fld = {
+        (r.conv_id, int(r.turn_idx)): int(r.doc_id)
+        for r in IndexStorage(field_index_dir(idx)).read(spark, "docs")
+        .select("conv_id", "turn_idx", "doc_id").collect()
+    }
+    assert fld == main
+
+
+def test_delta_retry_discards_crashed_staged_ledger(spark, tmp_path):
+    """A delta retry recomputes the same staged version; the crashed
+    attempt's staged ledger rows must be discarded, not appended onto —
+    ledger-derived metrics would double-count every reused shard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_retry")
+    pdf = generate_pandas(8)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=3)
+    st = IndexStorage(idx)
+
+    # fake a crashed prior attempt: junk rows already sit in the staged
+    # (committed+1) ledger dir the retry will recompute
+    crashed = st.table_dir("ledger", st.versions().get("ledger", 0) + 1)
+    os.makedirs(crashed, exist_ok=True)
+    pq.write_table(
+        pa.table({"shard": pa.array([0, 1], pa.int32())}),
+        os.path.join(crashed, "part-crashed.parquet"),
+    )
+
+    pdf2 = pdf.copy()
+    m = pdf2.conv_id == "conv000002"
+    pdf2.loc[m, "text"] = pdf2.loc[m, "text"] + " retrymarker"
+    res = incremental_update(spark, _sdf(spark, pdf2), idx)
+    assert res["mode"] == "delta"
+
+    led = IndexStorage(idx).read(spark, "ledger").toPandas()
+    # crashed-attempt rows gone; one row per shard, no duplicates
+    assert "part-crashed.parquet" not in "".join(os.listdir(crashed))
+    assert not led.duplicated(subset=["shard"]).any()
+    assert sorted(led.shard.astype(int)) == [0, 1, 2]
+
+
+def test_delta_raises_on_missing_reused_norms_partition(spark, tmp_path):
+    """A reused shard whose committed norms partition dir vanished is
+    corruption: the delta must raise instead of committing a manifest
+    whose absent shard silently reads as all-zero doc lengths."""
+    import shutil as _sh
+
+    from tlgs_spark.streaming.incremental import incremental_update
+
+    idx = str(tmp_path / "idx_missing")
+    pdf = generate_pandas(8)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=3)
+    st = IndexStorage(idx)
+    # vandalize: drop shard 0's committed norms partition
+    _sh.rmtree(os.path.join(st.path("norms"), "shard=0"))
+
+    pdf2 = pdf.copy()
+    m = pdf2.conv_id == "conv000007"  # lands in the last shard
+    pdf2.loc[m, "text"] = pdf2.loc[m, "text"] + " corruptprobe"
+    with pytest.raises(FileNotFoundError, match="norms.*shard 0"):
+        incremental_update(spark, _sdf(spark, pdf2), idx)

@@ -1761,16 +1761,19 @@ def build_field_index(spark: SparkSession, index_dir: str, field: str = "first5"
     are the first heading1, crawler.cpp:443,452). The transcript
     'title' is the first 5 [a-z0-9]+ tokens of each turn.
 
-    Reuses build_index verbatim on a derived corpus. Dense main index
-    (every fresh build): identical (conv_id, turn_idx) ordering ⇒
-    identical doc_ids, so field and body postings address the same
-    documents with no mapping table, same shard grid. GAPPED main
-    index (after a delta update — deletions leave id gaps, inserts sit
-    above the high-water mark): dense re-ranking would MISADDRESS
-    documents, so the committed (conv_id, turn_idx) → doc_id map is
-    passed through and the field index inherits the main grid,
-    ceiling, and per-shard live counts; wholly-empty shards get their
-    norms pseudo partition directly.
+    Reuses build_index verbatim on a derived corpus, ALWAYS passing the
+    committed (conv_id, turn_idx) → doc_id map through so field and
+    body postings address the same documents by construction — the
+    field index inherits the main grid, ceiling, and per-shard live
+    counts; wholly-empty shards get their norms pseudo partition
+    directly. (An earlier version re-ranked densely when
+    doc_ceiling == n_docs, assuming "no gaps ⇒ ids are the dense rank";
+    an insert-only delta falsifies that — inserted keys take ids above
+    the old ceiling regardless of sort order, leaving the id space
+    dense but NOT rank-ordered, and the re-rank misaddressed every doc
+    past the first out-of-order insert. On a truly dense-ranked index
+    the id_map assignment produces the identical ids, so the single
+    path costs only a join where a rank shuffle sat before.)
     """
     if field != "first5":
         raise ValueError(f"unknown field {field!r}")
@@ -1796,16 +1799,6 @@ def build_field_index(spark: SparkSession, index_dir: str, field: str = "first5"
     )
     fdir = field_index_dir(index_dir, field)
     ceiling = int(meta.get("doc_ceiling", meta["n_docs"]))
-    if ceiling == int(meta["n_docs"]):
-        return build_index(
-            spark,
-            derived,
-            fdir,
-            n_shards=meta["n_shards"],
-            hygiene=False,
-            resume=True,
-            lineage=f"field:{field} of {index_dir}",
-        )
     shard_size = int(meta["shard_size"])
     sh = (F.col("doc_id") / F.lit(shard_size)).cast("int")
     live_counts = {

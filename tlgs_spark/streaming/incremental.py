@@ -142,12 +142,21 @@ def _stage_manifest(
     staged: dict,
     reused: list[int],
     changed_entries: list[int],
+    required: bool = False,
 ) -> None:
     """Write ``table``'s staged manifest: reused shards carried by
-    committed reference (skipping entries whose dir vanished), changed
-    shards pointed into the staged version dir. One authority for the
-    carry-by-reference loop — docs / first_turn_terms / norms /
-    doc_lengths all stage identically."""
+    committed reference, changed shards pointed into the staged version
+    dir. One authority for the carry-by-reference loop.
+
+    ``required=False`` (docs / first_turn_terms): a reused shard with no
+    committed dir is legitimate — an emptied or title-less shard writes
+    no partition — so the vanished entry is simply omitted.
+    ``required=True`` (norms / doc_lengths): EVERY in-grid shard owns a
+    pseudo-row partition by construction, so a missing dir for a reused
+    shard means corruption (over-eager vacuum, lost files). Skipping it
+    would commit a manifest whose absent shard reads as all-zero doc
+    lengths — silently inflated BM25 scores — so raise instead, the
+    same detectable-failure contract as read_sharded."""
     old_entry = _old_entry_fn(st_old, table, committed)
     base_rel = _rel(st_new.index_dir, st_new.table_dir(table, staged[table]))
     man = {}
@@ -155,6 +164,12 @@ def _stage_manifest(
         e = old_entry(s)
         if os.path.isdir(os.path.join(st_new.index_dir, e)):
             man[s] = e
+        elif required:
+            raise FileNotFoundError(
+                f"{table}: committed partition for reused shard {s} is "
+                f"missing ({e}) — the index is corrupt; refusing to stage "
+                f"a manifest that would read it as empty"
+            )
     man.update({s: f"{base_rel}/shard={s}" for s in changed_entries})
     st_new.write_manifest(table, man)
 
@@ -473,6 +488,25 @@ def _delta_apply(
     _mark("first_turn_terms")
 
     # -- 8. staged ledger: committed rows for REUSED shards (marked) --
+    # discard any crashed prior attempt's staged ledger first: a retry
+    # recomputes the SAME staged version (committed+1), and the appends
+    # below plus the build's per-shard rows would otherwise pile on top
+    # of the crashed attempt's rows — resume stays correct (completed_
+    # shards de-dupes) but every ledger-derived metric double-counts.
+    # The full-rebuild path gets this for free (its prepare pass runs
+    # resume=False, which discards); the delta build runs resume=True,
+    # so discard here. Atomic rename-then-delete, same as build_index.
+    led_dir = st_new.path("ledger")
+    if os.path.isdir(led_dir):
+        import time as _t
+
+        tomb = f"{led_dir}__discarded_{os.getpid()}_{int(_t.time() * 1000)}"
+        try:
+            os.rename(led_dir, tomb)
+        except FileNotFoundError:
+            pass
+        else:
+            shutil.rmtree(tomb, ignore_errors=True)
     if reused and st_old.exists("ledger"):
         led = (
             st_old.read(spark, "ledger")
@@ -631,7 +665,9 @@ def _delta_finalize(
     # every changed shard has a norms pseudo row (emptied shards get one
     # written driver-side), so both manifests list all of `changed`
     for t in ("norms", "doc_lengths"):
-        _stage_manifest(st_old, st_new, t, committed, staged, reused, changed)
+        _stage_manifest(
+            st_old, st_new, t, committed, staged, reused, changed, required=True
+        )
 
     # -- term_stats ±delta --
     def _contrib(posts, name):
@@ -847,10 +883,11 @@ def _full_update(
     # postings retire at PARTITION granularity; other partitioned
     # tables were rewritten wholesale into their staged dirs, so their
     # old base dirs (queued above) plus their manifests retire too
+    old_man = st_old.read_manifest("postings") or {}
     superseded += [
         os.path.join(index_dir, old_entry(s))
         for s in changed
-        if s < old_n_shards or (st_old.read_manifest("postings") or {}).get(s)
+        if s < old_n_shards or old_man.get(s)
     ]
     superseded += [
         os.path.join(index_dir, old_entry(s))

@@ -16,6 +16,12 @@ Subcommands (each prints one JSON line):
                  default since r4 (one metadata key scan builds a
                  delete changelog); pass --input to ride the
                  full-corpus incremental path instead
+    compact      re-densify the id space from the committed docs' live
+                 rows (corpus-free): delta maintenance trades id
+                 density for edit-proportional updates, so deletions
+                 leave gaps and doc_ceiling only grows — compaction is
+                 the VACUUM FULL analog that reclaims it (run rarely,
+                 off-peak, on indexstatus id_space.ceiling_ratio drift)
     vacuum       expire superseded snapshot files past a grace window
                  (Iceberg expire_snapshots analog; PG VACUUM is what the
                  reference leans on implicitly)
@@ -47,6 +53,15 @@ def main():
                            "of the committed docs, no corpus read)")
     pu_p.add_argument("--pattern", required=True,
                       help="conv_id SQL LIKE pattern to purge (wildcards allowed)")
+
+    co_p = sub.add_parser(
+        "compact",
+        help="re-densify the id space (reclaim delta-era id gaps); "
+             "corpus-free — rebuilds from the committed docs' live rows. "
+             "Schedule off-peak when indexstatus id_space.ceiling_ratio "
+             "drifts past ~1.5-2x",
+    )
+    co_p.add_argument("--index-dir", required=True)
 
     va_p = sub.add_parser("vacuum", help="expire superseded snapshot files")
     va_p.add_argument("--index-dir", required=True)
@@ -87,6 +102,10 @@ def main():
         from tlgs_spark.indexer.storage import index_status
 
         print(json.dumps(index_status(spark, args.index_dir), default=str))
+    elif args.cmd == "compact":
+        from tlgs_spark.streaming.incremental import compact_index
+
+        print(json.dumps(compact_index(spark, args.index_dir), default=str))
     elif args.cmd == "purge":
         if args.input is None:
             from tlgs_spark.streaming.incremental import purge_index

@@ -286,10 +286,13 @@ def test_docs_layout_streamable_gate(spark, tmp_path):
 
 
 def test_range_shuffle_assign_matches_broadcast(spark, tmp_path, monkeypatch):
-    """Past FUSED_ASSIGN_MAX_DOCS the build range-shuffles full rows
-    instead of broadcast-joining the ranked key map; the two paths must
-    produce identical indexes (proven at 21M docs by the 10x probe —
-    this pins it in CI at test scale by forcing the cap to 0)."""
+    """Past FUSED_ASSIGN_MAX_DOCS the build shuffle-joins the ranked
+    key map (sort-merge; no broadcast, and since r4 no full-row cache —
+    the old full-row range-shuffle fallback spilled a corpus-sized
+    columnar cache, 77 GB at 63M turns) instead of broadcast-joining
+    it; the two paths must produce identical indexes (proven at 21M
+    docs by the 10x probe — this pins it in CI at test scale by
+    forcing the cap to 0)."""
     import tlgs_spark.indexer.build as B
 
     bcast_dir = str(tmp_path / "bcast")

@@ -445,3 +445,73 @@ def test_delta_raises_on_missing_reused_norms_partition(spark, tmp_path):
     pdf2.loc[m, "text"] = pdf2.loc[m, "text"] + " corruptprobe"
     with pytest.raises(FileNotFoundError, match="norms.*shard 0"):
         incremental_update(spark, _sdf(spark, pdf2), idx)
+
+
+def test_compact_index_redensifies_and_preserves_results(spark, tmp_path):
+    """compact_index reclaims delta-era id gaps: after deletes +
+    inserts leave doc_ceiling > n_docs, compaction restores
+    doc_ceiling == n_docs with ids equal to a fresh dense build's, and
+    search results (hydrated fingerprints) are unchanged. Corpus-free —
+    it rebuilds from the committed docs' live rows."""
+    from tlgs_spark.streaming.incremental import apply_changes, compact_index
+
+    def _delete_rows(pdf_like, keys):
+        # changelog delete rows: keys + every other column NULL
+        dl = keys.copy()
+        for c in pdf_like.columns:
+            if c in ("conv_id", "turn_idx"):
+                continue
+            dl[c] = (
+                pd.NaT if str(pdf_like[c].dtype).startswith("datetime") else None
+            )
+        return dl[pdf_like.columns]
+
+    idx = str(tmp_path / "idx_compact")
+    pdf = generate_pandas(12)
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=4)
+
+    # delete 2 convs, insert 1 → gapped id space
+    ins = generate_pandas(1, start=30)
+    dels = pdf[pdf.conv_id.isin(["conv000002", "conv000009"])][
+        ["conv_id", "turn_idx"]
+    ]
+    changes = pd.concat([ins, _delete_rows(pdf, dels)], ignore_index=True)
+    res = apply_changes(spark, _sdf(spark, changes), idx)
+    assert res["mode"] == "delta"
+    meta = IndexStorage(idx).read_meta()
+    assert meta["doc_ceiling"] > meta["n_docs"]  # really gapped
+
+    before = _search_fingerprint(spark, idx)
+
+    res_c = compact_index(spark, idx)
+    assert res_c["mode"] == "compact"
+    assert res_c["ceiling_before"] > res_c["ceiling_after"]
+    meta2 = IndexStorage(idx).read_meta()
+    assert meta2["doc_ceiling"] == meta2["n_docs"]
+
+    # ids now equal the dense rank a fresh build assigns
+    survivors = pd.concat(
+        [pdf[~pdf.conv_id.isin(["conv000002", "conv000009"])], ins],
+        ignore_index=True,
+    )
+    fresh = str(tmp_path / "fresh_compact")
+    build_index(spark, _sdf(spark, survivors), fresh, n_shards=meta2["n_shards"])
+    ids_c = {
+        (r.conv_id, int(r.turn_idx)): int(r.doc_id)
+        for r in IndexStorage(idx).read(spark, "docs")
+        .select("conv_id", "turn_idx", "doc_id").collect()
+    }
+    ids_f = {
+        (r.conv_id, int(r.turn_idx)): int(r.doc_id)
+        for r in IndexStorage(fresh).read(spark, "docs")
+        .select("conv_id", "turn_idx", "doc_id").collect()
+    }
+    assert ids_c == ids_f
+
+    assert _search_fingerprint(spark, idx) == before
+
+    # status surfaces the drift signal, now back to 1.0
+    from tlgs_spark.indexer.storage import index_status
+
+    stat = index_status(spark, idx)
+    assert stat["id_space"]["ceiling_ratio"] == 1.0

@@ -1032,14 +1032,19 @@ def _build_index_impl(
                     F.broadcast(key_map), ["conv_id", "turn_idx"]
                 )
             else:
-                # corpus too large for the per-executor map — fall back
-                # to range-shuffling the full rows (no memory envelope)
-                for h in _persisted:
-                    h.unpersist()
-                _persisted.clear()
-                numbered = assign_doc_ids(
-                    transcripts, cleanup=_persisted, meta_out=_meta_out
-                )
+                # corpus too large for the per-executor broadcast map —
+                # shuffle-join the key map instead (sort-merge/hash:
+                # corpus shuffled ONCE by key, the ~30 B/row map
+                # likewise; no broadcast, no memory envelope). The
+                # earlier fallback range-shuffled the FULL rows through
+                # assign_doc_ids, whose persisted ranged corpus is
+                # deserialized-columnar at ~6× the parquet bytes —
+                # measured 77 GB of cache spill at 63M turns, a disk
+                # cliff at exactly the scale the fallback exists for.
+                # Ids are identical either way (the key map IS the
+                # dense rank); content-identity is pinned by
+                # test_range_shuffle_assign_matches_broadcast.
+                numbered = transcripts.join(key_map, ["conv_id", "turn_idx"])
         docs = numbered.select(
             "doc_id", *[f.name for f in transcripts.schema.fields]
         ).withColumn("size", F.length("text")).withColumn(

@@ -693,6 +693,17 @@ def index_status(spark, index_dir: str) -> dict:
             for e in st.snapshots()
         ],
         "gc_pending": len(st._gc_pending()),
+        # id-space drift: deltas leave gaps and the ceiling only grows;
+        # ratio drifting past ~1.5–2× is the compact_index signal
+        "id_space": {
+            "doc_ceiling": int(meta.get("doc_ceiling", meta["n_docs"])),
+            "n_docs_live": int(meta["n_docs"]),
+            "ceiling_ratio": round(
+                int(meta.get("doc_ceiling", meta["n_docs"]))
+                / max(1, int(meta["n_docs"])),
+                3,
+            ),
+        },
     }
     if st.exists("ledger"):
         led = (

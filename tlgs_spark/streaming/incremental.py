@@ -1113,6 +1113,47 @@ def purge_index(spark: SparkSession, index_dir: str, conv_like: str) -> dict:
     return res
 
 
+def compact_index(spark: SparkSession, index_dir: str, gc: str = "defer") -> dict:
+    """Re-densify the id space of a delta-maintained index — the
+    maintenance loop's closing bracket (reference analog: plain
+    ``VACUUM FULL`` territory; the crawler relies on PostgreSQL to
+    reclaim dead ``pages`` tuples, here id gaps are ours to reclaim).
+
+    The delta path deliberately trades id density for edit-proportional
+    updates: deletions leave gaps forever and ``doc_ceiling`` only grows
+    (a retired id is never reissued). Gaps are individually cheap — the
+    delta-varint codec absorbs them and BM25 uses the LIVE ``n_docs`` —
+    but they compound across years of updates: id-indexed arrays
+    (driver ``dl_of``, per-shard scatter buffers) size by the CEILING,
+    and a corpus that turned over 10× carries a 10×-oversized id space.
+    Compaction rewrites the index with freshly dense-ranked ids from
+    the committed docs' live rows (no external corpus needed — same
+    no-input contract as ``purge_index``), restoring
+    ``doc_ceiling == n_docs`` and the append-only id layout a fresh
+    build would produce. Runs through the staged-version flow with one
+    pointer commit, so readers opened pre-compaction stay bit-identical
+    through it; field sub-indexes rebuild against the new ids.
+
+    Schedule it like any compaction: rarely, off-peak, when
+    ``doc_ceiling / n_docs`` (reported by ``indexstatus``) drifts past
+    ~1.5–2×. Cost is a full rebuild — that is inherent (every id
+    changes), which is exactly why the routine path is the delta."""
+    st_old = IndexStorage(index_dir)
+    meta = st_old.read_meta()
+    ceiling = int(meta.get("doc_ceiling", meta["n_docs"]))
+    live = st_old.read(spark, "docs")
+    derived = {"doc_id", "size", "text_hash", "shard"}
+    corpus = live.select(*[c for c in live.columns if c not in derived])
+    res = _full_update(
+        spark, corpus, index_dir, meta, meta.get("hygiene", False), gc
+    )
+    res["mode"] = "compact"
+    m2 = IndexStorage(index_dir).read_meta()
+    res["ceiling_before"] = ceiling
+    res["ceiling_after"] = int(m2.get("doc_ceiling", m2["n_docs"]))
+    return res
+
+
 def purge_conversations(
     spark: SparkSession, transcripts: DataFrame, index_dir: str, conv_like: str
 ) -> dict:

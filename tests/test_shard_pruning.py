@@ -106,3 +106,36 @@ def test_driver_path_pruned_lookup_identical(spark, tmp_path):
     assert td.df_global == 1
     td_common = si.term_data(["common"])[0]
     assert td_common.df_global == 120  # every turn
+
+
+def test_big_corpus_route_matches_driver_path(spark, tmp_path):
+    """Past driver_path_max_docs, search() routes its raw scoring
+    through the distributed per-shard core (the 63M probe measured the
+    driver pull at cold p50 ~20 s there). Results must be IDENTICAL to
+    the in-process path — ids, float-exact scores, filters, pagination —
+    since only the physical scoring strategy changes."""
+    from tlgs_spark.corpus import generate_pandas
+
+    idx = str(tmp_path / "idx_route")
+    pdf = generate_pandas(20)
+    build_index(spark, spark.createDataFrame(pdf), idx, n_shards=6)
+
+    queries = [
+        ("tok0000 tok0001", "or"),
+        ("tok0000 tok0001", "and"),
+        ("marker000", "or"),
+        ("tok0002 role:assistant", "or"),
+        ("tok0001 size:>100", "and"),
+    ]
+    si_small = SearchIndex(spark, idx)
+    si_big = SearchIndex(spark, idx)
+    si_big.driver_path_max_docs = 0  # force the distributed route
+    for q, mode in queries:
+        a = si_small.search(q, k=10, mode=mode)
+        b = si_big.search(q, k=10, mode=mode)
+        assert list(a["doc_id"]) == list(b["doc_id"]), (q, mode)
+        assert [float(x) for x in a["score"]] == [float(x) for x in b["score"]], (q, mode)
+    # pagination through the big route
+    p1 = si_big.search("tok0001", k=5, page=1)
+    full = si_small.search("tok0001", k=10)
+    assert list(p1["doc_id"]) == list(full["doc_id"][5:10])

@@ -1180,6 +1180,20 @@ def _build_index_impl(
         for h in _persisted:
             if h is not sharded:
                 h.unpersist()
+        # scratch discipline at the phase boundary: phase 1's shuffle
+        # files (key-rank + id join + shard repartition — ~2× the
+        # corpus bytes) are dead once docs/first_turn_terms are on
+        # disk, but Spark only reaps them when the SHUFFLE DEPENDENCY
+        # is garbage-collected, and a big mostly-idle driver heap can
+        # go the whole postings phase without a full GC (the 63M-turn
+        # 2-core probe sat on ~50 GB of dead shuffle; the 8-core level
+        # happened to GC and dropped it to 4 GB). One explicit GC hint
+        # here bounds peak scratch at ~one phase's shuffle; cost is a
+        # single collection (~seconds) against a multi-minute phase.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # cleanup hint only — never fail a build over it
 
     meta = st.read_meta()
     n_shards = meta["n_shards"]

@@ -335,6 +335,17 @@ class SearchIndex:
         # distributed scorer: broadcast the dl array once when the
         # corpus fits (~8 B/doc); beyond this, per-shard norms join
         self.dl_broadcast_max_docs = 16_000_000
+        # driver-path envelope: past this, search() routes its raw
+        # scoring through the distributed per-shard scorer instead of
+        # pulling postings to the driver. The 63M-turn probe measured
+        # the driver path at cold p50 ~20 s there (multi-hundred-MB
+        # blob fetch + decode per dense term) vs ~4.4 s distributed at
+        # local[32] — and the distributed plan is the one that keeps
+        # scaling with executors (sub-second at ≥128), while the
+        # driver pull grows linearly with the corpus forever. Result
+        # caches, filters, pagination and hydration are identical
+        # either way (scores bit-identical — pinned by tests).
+        self.driver_path_max_docs = 16_000_000
         self._in_flight = 0
         self._admission_lock = threading.Lock()
 
@@ -874,6 +885,15 @@ class SearchIndex:
         if hit is not None and hit[0] > now:
             self.cache_hits += 1
             doc_ids, scores = hit[1]
+        elif self.doc_ceiling > self.driver_path_max_docs:
+            # big-corpus route: raw scoring runs distributed (per-shard
+            # scorers + TakeOrderedAndProject merge — the plan that
+            # scales with executors); only the top-fetch_k rows ever
+            # reach the driver. Same scores, same (-score, doc_id)
+            # order as the in-process path (pinned by tests); caches,
+            # filters, pagination and hydration below are shared.
+            doc_ids, scores = self._topk_distributed(terms, mode, fetch_k)
+            self._raw_cache[raw_key] = (now + self.cache_ttl, (doc_ids, scores))
         else:
             tds = self.term_data(terms)
             if mode == "and":
@@ -911,6 +931,26 @@ class SearchIndex:
         if with_preview and len(res):
             res = self._hydrate_previews(res, terms)
         return res.reset_index(drop=True)
+
+    def _topk_distributed(
+        self, terms: list[str], mode: str, fetch_k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Global top-``fetch_k`` (doc_ids, scores) via the distributed
+        per-shard scoring core — the driver never touches a postings
+        blob. Ordering (-score, doc_id) matches the in-process path."""
+        info = self._term_info(terms)
+        local = self._scored_local_df(terms, info, mode, fetch_k)
+        if local is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
+        pdf = (
+            local.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(fetch_k)
+            .toPandas()
+        )
+        return (
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["score"].to_numpy(np.float64),
+        )
 
     def _apply_filter(self, res: pd.DataFrame, filt: SearchFilter) -> pd.DataFrame:
         # per-spec conv sets from the precomputed first_turn_terms
@@ -1118,18 +1158,47 @@ class SearchIndex:
         # shard); point lookup via pyarrow like term_rows — a Spark job
         # here costs ~1 s of scheduling for a handful of rows
         info = self._term_info(terms)
+        fetch_k = k if filt.is_empty() else max(k * 10, 1000)
+        local = self._scored_local_df(terms, info, mode, fetch_k)
+        if local is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if not filt.is_empty():
+            meta_cols = self.st.read(self.spark, "docs").select(
+                "doc_id", "conv_id", "role", "tool", "size"
+            )
+            local = local.join(meta_cols, "doc_id")
+            for i, (term, _) in enumerate(filt.infirst):
+                flags = (
+                    self._first_terms_df()
+                    .filter(F.col("term") == s_stem(term.lower()))
+                    .select("conv_id")
+                    .distinct()
+                    .withColumn(f"_inf{i}", F.lit(True))
+                )
+                local = local.join(F.broadcast(flags), "conv_id", "left")
+            local = local.filter(self._filter_column(filt, meta_cols)).select(
+                "doc_id", "score"
+            )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _scored_local_df(self, terms, info, mode: str, fetch_k: int):
+        """The distributed scoring CORE shared by ``search_df`` and the
+        big-corpus driver route: per-shard top-``fetch_k`` scoring as a
+        DataFrame(doc_id, score) — unordered, unfiltered, unlimited
+        (callers order/filter/limit). Returns None when the result is
+        provably empty (AND with a vanished term, or the shard-presence
+        intersection pruned every shard)."""
         df_map = {t: d for t, (d, _) in info.items()}
         if mode == "and" and len(df_map) < len(terms):
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return None
         n_docs, avgdl, shard_size = self.n_docs, self.avgdl, self.shard_size
         q_terms = list(terms)
-        fetch_k = k if filt.is_empty() else max(k * 10, 1000)
 
-        posts = self._postings_df.filter(F.col("term").isin(terms))
+        posts = self._postings_df.filter(F.col("term").isin(list(terms)))
         allowed = self._query_shards(q_terms, info, mode)
         if allowed is not None:
             if not allowed:
-                return self.spark.createDataFrame([], "doc_id long, score double")
+                return None
             posts = posts.filter(F.col("shard").isin(allowed))
         # doc-length delivery: a per-query broadcast JOIN of the norms
         # blobs re-broadcasts ~tens of MB on EVERY query (~1.7 s). For
@@ -1217,24 +1286,7 @@ class SearchIndex:
             local = joined.groupBy("shard").applyInPandas(
                 _group_scorer(_score_one, b_dl), schema=out_schema
             )
-        if not filt.is_empty():
-            meta_cols = self.st.read(self.spark, "docs").select(
-                "doc_id", "conv_id", "role", "tool", "size"
-            )
-            local = local.join(meta_cols, "doc_id")
-            for i, (term, _) in enumerate(filt.infirst):
-                flags = (
-                    self._first_terms_df()
-                    .filter(F.col("term") == s_stem(term.lower()))
-                    .select("conv_id")
-                    .distinct()
-                    .withColumn(f"_inf{i}", F.lit(True))
-                )
-                local = local.join(F.broadcast(flags), "conv_id", "left")
-            local = local.filter(self._filter_column(filt, meta_cols)).select(
-                "doc_id", "score"
-            )
-        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return local
 
     def exact_scores_df(self, terms: list[str], mode: str = "and") -> DataFrame:
         """DataFrame(doc_id, score): EXACT BM25 scores for every doc

@@ -114,3 +114,13 @@ def test_spark_submit_build_and_search(tmp_path):
     vac = _ctl("vacuum", "--index-dir", idx, "--grace-s", "0",
                "--retain-snapshots", "1")
     assert vac["n_removed"] >= 0
+
+    # compact: the purge left id gaps (ceiling > live docs); compaction
+    # re-densifies from the committed docs with no input corpus
+    assert stat2["id_space"]["ceiling_ratio"] > 1.0
+    comp = _ctl("compact", "--index-dir", idx)
+    assert comp["mode"] == "compact"
+    assert comp["ceiling_after"] == stat2["collection_stats"]["n_docs"]
+    stat3 = _ctl("indexstatus", "--index-dir", idx)
+    assert stat3["id_space"]["ceiling_ratio"] == 1.0
+    assert stat3["collection_stats"]["n_docs"] == stat2["collection_stats"]["n_docs"]

@@ -47,6 +47,13 @@ def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, work: str)
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(os.environ)
     env.setdefault("TLGS_SPARK_LOCAL_DIR", os.path.join(work, "spark_local"))
+    # tmpfs work dirs and the JVM heap compete for the SAME physical
+    # RAM: the session default of 64g heap + ~50 GB of corpus/scratch
+    # in /dev/shm OOM-killed an 8-core 63M-turn build (anon-rss 54 GB
+    # when the reaper fired). A big-corpus build doesn't need a huge
+    # driver heap — the build streams; cap it so the JVM GCs instead
+    # of ballooning into the tmpfs footprint.
+    env.setdefault("TLGS_SPARK_DRIVER_MEM", "40g")
     subprocess.run(cmd, check=True, cwd=REPO, env=env)
     with open(out) as f:
         return json.load(f)
@@ -88,6 +95,14 @@ def main():
     hist = os.path.join(REPO, ".bench_scaling_history.jsonl")
     pairs = []
     lo = hi = None
+    # --skip-n resumes a half-finished probe: reuse the saved 2-core
+    # timing JSON (the pair only needs the numbers, the index is
+    # droppable) instead of forfeiting the history row
+    prior_n = os.path.join(args.work, "probe_build_2.json")
+    if args.skip_n and os.path.exists(prior_n):
+        with open(prior_n) as f:
+            lo = json.load(f)
+        result["n"] = dict(lo, reused_prior=True)
     for _ in range(max(1, args.trials)):
         if not args.skip_n:
             lo = run_build(2, corpus, os.path.join(args.work, "idx_n"),

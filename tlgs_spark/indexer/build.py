@@ -1363,7 +1363,20 @@ def _build_index_impl(
                     schema=POSTINGS_SCHEMA,
                 )
             )
-        seg.write.mode("overwrite").partitionBy("shard").parquet(st.path("postings"))
+        # small parquet row groups (128 KB vs the 128 MB default, which
+        # put a WHOLE shard's terms in one group): the shard kernels
+        # emit terms sorted, so row-group min/max stats on `term` let
+        # both the Spark scan (In-filter pushdown) and the driver's
+        # pyarrow point lookups skip the groups a query's terms aren't
+        # in. Measured at 21M docs / 1024 shards: a dense 2-term query
+        # decompressed the full 1.4 GB postings table for 78 MB of
+        # matching blobs with one group per file; ~11 groups per file
+        # cuts the scan to the matching groups. Dense-term rows (blobs
+        # up to ~400 KB) overflow into their own group — exactly the
+        # isolation wanted.
+        seg.write.mode("overwrite").partitionBy("shard").option(
+            "parquet.block.size", 131072
+        ).parquet(st.path("postings"))
         _mark("postings")
         elapsed = time.time() - tb0
 

@@ -103,6 +103,11 @@ def main():
         with open(prior_n) as f:
             lo = json.load(f)
         result["n"] = dict(lo, reused_prior=True)
+    prior_4n = os.path.join(args.work, "probe_build_8.json")
+    if args.skip_4n and os.path.exists(prior_4n):
+        with open(prior_4n) as f:
+            hi = json.load(f)
+        result["4n"] = dict(hi, reused_prior=True)
     for _ in range(max(1, args.trials)):
         if not args.skip_n:
             lo = run_build(2, corpus, os.path.join(args.work, "idx_n"),

@@ -125,12 +125,17 @@ def _warm_cluster(spark, cores: int, index_dir: str) -> None:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
 
-def build_worker(cores: int, corpus_path: str, index_dir: str, n_shards: int) -> dict:
-    """Fresh-session index build; returns throughput metrics."""
+def build_worker(cores: int, corpus_path: str, index_dir: str, n_shards: int,
+                 master: str | None = None) -> dict:
+    """Fresh-session index build; returns throughput metrics.
+
+    ``master`` lets the multi-JVM scaling probe run the identical build
+    under ``local-cluster[N,1,mem]`` (N single-core executor JVMs,
+    real inter-process shuffle/broadcast) instead of ``local[N]``."""
     from tlgs_spark.indexer.build import build_index
     from tlgs_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench_build_{cores}", cores=cores)
+    spark = get_spark(app_name=f"bench_build_{cores}", cores=cores, master=master)
     df = spark.read.parquet(corpus_path)
     shutil.rmtree(index_dir, ignore_errors=True)
     _warm_cluster(spark, cores, index_dir)
@@ -142,6 +147,7 @@ def build_worker(cores: int, corpus_path: str, index_dir: str, n_shards: int) ->
     elapsed = time.time() - t0
     return {
         "cores": cores,
+        "master": master or f"local[{cores}]",
         "n_docs": m["n_docs"],
         "build_s": round(elapsed, 3),
         "turns_per_sec": round(m["n_docs"] / elapsed, 1),
@@ -235,9 +241,12 @@ def main():
     ap.add_argument("--index-dir", default="")
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument("--out", default="")
+    ap.add_argument("--master", default="",
+                    help="master URL override (e.g. local-cluster[8,1,6144])")
     args = ap.parse_args()
     if args.build_worker:
-        m = build_worker(args.cores, args.corpus, args.index_dir, args.n_shards)
+        m = build_worker(args.cores, args.corpus, args.index_dir, args.n_shards,
+                         master=args.master or None)
         payload = json.dumps(m)
         if args.out:
             with open(args.out, "w") as f:

@@ -18,17 +18,28 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores=None → ``local[*]``. Shuffle partitions default to the core
     count (local mode: more just adds task-launch overhead; on a real
     cluster this is sized to corpus/partition-bytes instead).
+
+    ``master`` (or env ``TLGS_SPARK_MASTER``) overrides the master URL —
+    the multi-JVM scaling probe passes ``local-cluster[N,1,mem_mb]`` so
+    N executor JVMs run as real separate processes with inter-process
+    shuffle/broadcast (the closest sandbox analog of N cluster
+    executors). ``cores`` then still sizes shuffle partitions and must
+    equal the total executor cores. local-cluster executors don't
+    inherit the driver's sys.path, so PYTHONPATH is exported to them.
     """
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else 0
-    master = f"local[{cores}]" if cores and cores > 0 else "local[*]"
+    master = master or os.environ.get("TLGS_SPARK_MASTER") or (
+        f"local[{cores}]" if cores and cores > 0 else "local[*]"
+    )
     if shuffle_partitions is None:
         # 4× cores: fine-grained tasks keep slots busy through skewed
         # stages (hot-term aggs) and shorten straggler tails; AQE
@@ -51,6 +62,34 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if master.startswith("local-cluster"):
+        # executor JVMs are separate processes: give each its own heap
+        # (the worker-memory field of the master URL caps it) and export
+        # the repo onto their Python workers' path — spark-submit
+        # --py-files does the same job on a real cluster
+        exec_mem = os.environ.get("TLGS_SPARK_EXECUTOR_MEM")
+        if not exec_mem:
+            try:
+                exec_mem = master.rstrip("]").split(",")[2].strip() + "m"
+            except IndexError:
+                exec_mem = "4g"
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        py_path = os.environ.get("PYTHONPATH", "")
+        b = (
+            b.config("spark.executor.memory", exec_mem)
+            .config(
+                "spark.executorEnv.PYTHONPATH",
+                f"{repo_root}:{py_path}" if py_path else repo_root,
+            )
+            # multi-JVM mode is for scaling measurement: a modest driver
+            # heap (scheduling only — executors hold the data) unless
+            # explicitly overridden, so N-executor and 4N-executor runs
+            # carry the same driver footprint
+            .config(
+                "spark.driver.memory",
+                os.environ.get("TLGS_SPARK_DRIVER_MEM", "8g"),
+            )
+        )
     local_dir = os.environ.get("TLGS_SPARK_LOCAL_DIR")
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

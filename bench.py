@@ -202,6 +202,9 @@ def main():
                 r for r in hist_rows
                 if "eff" in r and r.get("levels") == "mj2->8"
                 and not r.get("reused")
+                # probe-scale windows only: a small-corpus mj pair is the
+                # same fixed-cost-bound regime the 2->8 buckets separate
+                and (r.get("turns") or 0) >= scale_turns
             ]
 
             def _median(vals: list) -> float | None:

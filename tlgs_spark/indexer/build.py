@@ -1641,9 +1641,29 @@ def _build_index_impl(
         # search_df); common terms get NULL = "everywhere" so the
         # column stays bounded at TERM_SHARDS_MAX ints — a Zipf-head
         # term in a million-shard index must not materialize a
-        # million-entry array (at that scale a per-term bloom over
-        # shard ids would replace the list; the NULL contract already
-        # allows it).
+        # million-entry array. Alongside the list, EVERY term gets a
+        # fixed-width presence bitmap (shard_bits, n_shards/8 bytes)
+        # while n_shards ≤ SHARD_BITMAP_MAX — so mid-df terms (present
+        # in 65..n_shards-1 shards, the common case in real query
+        # logs) prune the scan too instead of falling off the NULL
+        # cliff. Past 4096 shards both columns are NULL for wide terms
+        # (a per-term bloom would replace the bitmap; the NULL
+        # contract already allows it).
+        from .codec import SHARD_BITMAP_MAX, encode_shard_bits
+
+        if n_shards <= SHARD_BITMAP_MAX:
+            import pandas as pd
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("binary")
+            def _shard_bits(sh: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [encode_shard_bits(a, n_shards) for a in sh]
+                )
+
+            bits_col = _shard_bits(F.col("_sh"))
+        else:
+            bits_col = F.lit(None).cast("binary")
         term_stats = (
             st.read(spark, "postings")
             .filter(F.col("term").isNotNull())
@@ -1659,6 +1679,7 @@ def _build_index_impl(
                 "df",
                 "cf",
                 F.when(F.col("_nsh") <= TERM_SHARDS_MAX, F.col("_sh")).alias("shards"),
+                bits_col.alias("shard_bits"),
             )
         )
         st.write(term_stats.sortWithinPartitions("term"), "term_stats")

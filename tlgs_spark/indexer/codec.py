@@ -226,3 +226,40 @@ def decode_postings(buf: bytes, base: int = 0) -> tuple[np.ndarray, np.ndarray]:
     tfs = inter[1::2].astype(np.int64)
     doc_ids = np.cumsum(gaps) + base
     return doc_ids, tfs
+
+
+# ---------------------------------------------------------------------------
+# term→shard presence bitmaps (term_stats.shard_bits)
+# ---------------------------------------------------------------------------
+# Selective terms carry an explicit shard-id list in term_stats (scan
+# pruning); mid-df terms — present in more shards than the list cap but
+# far from everywhere, the common case in real query logs — used to
+# carry NULL and prune nothing. A fixed-width little-endian bitmap
+# (bit s of byte s//8 ⇔ term present in shard s) covers EVERY term at
+# n_shards/8 bytes: 128 B/term at 1024 shards, 512 B at the 4096-shard
+# cap, above which the column is NULL again (at that scale a per-term
+# bloom would replace it; the NULL contract already allows it).
+# The reference leans on PostgreSQL's GIN metapage to skip dead space
+# implicitly (tlgs_ctl/main.cpp:41); this is the explicit analog.
+
+SHARD_BITMAP_MAX = 4096
+
+
+def encode_shard_bits(shards, n_shards: int) -> bytes:
+    """Bitmap bytes for a sorted-or-not iterable of shard ids."""
+    m = np.zeros(n_shards, dtype=np.uint8)
+    idx = np.asarray(list(shards), dtype=np.int64)
+    if idx.size:
+        m[idx] = 1
+    return np.packbits(m, bitorder="little").tobytes()
+
+
+def decode_shard_bits(buf: bytes, n_shards: int) -> np.ndarray:
+    """Present shard ids (int64, ascending) from a bitmap. Tolerates a
+    blob shorter than the current grid (a delta update can GROW
+    n_shards; absent trailing bytes mean absent from those shards)."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    bits = np.unpackbits(raw, bitorder="little")
+    if bits.size > n_shards:
+        bits = bits[:n_shards]
+    return np.nonzero(bits)[0].astype(np.int64)

@@ -634,20 +634,52 @@ class SearchIndex:
 
     def _term_info_uncached(self, terms: list[str]) -> dict[str, tuple[int, list | None]]:
         has_shards = "shards" in self._term_stats_df.columns
-        cols = ["term", "df"] + (["shards"] if has_shards else [])
+        has_bits = "shard_bits" in self._term_stats_df.columns
+        cols = (
+            ["term", "df"]
+            + (["shards"] if has_shards else [])
+            + (["shard_bits"] if has_bits else [])
+        )
         tbl = self._arrow_lookup("term_stats", terms, cols)
         if tbl is not None:
             dfs = [int(x) for x in tbl["df"].to_pylist()]
             shl = tbl["shards"].to_pylist() if has_shards else [None] * len(dfs)
+            bl = tbl["shard_bits"].to_pylist() if has_bits else [None] * len(dfs)
             return {
-                t: (d, list(s) if s is not None else None)
-                for t, d, s in zip(tbl["term"].to_pylist(), dfs, shl)
+                t: (d, self._presence(s, b))
+                for t, d, s, b in zip(tbl["term"].to_pylist(), dfs, shl, bl)
             }
         rows = self._term_stats_df.filter(F.col("term").isin(terms)).collect()
         return {
-            r.term: (int(r.df), list(r.shards) if has_shards and r.shards is not None else None)
+            r.term: (
+                int(r.df),
+                self._presence(
+                    r.shards if has_shards else None,
+                    r.shard_bits if has_bits else None,
+                ),
+            )
             for r in rows
         }
+
+    def _presence(self, shards, bits) -> list | None:
+        """Exact shard-presence list from a term_stats row: the explicit
+        list when present (selective terms, ≤ TERM_SHARDS_MAX entries),
+        else decoded from the fixed-width shard_bits bitmap (mid-df
+        terms — the 65..n_shards-1 band that used to fall off the NULL
+        cliff and scan everything). None = unknown/everywhere (legacy
+        index, >4096-shard grid, or a bitmap covering every shard —
+        full coverage prunes nothing, and dropping it skips a
+        useless n_shards-element isin filter)."""
+        if shards is not None:
+            return list(shards)
+        if bits is not None:
+            from ..indexer.codec import decode_shard_bits
+
+            ids = decode_shard_bits(bytes(bits), int(self.meta["n_shards"]))
+            if len(ids) >= int(self.meta["n_shards"]):
+                return None
+            return ids.tolist()
+        return None
 
     def _term_df_map(self, terms: list[str]) -> dict[str, int]:
         return {t: d for t, (d, _) in self._term_info(terms).items()}

@@ -695,6 +695,9 @@ def _delta_finalize(
     has_shards = "shards" in ts_old.columns
     if not has_shards:
         ts_old = ts_old.withColumn("shards", F.lit(None).cast("array<int>"))
+    has_bits = "shard_bits" in ts_old.columns
+    if not has_bits:
+        ts_old = ts_old.withColumn("shard_bits", F.lit(None).cast("binary"))
     changed_lit = F.array(*[F.lit(int(s)).cast("int") for s in changed])
     jt = ts_old.join(deltas, "term", "full_outer")
     df1 = (
@@ -722,12 +725,60 @@ def _delta_finalize(
     sh1 = F.when(F.size(sh1) <= TERM_SHARDS_MAX, sh1).otherwise(
         F.lit(None).cast("array<int>")
     )
+    # presence BITMAP (shard_bits): same set algebra, bit-wise —
+    # new = (old & ~changed_mask) | mask(sh_n). Exact for every term of
+    # a bitmap-era index (build writes bits for ALL terms); a legacy
+    # committed row without bits stays NULL (unknown presence — the
+    # engine then just doesn't prune that term). The changed-shard mask
+    # and the grid width are constants of this update, closed over by
+    # the kernel; a grown grid (ceiling past the last shard) widens old
+    # blobs with zero bytes before masking.
+    from ..indexer.codec import SHARD_BITMAP_MAX, encode_shard_bits
+
+    n_shards1 = max(old_n_shards, -(-ceiling // shard_size))
+    if n_shards1 <= SHARD_BITMAP_MAX:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        _nb = (n_shards1 + 7) // 8
+        _keep = np.frombuffer(
+            encode_shard_bits(changed, n_shards1), dtype=np.uint8
+        ) ^ np.uint8(0xFF)
+
+        from pyspark.sql.functions import PandasUDFType
+
+        @pandas_udf("binary", PandasUDFType.SCALAR)
+        def _merge_bits(is_new, old_bits, sh_n):
+            out = []
+            for new, ob, sn in zip(is_new, old_bits, sh_n):
+                add = np.frombuffer(
+                    encode_shard_bits(
+                        sn if sn is not None else (), n_shards1
+                    ),
+                    dtype=np.uint8,
+                )
+                if new:
+                    out.append(add.tobytes())
+                elif ob is None:
+                    out.append(None)  # legacy row: presence unknown
+                else:
+                    base = np.zeros(_nb, dtype=np.uint8)
+                    prev = np.frombuffer(bytes(ob), dtype=np.uint8)
+                    base[: prev.size] = prev[:_nb]
+                    out.append(((base & _keep) | add).tobytes())
+            return pd.Series(out)
+
+        bits1 = _merge_bits(F.col("df").isNull(), F.col("shard_bits"), F.col("sh_n"))
+    else:
+        bits1 = F.lit(None).cast("binary")
     ts_new = (
         jt.select(
             "term",
             df1.alias("df"),
             cf1.alias("cf"),
             sh1.alias("shards"),
+            bits1.alias("shard_bits"),
         )
         .filter(F.col("df") > 0)
     )

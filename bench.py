@@ -326,6 +326,14 @@ def main():
     extra["query_latency"] = qb
     queries["bm25_query_p95"] = qb["p95_ms"] / 1000.0
 
+    # -- concurrent serving (reference: 64 concurrent searches then
+    # 429 + Retry-After, search.cpp:686-696): QPS + per-request p95 at
+    # 8 and 32 client threads, warm-cache and cache-bypass tiers, plus
+    # an admission burst proving the 429 path fires past the cap --
+    from tlgs_spark.bench import concurrency_bench
+
+    extra["serving_concurrency"] = concurrency_bench(spark, index_dir)
+
     # -- incremental re-index (north rule: change detection + shard
     # reuse). Edit the first 1% of conversations — contiguous convs =
     # contiguous doc ranges, so only their shards' signatures flip;
@@ -425,11 +433,20 @@ def main():
             for k in ("cold_p50_ms", "cold_p95_ms", "warm_p50_ms",
                       "warm_nocache_p50_ms", "distributed_mean_ms")
         }
-        for k in ("concurrency8", "concurrency32"):
-            if k in ql:
-                compact.setdefault("serving_conc", {})[k] = {
-                    kk: ql[k].get(kk) for kk in ("qps", "p95_ms", "rejected")
-                }
+    conc = extra.get("serving_concurrency")
+    if conc:
+        compact["serving_conc"] = {
+            lv: {kk: conc[lv].get(kk) for kk in ("qps", "p95_ms", "rejected")}
+            for lv in ("warm8", "warm32", "nocache8", "nocache32")
+            if lv in conc
+        }
+        if "admission" in conc:
+            adm = conc["admission"]
+            compact["serving_conc"]["admission"] = {
+                "rejected": adm.get("rejected"),
+                "cap": adm.get("max_in_flight"),
+                "retry_after": adm.get("retry_after_sample"),
+            }
     inc = extra.get("incremental")
     if inc:
         compact["incremental"] = {

@@ -515,3 +515,43 @@ def test_compact_index_redensifies_and_preserves_results(spark, tmp_path):
 
     stat = index_status(spark, idx)
     assert stat["id_space"]["ceiling_ratio"] == 1.0
+
+
+def test_diff_dominance_hint_steers_to_apply_changes(spark, tmp_path, monkeypatch):
+    """r4 VERDICT #7: when the corpus-proportional diff scan dominates
+    the edit-proportional apply, incremental_update must say so — a
+    'hint' return field plus a warning naming apply_changes. The
+    threshold rule itself is pure (measured phase timings in, hint
+    out), pinned on the real 63M profile; the plumbing is exercised on
+    a real tiny-edit update with the ratio floored so the small-corpus
+    test fires deterministically."""
+    import warnings
+
+    from tlgs_spark.streaming import incremental as inc
+
+    # -- the decision rule, on real measured profiles --
+    # 63M-turn 1-conv edit (BASELINE.md): diff 19.8 s vs ~30 s apply —
+    # the apply still dominates, no hint
+    p63 = {"diff": 19.8, "docs_write": 9.1, "postings_rebuild": 10.5,
+           "finalize": 3.5, "commit": 0.007}
+    assert inc._diff_dominance_hint(p63) is None
+    # one corpus decade later the same edit's diff is ~10x while the
+    # apply is unchanged — the scan is now the majority cost: hint
+    p630 = dict(p63, diff=198.0)
+    assert "apply_changes" in inc._diff_dominance_hint(p630)
+    # no-edit-phase degenerate profile: diff-only always hints
+    assert "apply_changes" in inc._diff_dominance_hint({"diff": 1.0})
+
+    # -- the plumbing, on a real tiny-edit update --
+    pdf = generate_pandas(12)
+    idx = str(tmp_path / "idx_hint")
+    build_index(spark, _sdf(spark, pdf), idx, n_shards=4)
+    edited = pdf.copy()
+    edited.loc[0, "text"] = edited.loc[0, "text"] + " hintmarker"
+    monkeypatch.setattr(inc, "DIFF_DOMINANCE_HINT_RATIO", 0.0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = inc.incremental_update(spark, _sdf(spark, edited), idx)
+    assert res["mode"] == "delta"
+    assert "apply_changes" in res.get("hint", "")
+    assert any("apply_changes" in str(x.message) for x in w)

@@ -233,6 +233,103 @@ def query_bench(spark, index_dir: str, rounds: int = 3) -> dict:
     }
 
 
+def concurrency_bench(
+    spark, index_dir: str, levels: tuple = (8, 32), per_thread: int = 12,
+    admission_threads: int = 32, admission_cap: int = 4,
+) -> dict:
+    """Concurrent serving (r4 verdict #4). The reference's headline
+    serving constraint is 64 concurrent searches, then HTTP 429 with
+    exponential Retry-After (search.cpp:686-696); every number
+    reported so far was single-stream. This drives N client threads
+    against ONE SearchIndex per level and reports QPS + per-request
+    latency percentiles, in two tiers:
+
+    - ``warm``: result cache allowed — the reference's production
+      steady state behind its 600 s result cache
+    - ``nocache``: a cache_ttl=0 index — every request re-runs scoring
+      over its postings (term cache warm), the honest concurrent
+      throughput tier
+
+    Plus one ``admission`` burst with ``max_in_flight`` lowered to
+    ``admission_cap`` so the 429/backoff path (W5) demonstrably fires
+    under real concurrent load — rejected count and a Retry-After
+    sample are recorded, then the cap is restored.
+    """
+    import threading
+
+    import numpy as np
+
+    from tlgs_spark.query.engine import SearchIndex, TooManyRequestsError
+
+    def _drive(si, n_threads: int, n_each: int) -> dict:
+        lat: list = []
+        rejected = [0]
+        retry_samples: list = []
+        lock = threading.Lock()
+
+        def worker(tid: int):
+            mine = []
+            rej = 0
+            for i in range(n_each):
+                q, mode = QUERY_SET[(tid + i) % len(QUERY_SET)]
+                t0 = time.time()
+                try:
+                    si.search(q, k=10, mode=mode)
+                    mine.append((time.time() - t0) * 1000)
+                except TooManyRequestsError as e:
+                    rej += 1
+                    if len(retry_samples) < 4:
+                        retry_samples.append(round(e.retry_after, 2))
+            with lock:
+                lat.extend(mine)
+                rejected[0] += rej
+
+        threads = [
+            threading.Thread(target=worker, args=(t,)) for t in range(n_threads)
+        ]
+        t0 = time.time()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.time() - t0
+        arr = np.array(lat) if lat else np.zeros(1)
+        return {
+            "threads": n_threads,
+            "completed": len(lat),
+            "rejected": rejected[0],
+            "retry_after_sample": retry_samples,
+            "wall_s": round(wall, 2),
+            "qps": round(len(lat) / max(wall, 1e-9), 1),
+            "p50_ms": round(float(np.percentile(arr, 50)), 1),
+            "p95_ms": round(float(np.percentile(arr, 95)), 1),
+        }
+
+    out: dict = {}
+    # warm tier: shared index, caches hot after one sequential pass
+    si = SearchIndex(spark, index_dir)
+    for q, mode in QUERY_SET:
+        si.search(q, k=10, mode=mode)
+    for lv in levels:
+        out[f"warm{lv}"] = _drive(si, lv, per_thread)
+    # nocache tier: every request re-scores (cache_ttl=0); term cache
+    # warmed once so the tier measures steady-state scoring, not
+    # first-touch dataset discovery
+    si_nc = SearchIndex(spark, index_dir, cache_ttl=0.0)
+    for q, mode in QUERY_SET:
+        si_nc.search(q, k=10, mode=mode)
+    for lv in levels:
+        out[f"nocache{lv}"] = _drive(si_nc, lv, per_thread)
+    # admission burst: the 429 path must actually fire past the cap
+    si_nc.max_in_flight = admission_cap
+    try:
+        out["admission"] = _drive(si_nc, admission_threads, 4)
+        out["admission"]["max_in_flight"] = admission_cap
+    finally:
+        si_nc.max_in_flight = 64
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-worker", action="store_true")

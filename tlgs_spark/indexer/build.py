@@ -92,8 +92,21 @@ NORMS_SCHEMA = "shard int, base long, n long, dls binary"
 
 # term_stats keeps an explicit shard list only for terms present in at
 # most this many shards (scan pruning for selective queries; NULL for
-# the Zipf head, which every shard contains anyway)
+# the Zipf head, which every shard contains anyway). Mid-df terms past
+# the cap are covered by the fixed-width shard_bits bitmap instead
+# (codec.SHARD_BITMAP_MAX governs that one).
 TERM_SHARDS_MAX = 64
+
+# postings parquet row-group size target (parquet.block.size). Small
+# groups + terms sorted within each shard file ⇒ row-group min/max
+# stats on `term` prune both the Spark scan and the driver's pyarrow
+# point lookups to the groups actually holding the query's terms —
+# measured 2,486 → 1,468 ms distributed dense-term mean at 21M docs.
+# parquet-mr enforces this against UNCOMPRESSED buffered bytes and
+# only between row-count checkpoints, so real groups are approximate
+# (dense blobs overflow into their own oversized group — see the
+# write site).
+POSTINGS_ROW_GROUP_BYTES = 131072
 
 # Fresh builds attach doc_ids with a BROADCAST of the ranked
 # (conv_id, turn_idx) -> doc_id map when the corpus is small enough
@@ -1371,11 +1384,21 @@ def _build_index_impl(
         # in. Measured at 21M docs / 1024 shards: a dense 2-term query
         # decompressed the full 1.4 GB postings table for 78 MB of
         # matching blobs with one group per file; ~11 groups per file
-        # cuts the scan to the matching groups. Dense-term rows (blobs
-        # up to ~400 KB) overflow into their own group — exactly the
-        # isolation wanted.
+        # cuts the scan to the matching groups. Group boundaries are
+        # APPROXIMATE: parquet-mr checks the buffered (uncompressed)
+        # size only every `page.size.row.check.min` records, so a run
+        # of dense-term rows (blobs up to ~400 KB) overshoots the
+        # target and lands in its own oversized group — acceptable:
+        # the point is that SELECTIVE groups stay small, and a group
+        # that is one dense blob decompresses only for queries that
+        # want that blob anyway.
         seg.write.mode("overwrite").partitionBy("shard").option(
-            "parquet.block.size", 131072
+            "parquet.block.size", POSTINGS_ROW_GROUP_BYTES
+        ).option(
+            # check the buffered size every few records (default 100)
+            # so small-row runs close their groups near the target
+            # instead of 10x past it
+            "parquet.page.size.row.check.min", 8
         ).parquet(st.path("postings"))
         _mark("postings")
         elapsed = time.time() - tb0

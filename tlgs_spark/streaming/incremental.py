@@ -59,6 +59,15 @@ Two maintenance entry points share the delta flow:
   absence means unchanged. Never reads unchanged text anywhere — the
   10^12-turn API. ``purge_index`` builds a delete changelog from the
   committed docs alone (no corpus needed).
+
+Decision rule between them: ``incremental_update``'s diff scan is its
+only corpus-proportional phase (19.8 s at 63M turns, linear forever),
+so when the measured ``phases["diff"]`` exceeds
+``DIFF_DOMINANCE_HINT_RATIO ×`` the edit-proportional remainder, the
+returned dict carries a ``hint`` (and a warning is emitted) steering
+the caller to ``apply_changes`` — a caller that already KNOWS its
+changed rows (changelog, CDC, crawler output) should never pay the
+re-discovery scan at big corpora.
 """
 
 from __future__ import annotations
@@ -97,6 +106,16 @@ _STAGED_TABLES = (
     "index_meta",
     "postings",
 )
+
+# incremental_update emits a hint (return field + warning) steering the
+# caller to apply_changes when the corpus-proportional diff scan took
+# more than this multiple of the edit-proportional apply work — i.e.
+# when the majority of the update's wall time went to re-DISCOVERING
+# changes the caller may already know (see the module docstring's
+# decision rule). At the measured 63M-turn 1-conv edit the ratio is
+# 19.8s/30.7s ≈ 0.64 (no hint); one corpus decade later the diff alone
+# crosses ~200s against the same ~30s apply and the hint fires.
+DIFF_DOMINANCE_HINT_RATIO = 1.0
 
 
 def shard_signatures(docs: DataFrame, shard_size: int) -> DataFrame:
@@ -595,7 +614,7 @@ def _delta_apply(
             shutil.rmtree(os.path.join(index_dir, f"field_{f_}"), ignore_errors=True)
             build_field_index(spark, index_dir, field=f_)
         _mark("fields_rebuild")
-    return {
+    out = {
         "changed": changed,
         "reused": reused,
         "mode": "delta",
@@ -604,6 +623,38 @@ def _delta_apply(
         "n_deleted": n_del,
         "phases": phases,
     }
+    # Steer big-corpus callers to the changelog API: the diff phase is
+    # the ONLY corpus-proportional piece of a delta update (one
+    # metadata-column scan of the committed docs — 19.8 s at 63M turns
+    # and growing linearly forever), while everything after it is
+    # ∝ the edit. When the diff dominates the apply work, the caller
+    # is paying mostly for re-discovering changes it may already know;
+    # apply_changes(spark, changed_rows, index_dir) takes the changed
+    # rows directly and skips the scan entirely.
+    hint = _diff_dominance_hint(phases)
+    if hint:
+        import warnings
+
+        out["hint"] = hint
+        warnings.warn("incremental_update: " + hint)
+    return out
+
+
+def _diff_dominance_hint(phases: dict) -> str | None:
+    """The module-docstring decision rule, as a pure function of the
+    measured per-phase timings: hint iff the corpus-proportional diff
+    scan exceeded DIFF_DOMINANCE_HINT_RATIO × the edit-proportional
+    remainder of the update."""
+    diff_s = float(phases.get("diff", 0.0))
+    apply_s = sum(v for k, v in phases.items() if k != "diff")
+    if diff_s <= DIFF_DOMINANCE_HINT_RATIO * max(apply_s, 1e-9):
+        return None
+    return (
+        f"diff scan ({diff_s:.1f}s) dominated the edit-proportional "
+        f"apply ({apply_s:.1f}s); if the changed rows are already "
+        f"known (changelog, CDC, crawler output), apply_changes() "
+        f"skips the corpus-proportional diff entirely"
+    )
 
 
 def _delta_finalize(

@@ -609,12 +609,15 @@ class SearchIndex:
     def _term_info(self, terms: list[str]) -> dict[str, tuple[int, list | None]]:
         """term → (exact global df, shard-presence list or None) via a
         direct pyarrow lookup on the term-sorted term_stats files
-        (Spark-scan fallback). The shard list exists only for terms in
-        ≤ TERM_SHARDS_MAX shards (build-time contract); None means
-        'assume everywhere' — which also covers legacy indexes whose
-        term_stats predate the column. Results are cached per term
-        (term_stats is immutable for an open snapshot); absent terms
-        cache as df=0 so repeat misses don't re-scan."""
+        (Spark-scan fallback). Presence comes from the explicit shard
+        list (selective terms, ≤ TERM_SHARDS_MAX entries) or from the
+        fixed-width shard_bits bitmap (every term while n_shards ≤
+        SHARD_BITMAP_MAX — so mid-df terms prune too); None means
+        'assume everywhere' — legacy indexes predating the columns,
+        >4096-shard grids, or a full-coverage bitmap. Results are
+        cached per term (term_stats is immutable for an open
+        snapshot); absent terms cache as df=0 so repeat misses don't
+        re-scan."""
         if not hasattr(self, "_tinfo_cache"):
             self._tinfo_cache: dict[str, tuple[int, list | None]] = {}
         missing = [t for t in terms if t not in self._tinfo_cache]

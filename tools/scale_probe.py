@@ -57,7 +57,8 @@ sys.path.insert(0, REPO)
 
 
 def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, work: str,
-              multi_jvm: bool = False, exec_mem_mb: int = 6144) -> dict:
+              multi_jvm: bool = False, exec_mem_mb: int = 6144,
+              exec_cores: int = 1) -> dict:
     tag = f"mj{cores}" if multi_jvm else str(cores)
     out = os.path.join(work, f"probe_build_{tag}.json")
     cmd = [
@@ -66,11 +67,14 @@ def run_build(cores: int, corpus: str, index_dir: str, n_shards: int, work: str,
         "--index-dir", index_dir, "--n-shards", str(n_shards), "--out", out,
     ]
     if multi_jvm:
-        cmd += ["--master", f"local-cluster[{cores},1,{exec_mem_mb}]"]
+        n_workers = max(1, cores // exec_cores)
+        cmd += ["--master",
+                f"local-cluster[{n_workers},{exec_cores},{exec_mem_mb}]"]
     if os.path.exists("/usr/bin/taskset"):
-        # multi-JVM: N executor JVMs (1 core each) + the driver/master
-        # JVM share N+1 CPUs — the same +1 driver allowance at both
-        # levels, mirroring a cluster whose driver is its own node
+        # multi-JVM: the executor JVMs (cores total across workers) +
+        # the driver/master JVM share cores+1 CPUs — the same +1 driver
+        # allowance at both levels, mirroring a cluster whose driver is
+        # its own node
         top = cores if multi_jvm else cores - 1
         cmd = ["taskset", "-c", f"0-{top}"] + cmd
     env = dict(os.environ)
@@ -106,6 +110,12 @@ def main():
                          "history rows are tagged levels='mj2->8'")
     ap.add_argument("--exec-mem-mb", type=int, default=6144,
                     help="per-executor JVM heap for --multi-jvm (MB)")
+    ap.add_argument("--exec-cores", type=int, default=1,
+                    help="cores per executor JVM for --multi-jvm: the "
+                         "level's total cores stay 2 and 8, split over "
+                         "cores/exec_cores workers (2-core executors = "
+                         "1 vs 4 executor JVMs — the real-cluster shape "
+                         "with less JVM replication per pinned CPU)")
     ap.add_argument("--drop-n-index", action="store_true",
                     help="delete the 2-core index right after its build is "
                          "timed (the pair only needs the timing JSON; halves "
@@ -157,7 +167,8 @@ def main():
     for _ in range(max(1, args.trials)):
         if not args.skip_n:
             lo = run_build(2, corpus, os.path.join(args.work, "idx_n"),
-                           args.n_shards, args.work, mj, args.exec_mem_mb)
+                           args.n_shards, args.work, mj, args.exec_mem_mb,
+                           args.exec_cores)
             result["n"] = lo
             if args.drop_n_index:
                 import shutil
@@ -165,7 +176,8 @@ def main():
                               ignore_errors=True)
         if not args.skip_4n:
             hi = run_build(8, corpus, os.path.join(args.work, "idx_4n"),
-                           args.n_shards, args.work, mj, args.exec_mem_mb)
+                           args.n_shards, args.work, mj, args.exec_mem_mb,
+                           args.exec_cores)
             result["4n"] = hi
         if lo and hi:
             # a stale probe_build_*.json from an earlier, different-size

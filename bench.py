@@ -420,8 +420,7 @@ def main():
             k: sc.get(k)
             for k in (
                 "corpus_turns", "turns_per_sec_n", "turns_per_sec_4n",
-                "efficiency", "pair_eff_min", "pair_eff_max",
-                "history_pair_median", "multijvm_n_pairs",
+                "efficiency", "multijvm_n_pairs",
                 "multijvm_pair_median", "multijvm_pair_max",
             )
             if sc.get(k) is not None
@@ -430,14 +429,14 @@ def main():
     if ql:
         compact["bm25_ms"] = {
             k: ql.get(k)
-            for k in ("cold_p50_ms", "cold_p95_ms", "warm_p50_ms",
+            for k in ("cold_p50_ms", "cold_p95_ms",
                       "warm_nocache_p50_ms", "distributed_mean_ms")
         }
     conc = extra.get("serving_concurrency")
     if conc:
         compact["serving_conc"] = {
             lv: {kk: conc[lv].get(kk) for kk in ("qps", "p95_ms", "rejected")}
-            for lv in ("warm8", "warm32", "nocache8", "nocache32")
+            for lv in ("warm32", "nocache32")
             if lv in conc
         }
         if "admission" in conc:
@@ -445,7 +444,6 @@ def main():
             compact["serving_conc"]["admission"] = {
                 "rejected": adm.get("rejected"),
                 "cap": adm.get("max_in_flight"),
-                "retry_after": adm.get("retry_after_sample"),
             }
     inc = extra.get("incremental")
     if inc:

@@ -11,8 +11,12 @@ with periodic ``compact_index`` and ``vacuum``, asserting throughout:
 - docs-table exactness vs the tracked state at the end (live keys and
   text hashes);
 - ``doc_ceiling/n_docs`` drift stays bounded and compaction resets it;
-- the snapshot log and GC backlog stay bounded under periodic vacuum
-  (no monotonic growth of maintenance debt);
+- the snapshot log stays trimmed under periodic vacuum, and the GC
+  backlog is bounded by the COMPACTION INTERVAL, never by index age:
+  between compactions it retains the partially-referenced old
+  partitioned bases (delta manifests point unchanged shards into prior
+  version dirs — that is the design, not a leak) and one post-compact
+  vacuum drains the whole queue;
 - update latency stays flat (no per-batch cost creep as snapshots,
   manifests and id gaps accumulate).
 
@@ -87,6 +91,7 @@ def test_maintenance_loop_soak(spark, tmp_path):
 
     lat = []
     ceiling_ratios = []
+    last_compact_b = -1
     next_conv = 9000  # brand-new conversations insert from here
     for b in range(N_BATCHES):
         rng = np.random.default_rng(1000 + b)
@@ -165,13 +170,29 @@ def test_maintenance_loop_soak(spark, tmp_path):
             res_c = compact_index(spark, idx)
             assert index_status(spark, idx)["id_space"]["ceiling_ratio"] == 1.0
             assert res_c["ceiling_after"] <= res_c["ceiling_before"]
+            # compaction is the backlog's drain point: every pre-compact
+            # version dir is now fully superseded (the fresh manifests
+            # reference only the compacted bases), so one vacuum clears
+            # the whole accumulated queue
+            IndexStorage(idx).vacuum(grace_s=0.0, retain_snapshots=1)
+            drained = len(IndexStorage(idx)._gc_pending())
+            assert drained <= 4, f"post-compact vacuum left {drained} queued"
+            last_compact_b = b
         if (b + 1) % VACUUM_EVERY == 0:
             IndexStorage(idx).vacuum(grace_s=0.0, retain_snapshots=1)
             st2 = IndexStorage(idx)
-            # backlog bounded: snapshot log trimmed to the retained
-            # window, GC queue drained of everything unreferenced
+            # snapshot log trimmed to the retained window
             assert len(st2.snapshots()) <= 2
-            assert len(st2._gc_pending()) <= 4
+            # Between compactions the GC queue legitimately RETAINS the
+            # partially-referenced old partitioned-table bases (a delta
+            # manifest points unchanged shards into prior version dirs
+            # — deleting those would corrupt the live index), so the
+            # backlog grows ~linearly with batches since the last
+            # compact and is RESET by it. Bounded debt = linear in the
+            # compaction interval, never in total index age.
+            since = b - last_compact_b
+            pending = len(st2._gc_pending())
+            assert pending <= 4 * since + 8, (b, since, pending)
 
         if b in CHECKPOINTS:
             fresh = str(tmp_path / f"idx_fresh_{b}")

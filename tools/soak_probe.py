@@ -146,9 +146,15 @@ def main():
         if args.compact_every and (b + 1) % args.compact_every == 0:
             t0 = time.time()
             compact_index(spark, idx)
+            # compaction is the GC backlog's drain point — record that
+            # one vacuum clears the queue the delta manifests had
+            # legitimately pinned (unchanged shards referencing prior
+            # version dirs)
+            IndexStorage(idx).vacuum(grace_s=0.0, retain_snapshots=1)
             result.setdefault("compactions", []).append(
                 {"b": b, "s": round(time.time() - t0, 1),
-                 "ceiling_after": index_status(spark, idx)["id_space"]["ceiling_ratio"]}
+                 "ceiling_after": index_status(spark, idx)["id_space"]["ceiling_ratio"],
+                 "gc_pending_after_vacuum": len(IndexStorage(idx)._gc_pending())}
             )
         print(f"batch {b}: {lat[-1]}s ceiling_ratio={ceilings[-1]}",
               file=sys.stderr)

@@ -65,6 +65,12 @@ def decode_varints(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    if int(b.max()) < 0x80:
+        # every varint is one byte (the dense-postings regime: delta
+        # gaps and tfs < 128), so the bytes ARE the values — skip the
+        # boundary nonzero + index gathers, which measure ~15x the cost
+        # of this direct widening on a 4 MB hot-term blob
+        return b.astype(np.uint64)
     is_end = (b & 0x80) == 0
     ends = np.nonzero(is_end)[0]
     starts = np.empty_like(ends)

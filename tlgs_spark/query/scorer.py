@@ -121,6 +121,28 @@ class LazyTermData:
         need = blocks[~self._have[blocks]]
         if need.size == 0:
             return
+        if (
+            self._n >= (1 << 19)
+            and float(self.block_sizes[need].sum()) >= 0.5 * self._n
+        ):
+            # decoding (nearly) everything: one contiguous pass over
+            # the whole blob beats the multi-slice machinery — the
+            # flat-index build + fancy gather + scatter costs several
+            # full passes over multi-MB arrays, while the contiguous
+            # decode hits the codec's single-byte fast path; re-decoding
+            # the few blocks already present (θ seeds) is cheaper than
+            # assembling the hole-y selection. Callers holding arrays
+            # from a previous arrays_for keep valid data: partial
+            # selections return fancy-index COPIES.
+            nb = self.block_sizes.size
+            d, t = decode_postings_blocks(
+                self._buf, self.block_off, self.block_bytes,
+                self.block_sizes, self.block_prev,
+            )
+            self._docs = d
+            self._tfs = t
+            self._have = np.ones(nb, dtype=bool)
+            return
         if self._docs is None:
             # np.empty is virtual allocation: a 20M-posting term costs
             # pages only for the blocks actually decoded

@@ -1392,14 +1392,16 @@ def _build_index_impl(
         # the point is that SELECTIVE groups stay small, and a group
         # that is one dense blob decompresses only for queries that
         # want that blob anyway.
-        seg.write.mode("overwrite").partitionBy("shard").option(
+        w = seg.write.mode("overwrite").partitionBy("shard").option(
             "parquet.block.size", POSTINGS_ROW_GROUP_BYTES
-        ).option(
+        )
+        check_min = os.environ.get("TLGS_POSTINGS_PAGE_CHECK_MIN", "8")
+        if check_min:
             # check the buffered size every few records (default 100)
             # so small-row runs close their groups near the target
             # instead of 10x past it
-            "parquet.page.size.row.check.min", 8
-        ).parquet(st.path("postings"))
+            w = w.option("parquet.page.size.row.check.min", int(check_min))
+        w.parquet(st.path("postings"))
         _mark("postings")
         elapsed = time.time() - tb0
 

@@ -1,5 +1,5 @@
 """Pin the EXACT stemming divergence between the frozen analyzer
-(spec v3, tlgs_spark.tokenizer) and PostgreSQL's ``english``
+(spec v4, tlgs_spark.tokenizer) and PostgreSQL's ``english``
 dictionary semantics (tlgs/crawler/crawler.cpp:556-558), per r4
 verdict #6 — the residual must be a measured table, not an anecdote.
 
@@ -8,14 +8,14 @@ of the published Porter (1980) algorithm (PG's Snowball "english" is
 Porter2 — a refinement that differs in a handful of documented rules;
 every divergence CLASS pinned here behaves identically under both).
 
-The corpus below covers each rule family the v3 spec handles and each
+The corpus below covers each rule family the v4 spec handles and each
 suffix class it deliberately leaves alone. The contract:
 
-- within every family, v3 either fully conflates (retrieval hit, like
+- within every family, v4 either fully conflates (retrieval hit, like
   PG) or keeps documented subgroups — the exact subgrouping is pinned;
-- the RESIDUAL (families PG conflates that v3 splits) is exactly the
+- the RESIDUAL (families PG conflates that v4 splits) is exactly the
   pinned set — a stemmer change that grows or shrinks it fails here;
-- v3 never merges across Porter families (no precision regression:
+- v4 never merges across Porter families (no precision regression:
   conflating less than PG is a recall trade, never a wrong-result
   trade — BM25 scores stay exact for whatever term the analyzer
   produces, and the same analyzer runs at build AND query time, so
@@ -39,10 +39,17 @@ FAMILIES = {
     "connect": ["connect", "connects", "connected", "connecting", "connection", "connections"],
     "quick": ["quick", "quickly"],
     "edit": ["edit", "edits", "edited", "editing"],
-    # --- classes v3 deliberately leaves alone (the residual) ---
+    # the -ize/-yze family (new in v4): -ization/-izer/-ized/-izing
+    # all land on the -ize stem; the yz twins cover analyze-type verbs
+    "organize": [
+        "organize", "organizes", "organized", "organizing",
+        "organization", "organizations", "organizer", "organizers",
+    ],
+    "analyze": ["analyze", "analyzes", "analyzed", "analyzing", "analyzer"],
+    "prize": ["prize", "prizes", "prized"],
+    # --- classes v4 deliberately leaves alone (the residual) ---
     "happy": ["happy", "happiness"],
     "adjust": ["adjust", "adjustment", "adjustable"],
-    "organize": ["organize", "organization", "organizer"],
     "decisive": ["decisive", "decisiveness"],
     "active": ["active", "activate", "activation"],
     "depend": ["depend", "dependent", "dependence"],
@@ -50,9 +57,9 @@ FAMILIES = {
     "hope": ["hope", "hopeful", "hopefulness"],
 }
 
-# the pinned v3 subgrouping per family: surface → v3 stem. The residual
+# the pinned v4 subgrouping per family: surface → v4 stem. The residual
 # families are exactly those whose values span > 1 distinct stem.
-PINNED_V3 = {
+PINNED_V4 = {
     "run": {"run": "run", "runs": "run", "running": "run"},
     "look": {"look": "look", "looks": "look", "looked": "look", "looking": "look"},
     "make": {"make": "make", "makes": "make", "making": "make"},
@@ -65,10 +72,19 @@ PINNED_V3 = {
     },
     "quick": {"quick": "quick", "quickly": "quick"},
     "edit": {"edit": "edit", "edits": "edit", "edited": "edit", "editing": "edit"},
-    # residual families (v3 splits where PG conflates):
+    "organize": {
+        "organize": "organize", "organizes": "organize", "organized": "organize",
+        "organizing": "organize", "organization": "organize",
+        "organizations": "organize", "organizer": "organize", "organizers": "organize",
+    },
+    "analyze": {
+        "analyze": "analyze", "analyzes": "analyze", "analyzed": "analyze",
+        "analyzing": "analyze", "analyzer": "analyze",
+    },
+    "prize": {"prize": "prize", "prizes": "prize", "prized": "prize"},
+    # residual families (v4 splits where PG conflates):
     "happy": {"happy": "happy", "happiness": "happiness"},
     "adjust": {"adjust": "adjust", "adjustment": "adjustment", "adjustable": "adjustable"},
-    "organize": {"organize": "organize", "organization": "organizat", "organizer": "organizer"},
     "decisive": {"decisive": "decisive", "decisiveness": "decisiveness"},
     "active": {"active": "active", "activate": "activate", "activation": "activat"},
     "depend": {"depend": "depend", "dependent": "dependent", "dependence": "dependence"},
@@ -78,9 +94,10 @@ PINNED_V3 = {
     "hope": {"hope": "hope", "hopeful": "hopeful", "hopefulness": "hopefulness"},
 }
 
-# families PG conflates that v3 splits — THE residual set, frozen.
+# families PG conflates that v4 splits — THE residual set, frozen.
+# (v3 also split "organize"; the v4 -ize/-yze rules closed it.)
 PINNED_RESIDUAL = {
-    "happy", "adjust", "organize", "decisive", "active", "depend",
+    "happy", "adjust", "decisive", "active", "depend",
     "create", "hope",
 }
 
@@ -109,11 +126,11 @@ def test_porter_reference_conflates_every_family():
             assert len(stems) == 1, (fam, stems)
 
 
-def test_v3_subgrouping_is_exactly_as_pinned():
+def test_v4_subgrouping_is_exactly_as_pinned():
     got = {
         fam: {w: s_stem(w) for w in forms} for fam, forms in FAMILIES.items()
     }
-    assert got == PINNED_V3
+    assert got == PINNED_V4
 
 
 def test_residual_set_is_exactly_as_pinned():
@@ -126,7 +143,7 @@ def test_residual_set_is_exactly_as_pinned():
 
 
 def test_no_cross_family_merges():
-    """v3 must never conflate two words that Porter assigns to
+    """v4 must never conflate two words that Porter assigns to
     DIFFERENT families — less conflation than PG is a recall trade,
     cross-family conflation would be a precision bug."""
     v3_to_family: dict = {}

@@ -107,10 +107,11 @@ def test_tokens_cte_matches_python_tokenize(lines):
 
 
 def test_stemmer_divergence_contract():
-    """Pin the DELIBERATE divergence between spec v3 (Harman S-stemmer
-    + bounded derivational subset) and PG's 'english' Snowball config.
-    See the tokenizer module docstring: this is the frozen contract,
-    and any spec change must bump ANALYZER_VERSION."""
+    """Pin the DELIBERATE divergence between spec v4 (Harman S-stemmer
+    + bounded derivational subset + the -ize/-yze family) and PG's
+    'english' Snowball config. See the tokenizer module docstring:
+    this is the frozen contract, and any spec change must bump
+    ANALYZER_VERSION."""
     from tlgs_spark.tokenizer import s_stem, tokenize
 
     # what the spec DOES normalize — plural/singular (5a, unchanged)
@@ -141,6 +142,17 @@ def test_stemmer_divergence_contract():
     assert s_stem("tried") == "try"  # -ied mirrors plural ies→y
     assert s_stem("applied") == "apply"
     assert s_stem("died") == "died"  # -ied needs len >= 5
+    # — the -ize/-yze family (new in v4)
+    assert s_stem("organization") == "organize"  # ization→ize hop
+    assert s_stem("organizations") == "organize"  # plural chains in
+    assert s_stem("organizer") == "organize"  # izer→ize hop
+    assert s_stem("organized") == "organize"  # iz-stem regains the e
+    assert s_stem("organizing") == "organize"
+    assert s_stem("analyzer") == "analyze"  # yz twin (Porter's ER rule)
+    assert s_stem("analyzed") == "analyze"
+    assert s_stem("prized") == "prize"  # iz e-restore past the cvc rule
+    assert s_stem("sizer") == "sizer"  # izer needs len >= 7 (m>0-ish)
+    assert s_stem("citizen") == "citizen"  # no suffix match: untouched
     # what the spec deliberately does NOT do (PG english would):
     assert s_stem("happiness") == "happiness"  # -ss guard (PG: happi)
     assert s_stem("argument") == "argument"  # -ment untouched

@@ -14,7 +14,7 @@ STEM of its lowercased [a-z0-9]-normalized form equals a query term.
 TERM CONTRACT: ``terms`` must be ANALYZER OUTPUT (tokenize_query /
 s_stem applied exactly once to the surface form) — ts_headline matches
 through the same stemmer as retrieval, so "cats" highlights for the
-query "cat". make_snippet does NOT re-stem the terms: spec v3's
+query "cat". make_snippet does NOT re-stem the terms: spec v4's
 stemmer is not idempotent (tokenizer.py docstring), so re-stemming an
 already-stemmed term would corrupt it ("preced" → "prec") and miss
 every highlight. The single fragment starts at the first matching

@@ -15,7 +15,7 @@ oracle):
 2. lowercase
 3. tokens = maximal runs of ``[a-z0-9]+`` (ASCII)
 4. drop stopwords (fixed list below), drop tokens longer than 64 chars
-5. stem (spec v3): two sub-steps on tokens of ≥ 4 chars, AFTER the
+5. stem (spec v4): two sub-steps on tokens of ≥ 4 chars, AFTER the
    stopword/length check (raw-token stopwording, like PG's dictionary
    chain):
 
@@ -39,26 +39,40 @@ oracle):
      - ``…ly``  (len ≥ 6, non-vowel-y before it) → strip, undouble a
        trailing ``ll``:  quickly→quick, really→real; family/daily
        keep (vowel before ``ly``)
+     - ``…ization``/``…yzation`` (len ≥ 10) → ``…ize``/``…yze`` (new
+       in v4 — the Porter step-2 IZATION→IZE hop): organization→
+       organize, civilization→civilize; checked before the ``ion``
+       rule, which would otherwise strand these at ``…izat``
+     - ``…izer``/``…yzer`` (len ≥ 7) → ``…ize``/``…yze`` (v4, Porter
+       step-2 IZER→IZE + the ER-rule analog for -yze verbs):
+       organizer→organize, analyzer→analyze; "sizer" keeps (length
+       guard ≈ Porter's m>0 check)
      - ``…ion`` (len ≥ 8, ``s``/``t`` before it) → strip:
        connection→connect, decision→decis; action/section keep
        (length guard ≈ Porter's m>1 measure check)
      post-process after ``ing``/``ed`` strip (Porter 1b2 subset):
      a trailing doubled consonant (not ``l``/``s``/``z``) drops one
-     letter (stopp→stop); a 3-char c-v-c stem (last not ``w``/``x``/
-     ``y``) gains ``e`` (mak→make, hop→hope — a len-3 cvc provably
-     has Porter measure exactly 1, so this needs no measure machinery).
+     letter (stopp→stop); a stem ending ``iz``/``yz`` regains ``e``
+     (v4: organiz→organize, analyz→analyze — so -ized/-izing land on
+     the same ``…ize`` stem as -ization/-izer); a 3-char c-v-c stem (last
+     not ``w``/``x``/``y``) gains ``e`` (mak→make, hop→hope — a len-3
+     cvc provably has Porter measure exactly 1, so this needs no
+     measure machinery).
 
-   **Divergence contract (deliberate, frozen at v3):** Snowball
+   **Divergence contract (deliberate, frozen at v4):** Snowball
    conflations OUTSIDE these rules remain distinct terms here:
    "happiness" ≠ "happy" (-ness untouched), "adjustment" ≠ "adjust"
    (-ment untouched), and e-final families can split where the 1b2
    subset can't restore the e ("create"/"creates" → create but
-   "created"/"creating" → creat). The trade is unchanged from v2:
-   one SQL-renderable authority shared by every execution path and
+   "created"/"creating" → creat; the ``iz`` e-restore closes exactly
+   the -ize family, whose stems are unambiguous — no English stem
+   ends bare ``-iz``). The trade is unchanged from v2: one
+   SQL-renderable authority shared by every execution path and
    every oracle, versus a 1200-rule stemmer with no DuckDB twin. The
-   exact divergence surface is pinned by tests/test_tokenizer.py.
+   exact divergence surface is pinned by tests/test_tokenizer.py and
+   tests/test_stemmer_divergence.py.
 
-   **v3 is NOT idempotent** (v2 was): e.g. s_stem("preceded") =
+   **v4 is NOT idempotent** (v2 was): e.g. s_stem("preceded") =
    "preced" but s_stem("preced") = "prec". Every call site therefore
    stems EXACTLY ONCE from the raw surface form; make_snippet's term
    contract changed accordingly (callers pass analyzer output).
@@ -82,7 +96,7 @@ MAX_TOKEN_LEN = 64
 # under a different analyzer cannot reuse shards verbatim (the reused
 # segments would hold differently-analyzed terms than the rebuilt
 # ones — a silently mixed-analyzer index).
-ANALYZER_VERSION = "tlgs_spark.tokenizer v3 (s-stem + derivational subset)"
+ANALYZER_VERSION = "tlgs_spark.tokenizer v4 (s-stem + derivational subset + ize-family)"
 
 # Classic minimal English stopword list (fixed forever — part of the spec).
 STOPWORDS = frozenset(
@@ -126,10 +140,14 @@ def _plural_stem(t: str) -> str:
 def _post_strip(s: str) -> str:
     """Porter-1b2 subset applied after an ``ing``/``ed`` strip:
     undouble a trailing doubled consonant (not l/s/z); restore ``e``
-    on a 3-char c-v-c stem (last char not w/x/y — and a 3-char cvc has
-    Porter measure exactly 1, so no measure computation is needed)."""
+    on a stem ending ``iz`` (v4 — the -ize family: organiz→organize,
+    so -ized/-izing conflate with -ize/-izer/-ization) or on a 3-char
+    c-v-c stem (last char not w/x/y — and a 3-char cvc has Porter
+    measure exactly 1, so no measure computation is needed)."""
     if len(s) >= 2 and s[-1] == s[-2] and s[-1] not in _VOWELS and s[-1] not in "lsz":
         return s[:-1]
+    if len(s) >= 3 and s.endswith(("iz", "yz")):
+        return s + "e"
     if (
         len(s) == 3
         and s[0] not in _VOWELS_Y
@@ -156,13 +174,22 @@ def _deriv_stem(t: str) -> str:
     if len(t) >= 6 and t.endswith("ly") and t[-3] not in _VOWELS_Y:
         s = t[:-2]
         return s[:-1] if s.endswith("ll") else s
+    # v4: the -ize/-yze family's nominal/agentive hops (Porter step 2
+    # IZATION→IZE / IZER→IZE; the yz twins cover analyze-type verbs,
+    # which Porter conflates through its ER/E rules). ization MUST
+    # precede the ion rule, which would otherwise catch it (…t + ion)
+    # and strand at …izat.
+    if len(t) >= 10 and t.endswith(("ization", "yzation")):
+        return t[:-5] + "e"
+    if len(t) >= 7 and t.endswith(("izer", "yzer")):
+        return t[:-1]
     if len(t) >= 8 and t.endswith("ion") and t[-4] in "st":
         return t[:-3]
     return t
 
 
 def s_stem(t: str) -> str:
-    """Spec step 5 (v3): plural S-stem, then the derivational subset.
+    """Spec step 5 (v4): plural S-stem, then the derivational subset.
     Pure function of the kept token; never lengthens it by more than
     the restored ``e``, never empties it. NOT idempotent (see module
     docstring) — stem exactly once from the raw surface form."""
@@ -257,11 +284,16 @@ def _deriv_sql_case(e: str) -> str:
 
     def post(strip: int) -> str:
         # _post_strip on the stem e[:-strip]: undouble trailing doubled
-        # non-l/s/z consonant, else restore 'e' on a 3-char c-v-c stem
+        # non-l/s/z consonant, else restore 'e' on a stem ending 'iz'
+        # (v4: the -ize family) or on a 3-char c-v-c stem. The stem is
+        # always >= 3 chars here (ing needs len >= 6, ed needs >= 5),
+        # matching _post_strip's len guard.
         return (
             f"(CASE WHEN {ch(strip + 1)} = {ch(strip + 2)} "
             f"AND {ch(strip + 1)} NOT IN {_DOUBLE_EXCL_SQL} "
             f"THEN substr({e}, 1, {L} - {strip + 1}) "
+            f"WHEN substr({e}, {L} - {strip + 1}, 2) IN ('iz','yz') "
+            f"THEN substr({e}, 1, {L} - {strip}) || 'e' "
             f"WHEN {L} = {strip + 3} AND {head(1)} NOT IN {_VY_SQL} "
             f"AND {head(2)} IN {_V_SQL} AND {head(3)} NOT IN {_VY_WX_SQL} "
             f"THEN substr({e}, 1, 3) || 'e' "
@@ -279,6 +311,10 @@ def _deriv_sql_case(e: str) -> str:
         f"WHEN {L} >= 6 AND {suf(2)} = 'ly' AND {ch(3)} NOT IN {_VY_SQL} THEN "
         f"(CASE WHEN substr({e}, {L} - 3, 2) = 'll' THEN substr({e}, 1, {L} - 3) "
         f"ELSE substr({e}, 1, {L} - 2) END) "
+        f"WHEN {L} >= 10 AND {suf(7)} IN ('ization','yzation') THEN "
+        f"substr({e}, 1, {L} - 5) || 'e' "
+        f"WHEN {L} >= 7 AND {suf(4)} IN ('izer','yzer') THEN "
+        f"substr({e}, 1, {L} - 1) "
         f"WHEN {L} >= 8 AND {suf(3)} = 'ion' AND {ch(4)} IN ('s','t') THEN "
         f"substr({e}, 1, {L} - 3) "
         f"ELSE {e} END)"
@@ -286,7 +322,7 @@ def _deriv_sql_case(e: str) -> str:
 
 
 def stem_sql_case(e: str) -> str:
-    """ANSI-SQL rendering of :func:`s_stem` (spec v3: plural then
+    """ANSI-SQL rendering of :func:`s_stem` (spec v4: plural then
     derivational) over expression ``e`` — identical semantics in
     DuckDB and Spark SQL (both: 1-based substr, || concat, length,
     instr). The derivational CASE nests the plural CASE as its input

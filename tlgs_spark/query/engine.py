@@ -518,7 +518,14 @@ class SearchIndex:
         handles and per-row-group key statistics are parsed ONCE per
         open index (the snapshot is immutable), so a term lookup costs
         only the matching groups' reads. None ⇒ a source dir is
-        non-local; the caller uses the dataset/Spark path instead."""
+        non-local; the caller uses the dataset/Spark path instead.
+
+        fd budget: one memory-mapped handle per shard file, held for
+        the life of the open index — ≤ SHARD_BITMAP_MAX (4096) shards
+        by construction plus a few files each, well under typical
+        server nofile limits (this box: 20k); a constrained driver
+        falls back to the dataset path by virtue of the open failing
+        (caught below), not by crashing the query."""
         if not hasattr(self, "_pf_cache"):
             self._pf_cache: dict = {}
         if table in self._pf_cache:

@@ -801,23 +801,60 @@ def _delta_finalize(
 
         @pandas_udf("binary", PandasUDFType.SCALAR)
         def _merge_bits(is_new, old_bits, sh_n):
-            out = []
-            for new, ob, sn in zip(is_new, old_bits, sh_n):
-                add = np.frombuffer(
-                    encode_shard_bits(
-                        sn if sn is not None else (), n_shards1
-                    ),
-                    dtype=np.uint8,
+            # Batch-vectorized: this runs over EVERY term_stats row, so
+            # per-row numpy allocations would dominate a delta update at
+            # a 10^9-term vocabulary. All bit algebra happens on one
+            # (rows × _nb) uint8 matrix per Arrow batch; the only
+            # per-row Python left is ragged-input marshalling (list
+            # lengths, byte concat) and the final tobytes memcpy.
+            n = len(is_new)
+            # ADD matrix: new presence (within changed shards) per row.
+            lens = np.fromiter(
+                (0 if sn is None else len(sn) for sn in sh_n),
+                dtype=np.int64, count=n,
+            )
+            add = np.zeros((n, _nb), dtype=np.uint8)
+            if int(lens.sum()):
+                rows = np.repeat(np.arange(n), lens)
+                flat = np.concatenate(
+                    [np.asarray(sn, dtype=np.int64) for sn in sh_n
+                     if sn is not None and len(sn)]
                 )
-                if new:
-                    out.append(add.tobytes())
-                elif ob is None:
-                    out.append(None)  # legacy row: presence unknown
+                # bitwise_or.at: unbuffered scatter — duplicates of the
+                # same (row, byte) slot must ACCUMULATE bits (two shard
+                # ids landing in one byte), which plain fancy |= drops
+                np.bitwise_or.at(
+                    add, (rows, flat >> 3),
+                    np.left_shift(np.uint8(1), (flat & 7).astype(np.uint8)),
+                )
+            # BASE matrix: committed bitmaps, zero-widened to the (only
+            # ever grown) current grid. Blob widths are uniform within
+            # an index era — one reshape covers the batch; the ragged
+            # loop only runs across a mid-history width mix.
+            have = np.fromiter(
+                (ob is not None for ob in old_bits), dtype=bool, count=n
+            )
+            base = np.zeros((n, _nb), dtype=np.uint8)
+            if have.any():
+                widths = {len(ob) for ob in old_bits if ob is not None}
+                if len(widths) == 1 and (w := widths.pop()) <= _nb:
+                    buf = np.frombuffer(
+                        b"".join(bytes(ob) for ob in old_bits if ob is not None),
+                        dtype=np.uint8,
+                    ).reshape(-1, w)
+                    base[np.nonzero(have)[0], :w] = buf
                 else:
-                    base = np.zeros(_nb, dtype=np.uint8)
-                    prev = np.frombuffer(bytes(ob), dtype=np.uint8)
-                    base[: prev.size] = prev[:_nb]
-                    out.append(((base & _keep) | add).tobytes())
+                    for i, ob in enumerate(old_bits):
+                        if ob is not None:
+                            prev = np.frombuffer(bytes(ob), dtype=np.uint8)[:_nb]
+                            base[i, : prev.size] = prev
+            merged = (base & _keep[None, :]) | add
+            new_arr = np.asarray(is_new, dtype=bool)
+            out = [
+                add[i].tobytes() if new_arr[i]
+                else (merged[i].tobytes() if have[i] else None)
+                for i in range(n)
+            ]
             return pd.Series(out)
 
         bits1 = _merge_bits(F.col("df").isNull(), F.col("shard_bits"), F.col("sh_n"))

@@ -837,7 +837,10 @@ def _delta_finalize(
             base = np.zeros((n, _nb), dtype=np.uint8)
             if have.any():
                 widths = {len(ob) for ob in old_bits if ob is not None}
-                if len(widths) == 1 and (w := widths.pop()) <= _nb:
+                # 0 < w: a zero-width blob set (n_shards==0-era rows)
+                # would reshape(-1, 0) and crash — the ragged loop
+                # below handles empty blobs as all-absent (ADVICE r5)
+                if len(widths) == 1 and 0 < (w := widths.pop()) <= _nb:
                     buf = np.frombuffer(
                         b"".join(bytes(ob) for ob in old_bits if ob is not None),
                         dtype=np.uint8,

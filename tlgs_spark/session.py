@@ -63,6 +63,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR scheduler (guide §2.6; r5 VERDICT #1): jobs that set no
+        # pool land in "default" (internally FIFO — build behavior
+        # unchanged, later jobs still back-fill straggler tails), while
+        # each SERVING thread sets its own pool (engine._serving_pool),
+        # so short selective queries stop head-of-line-blocking behind a
+        # dense query's task waves once past the driver-path envelope.
+        .config("spark.scheduler.mode",
+                os.environ.get("TLGS_SPARK_SCHEDULER", "FAIR"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("TLGS_SPARK_DRIVER_MEM", "64g"))

@@ -537,34 +537,60 @@ def embedding_near_dup_pairs(
     into one FMA could still differ by 1 ulp pre-rounding.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     thr = float(threshold)
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    def block_pairs(tbl: "pa.Table") -> "pa.Table":
+        # Arrow-native group kernel: the list column's values buffer
+        # reshapes straight into a (b, dim) float64 matrix — no
+        # per-row pandas object conversion (the old applyInPandas body
+        # paid ~0.5 s/block turning 2.3k list cells into ndarrays).
+        ids = tbl.column("id").to_numpy()
+        lv = tbl.column("v")
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
         b = len(ids)
-        g = np.zeros((b, b), dtype=np.float64)
+        flat = lv.flatten().to_numpy(zero_copy_only=False)
+        dim = flat.size // b if b else 0
+        x = np.ascontiguousarray(flat.reshape(b, dim).T)  # (dim, b) row-major
+        # upper-triangle pairs only (half the FLOPs + traffic of the
+        # old full Gram matrix); the accumulation stays an explicit
+        # ascending-dimension loop of multiply-then-add — per pair the
+        # op order is exactly the sequential oracle's acc += a[d]*b[d],
+        # so cosines are bit-identical to the full-matrix version
+        iu, ju = np.triu_indices(b, k=1)
+        acc = np.zeros(iu.size, dtype=np.float64)
         sq = np.zeros(b, dtype=np.float64)
-        for d in range(x.shape[1] if b else 0):
-            col = x[:, d]
-            g += col[:, None] * col[None, :]
+        for d in range(dim):
+            col = x[d]
+            acc += col[iu] * col[ju]
             sq += col * col
         nrm = np.sqrt(sq)
-        g = g / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        # canonical orientation: id_a < id_b regardless of row order
-        ia, ib = np.minimum(ids[iu], ids[ju]), np.maximum(ids[iu], ids[ju])
-        cos = np.round(g[iu, ju], 4)
+        cos = np.round(acc / (nrm[iu] * nrm[ju]), 4)
         keep = cos >= thr
-        return pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cos": cos[keep]})
+        # canonical orientation: id_a < id_b regardless of row order
+        ia = np.minimum(ids[iu[keep]], ids[ju[keep]])
+        ib = np.maximum(ids[iu[keep]], ids[ju[keep]])
+        return pa.table(
+            {
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "cos": pa.array(cos[keep], pa.float64()),
+            }
+        )
 
     base = emb.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    return base.groupBy("blk").applyInPandas(
+    # explicit repartition by block: the grouped kernel is CPU-dense
+    # per byte, and AQE (which prices partitions by shuffle bytes)
+    # otherwise coalesces the small shuffle onto 1-2 tasks and the
+    # blocks compute serially; a user-specified shuffle is not
+    # coalesced, and groupBy on the same key reuses it (guide §2.4)
+    par = max(1, emb.sparkSession.sparkContext.defaultParallelism)
+    return base.repartition(par, "blk").groupBy("blk").applyInArrow(
         block_pairs, schema="id_a long, id_b long, cos double"
     )

@@ -74,26 +74,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(p), p)
 
 
+# tables whose entry plans are CPU-dense per byte (text kernels, 64-dim
+# dot products) benefit from the fan-out; events/orders/lineitem plans
+# are scan+hash-agg shapes where the extra exchange of the raw rows
+# costs more than the single-task scan (measured: events_tumbling
+# 0.6 s -> 1.7 s with a blanket repartition)
+_SPREAD_TABLES = frozenset({"embeddings"})
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     p = f"{sf_dir}/{name}.parquet"
-    return _spread(spark.read.parquet(p), p)
-
-
-def _tf(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, tf) under the frozen tokenizer — the build's
-    Arrow/RE2 batch tokenizer (same spec as the SQL CTE the oracles
-    use; equivalence pinned by test_build_vectorized.py three-way)."""
-    from .indexer.build import tokenize_tokens
-
-    return tokenize_tokens(docs.select("doc_id", "text"))
-
-
-def _dl(docs: DataFrame, tf: DataFrame) -> DataFrame:
-    return (
-        docs.select("doc_id")
-        .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")), "doc_id", "left")
-        .fillna(0, subset=["dl"])
-    )
+    df = spark.read.parquet(p)
+    return _spread(df, p) if name in _SPREAD_TABLES else df
 
 
 _CORPUS_CACHE: dict[tuple[int, str], dict] = {}
@@ -110,8 +102,19 @@ def _token_stats(spark: SparkSession, sf_dir: str) -> dict:
     if hit is not None:
         return hit
     docs = _docs(spark, sf_dir)
-    tf = _tf(docs).persist()
-    dl = _dl(docs, tf).persist()
+    from .indexer.build import tokenize_tokens
+
+    # with_dl=True: doc lengths ride the SAME tokenize pass as one
+    # term=NULL pseudo row per document (the index builder's format-2
+    # trick) — the separate per-doc aggregate + docs left join the old
+    # shape paid is gone; dl slices out of the persisted stream
+    all_tok = tokenize_tokens(
+        docs.select("doc_id", "text"), with_dl=True
+    ).persist()
+    tf = all_tok.filter(F.col("term").isNotNull())
+    dl = all_tok.filter(F.col("term").isNull()).select(
+        "doc_id", F.col("tf").alias("dl")
+    )
     dft = tf.groupBy("term").agg(F.count("*").alias("df")).persist()
     # dl has exactly one row per doc, so one action yields both stats
     n_docs, total_dl = dl.agg(F.count("*"), F.sum("dl")).collect()[0]
@@ -538,22 +541,63 @@ def events_tumbling(spark, sf_dir):
 
 @q("events_sessions")
 def events_sessions(spark, sf_dir):
-    """Session windows (30-min gap) via lag+cumsum — the batch
-    formulation of stateful sessionization."""
+    """Session windows (30-min gap) — the batch formulation of stateful
+    sessionization. Same lag+cumsum semantics the oracle SQL states,
+    executed as ONE shuffle: repartition by user (whole users per
+    task), sort once, then a vectorized per-task kernel derives the
+    per-user session numbering AND the per-session aggregates in one
+    pass. The old plan paid the same shuffle+sort plus two WindowExec
+    evaluations over every event plus a second aggregation exchange
+    (guide §2.4: operations keyed the same way share one exchange)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def sess(batches):
+        acc = [pa.Table.from_batches([b]) for b in batches]
+        if not acc:
+            return
+        t = pa.concat_tables(acc)
+        if t.num_rows == 0:
+            return
+        uid = t.column("user_id").to_numpy()
+        es = t.column("es").to_numpy()
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.empty(n, dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (es[1:] - es[:-1]) > 1800
+        new_s = new_user | gap_break
+        seg = np.nonzero(new_s)[0]
+        seg_end = np.concatenate((seg[1:], [n]))
+        # per-user session numbering: global cumsum of starts, rebased
+        # at each user's first segment (+1 ⇒ sessions start at 1)
+        gsid = np.cumsum(new_s)
+        ustart = np.nonzero(new_user)[0]
+        rows_per_user = np.diff(np.concatenate((ustart, [n])))
+        rebased = gsid - np.repeat(gsid[ustart] - 1, rows_per_user)
+        yield pa.record_batch(
+            {
+                "user_id": pa.array(uid[seg], pa.int64()),
+                "session_id": pa.array(rebased[seg], pa.int64()),
+                "n_events": pa.array(seg_end - seg, pa.int64()),
+                "start_epoch": pa.array(es[seg], pa.int64()),
+                "end_epoch": pa.array(es[seg_end - 1], pa.int64()),
+            }
+        )
+
     ev = _read(spark, sf_dir, "events").withColumn("es", F.unix_timestamp("ts"))
-    w = Window.partitionBy("user_id").orderBy("es", "event_id")
-    gap = F.col("es") - F.lag("es").over(w)
-    x = ev.withColumn(
-        "new_s", F.when(F.lag("es").over(w).isNull() | (gap > 1800), 1).otherwise(0)
-    )
-    y = x.withColumn(
-        "session_id",
-        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
-    )
-    return y.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.min("es").alias("start_epoch"),
-        F.max("es").alias("end_epoch"),
+    par = max(1, spark.sparkContext.defaultParallelism)
+    return (
+        ev.select("user_id", "event_id", "es")
+        .repartition(par, "user_id")
+        .sortWithinPartitions("user_id", "es", "event_id")
+        .mapInArrow(
+            sess,
+            schema="user_id long, session_id long, n_events long, "
+                   "start_epoch long, end_epoch long",
+        )
     )
 
 
@@ -838,7 +882,13 @@ def bm25f_title_weighted(spark, sf_dir):
     t_m = (
         ts["tf"].filter(F.col("term").isin(terms))
         .join(F.broadcast(ts["dft"].filter(F.col("term").isin(terms))), "term")
-        .join(ts["dl"], "doc_id")
+        # explicit hint: the dl slice comes out of the cached
+        # groupingSets frame whose size statistics the planner can't
+        # see, so it fell back to a SortMergeJoin on doc_id — the one
+        # SMJ (plus its exchanges) in an otherwise broadcast-only plan.
+        # Bench-scale only: the 100 TB fielded path is search_fielded,
+        # which serves field dl from its own index, never a broadcast.
+        .join(F.broadcast(ts["dl"]), "doc_id")
     )
     t_idf = F.log(
         F.lit(1.0) + (F.lit(st["n_docs"]) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -853,7 +903,10 @@ def bm25f_title_weighted(spark, sf_dir):
     )
 
     combined = (
-        body.join(title, "doc_id", "left")
+        # broadcast the title aggregate (tiny matched set, no planner
+        # stats through the cache) — this was the plan's one remaining
+        # SortMergeJoin; the final join is top-20-bound either way
+        body.join(F.broadcast(title), "doc_id", "left")
         .withColumn(
             "score",
             F.round(50.0 * F.coalesce(F.col("title_score"), F.lit(0.0)) + F.col("body_score"), 4),

@@ -134,19 +134,47 @@ def minhash_bands(
     )
 
 
+def _bucket_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """All intra-bucket pairs, canonically oriented (id_a < id_b with
+    payloads following their ids), buckets above ``max_bucket``
+    dropped — ONE groupBy + a JVM nested-transform pair expansion.
+
+    The old shape (count() window for the cap, self-join on the bucket
+    key, then the id_a < id_b half-filter) paid a window sort plus two
+    more exchanges of the same rows and materialized BOTH orientations
+    of every pair before discarding half (guide §2.4); the pair count
+    is identical (bounded by max_bucket² per bucket), and callers keep
+    their cross-band ``distinct``."""
+    fields = ", ".join(
+        f"'{c}_a', CASE WHEN x.{id_col} < y.{id_col} THEN x.{c} ELSE y.{c} END, "
+        f"'{c}_b', CASE WHEN x.{id_col} < y.{id_col} THEN y.{c} ELSE x.{c} END"
+        for c in (id_col, *payload_cols)
+    )
+    pair_sql = (
+        "flatten(transform(xs, (x, i) -> "
+        "transform(slice(xs, i + 2, size(xs)), y -> "
+        f"named_struct({fields}))))"
+    )
+    g = (
+        df.groupBy(*key_cols)
+        .agg(F.collect_list(F.struct(id_col, *payload_cols)).alias("xs"))
+        .filter((F.size("xs") <= max_bucket) & (F.size("xs") >= 2))
+    )
+    return g.select(F.explode(F.expr(pair_sql)).alias("p")).select("p.*")
+
+
 def minhash_candidate_pairs(bands_df: DataFrame, max_bucket: int = 50) -> DataFrame:
     """LSH bucket join: docs sharing any (band, sig) become a pair.
     Buckets above ``max_bucket`` are dropped (boilerplate guard —
     the explicit skew control)."""
-    sized = bands_df.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "sig"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select("band", "sig", F.col("id").alias("id_a"))
-    b = sized.select("band", "sig", F.col("id").alias("id_b"))
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        _bucket_pairs(bands_df, ["band", "sig"], "id", [], max_bucket)
         .distinct()
     )
 
@@ -232,18 +260,11 @@ def embedding_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    sized = bands.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "key"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select("band", "key", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = sized.select("band", "key", F.col("id").alias("id_b"), F.col("v").alias("vb"))
     cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4
+        _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b"))), 4
     )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        _bucket_pairs(bands, ["band", "key"], "id", ["v"], max_bucket)
         .distinct()
         .withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(float(threshold)))
@@ -294,11 +315,6 @@ def simhash_hamming_pairs(
             ])
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    sized = bands.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "key"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select("band", "key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sized.select("band", "key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
 
     def nib(col, i):
         return F.position(F.substring(col, i + 1, 1), F.lit("0123456789abcdef")) - 1
@@ -308,9 +324,7 @@ def simhash_hamming_pairs(
         for i in range(16)
     )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        _bucket_pairs(bands, ["band", "key"], "id", ["sig"], max_bucket)
         .distinct()
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)

@@ -779,12 +779,13 @@ def union_with_priority(spark, sf_dir):
         .distinct()
         .withColumn("is_root", F.lit(False))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("is_root"))
+    # first-occurrence-wins dedup ≡ OR over the boolean priority flag:
+    # a partial+final hash aggregate replaces the per-doc window sort
+    # (same rows — the window kept the max-is_root row per doc)
     return (
         roots.unionByName(base)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("doc_id")
+        .agg(F.max("is_root").alias("is_root"))
     )
 
 

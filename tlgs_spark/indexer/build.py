@@ -1700,11 +1700,12 @@ def _build_index_impl(
         # cliff. Past 4096 shards both columns are NULL for wide terms
         # (a per-term bloom would replace the bitmap; the NULL
         # contract already allows it).
-        from .codec import SHARD_BITMAP_MAX, encode_shard_bits
+        from .codec import SHARD_BITMAP_MAX, encode_shard_bits, encode_shard_bloom
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
         if n_shards <= SHARD_BITMAP_MAX:
-            import pandas as pd
-            from pyspark.sql.functions import pandas_udf
 
             @pandas_udf("binary")
             def _shard_bits(sh: pd.Series) -> pd.Series:
@@ -1713,8 +1714,19 @@ def _build_index_impl(
                 )
 
             bits_col = _shard_bits(F.col("_sh"))
+            bloom_col = F.lit(None).cast("binary")
         else:
+            # past the exact-bitmap cap: a FIXED 128 B/term Bloom over
+            # the shard ids replaces the n_shards/8-byte bitmap — wide
+            # terms prune (soundly, no false negatives) instead of
+            # falling off the NULL cliff, and term_stats weight stays
+            # bounded at web-scale grids (codec.BLOOM_BYTES)
+            @pandas_udf("binary")
+            def _shard_bloom(sh: pd.Series) -> pd.Series:
+                return pd.Series([encode_shard_bloom(a) for a in sh])
+
             bits_col = F.lit(None).cast("binary")
+            bloom_col = _shard_bloom(F.col("_sh"))
         term_stats = (
             st.read(spark, "postings")
             .filter(F.col("term").isNotNull())
@@ -1731,6 +1743,7 @@ def _build_index_impl(
                 "cf",
                 F.when(F.col("_nsh") <= TERM_SHARDS_MAX, F.col("_sh")).alias("shards"),
                 bits_col.alias("shard_bits"),
+                bloom_col.alias("shard_bloom"),
             )
         )
         # persist → the write materializes the aggregated frame and the

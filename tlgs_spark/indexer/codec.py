@@ -250,6 +250,57 @@ def decode_postings(buf: bytes, base: int = 0) -> tuple[np.ndarray, np.ndarray]:
 
 SHARD_BITMAP_MAX = 4096
 
+# Past SHARD_BITMAP_MAX shards the exact bitmap would cost n_shards/8
+# bytes per term (512 B at 4096 — real weight for a 10^8-term
+# web-scale vocabulary) and wide terms fell back to NULL = scan
+# everything. A FIXED 128-byte Bloom filter over a term's shard ids
+# covers any grid size: k=4 splitmix64-derived bit positions per
+# shard id; a membership test has NO false negatives, so pruning to
+# the candidate set stays sound at any fp rate — false positives only
+# cost extra scanned shards. At 1024 bits / k=4 the fp rate is ~1.2%
+# for a 100-shard term and degrades gracefully (a term in thousands
+# of shards saturates toward all-ones ≡ the old NULL "everywhere",
+# never worse). (r5 VERDICT #5 — the promise at the NULL contract.)
+BLOOM_BYTES = 128
+BLOOM_K = 4
+
+
+def _bloom_positions(ids: np.ndarray, m_bits: int) -> np.ndarray:
+    """(BLOOM_K, len(ids)) bit positions via the splitmix64 finalizer
+    (public-domain mixing constants) over id + k·golden-gamma."""
+    x = ids.astype(np.uint64)
+    out = np.empty((BLOOM_K, x.size), dtype=np.int64)
+    for j in range(BLOOM_K):
+        h = x + np.uint64((j + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        out[j] = (h % np.uint64(m_bits)).astype(np.int64)
+    return out
+
+
+def encode_shard_bloom(shards, m_bytes: int = BLOOM_BYTES) -> bytes:
+    """Bloom blob for an iterable of shard ids (fixed m_bytes width)."""
+    bits = np.zeros(m_bytes * 8, dtype=np.uint8)
+    ids = np.asarray(list(shards), dtype=np.int64)
+    if ids.size:
+        pos = _bloom_positions(ids, m_bytes * 8)
+        bits[pos.ravel()] = 1
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def bloom_candidate_shards(buf: bytes, n_shards: int) -> np.ndarray:
+    """Shard ids (ascending) the bloom may contain — the sound pruning
+    set (supersets the true presence; never misses a shard). Vectorized
+    membership test of every in-grid shard id."""
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), bitorder="little")
+    ids = np.arange(n_shards, dtype=np.int64)
+    pos = _bloom_positions(ids, len(bits))
+    hit = bits[pos[0]].astype(bool)
+    for j in range(1, BLOOM_K):
+        hit &= bits[pos[j]].astype(bool)
+    return ids[hit]
+
 
 def encode_shard_bits(shards, n_shards: int) -> bytes:
     """Bitmap bytes for a sorted-or-not iterable of shard ids."""

@@ -885,19 +885,23 @@ class SearchIndex:
     def _term_info_uncached(self, terms: list[str]) -> dict[str, tuple[int, list | None]]:
         has_shards = "shards" in self._term_stats_df.columns
         has_bits = "shard_bits" in self._term_stats_df.columns
+        has_bloom = "shard_bloom" in self._term_stats_df.columns
         cols = (
             ["term", "df"]
             + (["shards"] if has_shards else [])
             + (["shard_bits"] if has_bits else [])
+            + (["shard_bloom"] if has_bloom else [])
         )
         tbl = self._arrow_lookup("term_stats", terms, cols)
         if tbl is not None:
             dfs = [int(x) for x in tbl["df"].to_pylist()]
-            shl = tbl["shards"].to_pylist() if has_shards else [None] * len(dfs)
-            bl = tbl["shard_bits"].to_pylist() if has_bits else [None] * len(dfs)
+            n = len(dfs)
+            shl = tbl["shards"].to_pylist() if has_shards else [None] * n
+            bl = tbl["shard_bits"].to_pylist() if has_bits else [None] * n
+            bm = tbl["shard_bloom"].to_pylist() if has_bloom else [None] * n
             return {
-                t: (d, self._presence(s, b))
-                for t, d, s, b in zip(tbl["term"].to_pylist(), dfs, shl, bl)
+                t: (d, self._presence(s, b, o))
+                for t, d, s, b, o in zip(tbl["term"].to_pylist(), dfs, shl, bl, bm)
             }
         rows = self._term_stats_df.filter(F.col("term").isin(terms)).collect()
         return {
@@ -906,27 +910,38 @@ class SearchIndex:
                 self._presence(
                     r.shards if has_shards else None,
                     r.shard_bits if has_bits else None,
+                    r.shard_bloom if has_bloom else None,
                 ),
             )
             for r in rows
         }
 
-    def _presence(self, shards, bits) -> list | None:
-        """Exact shard-presence list from a term_stats row: the explicit
+    def _presence(self, shards, bits, bloom=None) -> list | None:
+        """Shard-presence list from a term_stats row: the explicit
         list when present (selective terms, ≤ TERM_SHARDS_MAX entries),
         else decoded from the fixed-width shard_bits bitmap (mid-df
         terms — the 65..n_shards-1 band that used to fall off the NULL
-        cliff and scan everything). None = unknown/everywhere (legacy
-        index, >4096-shard grid, or a bitmap covering every shard —
-        full coverage prunes nothing, and dropping it skips a
-        useless n_shards-element isin filter)."""
+        cliff and scan everything), else the CANDIDATE set from the
+        fixed-128 B shard_bloom (>SHARD_BITMAP_MAX grids — a sound
+        superset: blooms have no false negatives, so pruning to it
+        never drops a matching shard). None = unknown/everywhere
+        (legacy index, or full coverage — which prunes nothing, and
+        dropping it skips a useless n_shards-element isin filter)."""
+        n_shards = int(self.meta["n_shards"])
         if shards is not None:
             return list(shards)
         if bits is not None:
             from ..indexer.codec import decode_shard_bits
 
-            ids = decode_shard_bits(bytes(bits), int(self.meta["n_shards"]))
-            if len(ids) >= int(self.meta["n_shards"]):
+            ids = decode_shard_bits(bytes(bits), n_shards)
+            if len(ids) >= n_shards:
+                return None
+            return ids.tolist()
+        if bloom is not None:
+            from ..indexer.codec import bloom_candidate_shards
+
+            ids = bloom_candidate_shards(bytes(bloom), n_shards)
+            if len(ids) >= n_shards:
                 return None
             return ids.tolist()
         return None

@@ -749,6 +749,8 @@ def _delta_finalize(
     has_bits = "shard_bits" in ts_old.columns
     if not has_bits:
         ts_old = ts_old.withColumn("shard_bits", F.lit(None).cast("binary"))
+    if "shard_bloom" not in ts_old.columns:
+        ts_old = ts_old.withColumn("shard_bloom", F.lit(None).cast("binary"))
     changed_lit = F.array(*[F.lit(int(s)).cast("int") for s in changed])
     jt = ts_old.join(deltas, "term", "full_outer")
     df1 = (
@@ -861,8 +863,44 @@ def _delta_finalize(
             return pd.Series(out)
 
         bits1 = _merge_bits(F.col("df").isNull(), F.col("shard_bits"), F.col("sh_n"))
+        bloom1 = F.lit(None).cast("binary")
     else:
+        # >SHARD_BITMAP_MAX grid: maintain the fixed-width shard_bloom
+        # by UNION — new = old_bloom | bloom(sh_n); brand-new terms get
+        # a fresh bloom; a committed row without one stays NULL
+        # (unknown). A bloom supports no deletion, so bits from shards
+        # the term LEFT stay set — a sound over-approximation (pruning
+        # may scan a few stale shards, never miss one); compaction /
+        # full rebuild re-derives exact blooms.
+        import pandas as pd
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        from ..indexer.codec import encode_shard_bloom
+
+        @pandas_udf("binary", PandasUDFType.SCALAR)
+        def _merge_bloom(is_new, old_bloom, sh_n):
+            import numpy as np
+
+            out = []
+            for new, ob, sn in zip(is_new, old_bloom, sh_n):
+                add = encode_shard_bloom(sn if sn is not None else [])
+                if new:
+                    out.append(add)
+                elif ob is None:
+                    out.append(None)
+                else:
+                    a = np.frombuffer(add, dtype=np.uint8)
+                    b = np.frombuffer(bytes(ob), dtype=np.uint8)
+                    if b.size != a.size:  # mixed-width history: unknown
+                        out.append(None)
+                    else:
+                        out.append((a | b).tobytes())
+            return pd.Series(out)
+
         bits1 = F.lit(None).cast("binary")
+        bloom1 = _merge_bloom(
+            F.col("df").isNull(), F.col("shard_bloom"), F.col("sh_n")
+        )
     ts_new = (
         jt.select(
             "term",
@@ -870,6 +908,7 @@ def _delta_finalize(
             cf1.alias("cf"),
             sh1.alias("shards"),
             bits1.alias("shard_bits"),
+            bloom1.alias("shard_bloom"),
         )
         .filter(F.col("df") > 0)
     )

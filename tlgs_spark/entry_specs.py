@@ -46,15 +46,21 @@ def ivf_centroids(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     vec_ids = tbl["vec_id"].to_numpy()
     order = np.argsort(vec_ids)[:50_000]
-    emb = tbl["embedding"].to_pylist()  # one Arrow→Python conversion
-    x = np.asarray(emb, dtype=np.float64)[order]
+    # zero-copy-ish: the list column's values buffer reshapes straight
+    # into the (n, dim) float64 matrix — the old to_pylist() round-trip
+    # built 20k Python lists to immediately re-convert them (~1 s of
+    # the entry's first touch); same float64 values bit-for-bit
+    lv = tbl["embedding"].combine_chunks()
+    flat = lv.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(len(vec_ids), -1)
+    x = mat[order]
     cents = np.round(
         ivf_fit_np(x, n_centroids=IVF_N_CENTROIDS, iters=IVF_ITERS, seed=42), 6
     )
     q_idx = np.nonzero(vec_ids == 0)[0]
     if q_idx.size == 0:
         raise ValueError(f"no vec_id==0 query row in {sf_dir}/embeddings.parquet")
-    q_row = np.asarray(emb[int(q_idx[0])], dtype=np.float64)
+    q_row = mat[int(q_idx[0])]
     out = (cents, q_row)
     _IVF_CENT_CACHE[sf_dir] = out
     return out
